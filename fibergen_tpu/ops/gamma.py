@@ -1,0 +1,143 @@
+"""Composite Gamma operators: mode x scheme dispatch.
+
+Mirrors the reference's GammaOperator* composition wrappers
+(fibergen.cpp:20288-20531): the staggered paths run
+div -> FFT -> G0_hat -> iFFT -> eps in real space (only 3-component FFTs);
+the collocated/Willot paths run FFT -> Gamma_hat -> iFFT on the full tensor.
+The mixed-BC mean correction R is applied to the result mean exactly like
+initBCProjector/applyBCProjector (fibergen.cpp:20220-20279).
+
+All functions are pure and jit-safe; ``scheme``/``mode`` are Python strings
+resolved at trace time.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import fields
+from ..core.grid import Grid
+from ..solvers import bc as bcmod
+from . import fft, green, staggered
+
+# "half_staggered"/"full_staggered" share the staggered operator path
+_STAGGERED = ("staggered", "half_staggered", "full_staggered")
+
+
+def _apply_mean_correction(eta, R, alpha):
+    """eta += alpha * R broadcast over space (applyBCProjector)."""
+    return eta + (alpha * R).reshape(-1, 1, 1, 1)
+
+
+def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | None",
+                   E, mu_0, lambda_0, tau, alpha=-1.0, beta=0.0, F00=None):
+    """eta = alpha * Gamma : tau + beta * tau with mean handling.
+
+    ``tau`` is the real-space polarization field; returns the real-space eta.
+    (GammaOperator dispatch, fibergen.cpp:20488-20531.)
+    """
+    if mode == "viscosity":
+        return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha, F00)
+
+    bc_active = bc is not None and not bc.is_trivial
+
+    if mode == "elasticity":
+        if scheme == "collocated" or scheme == "willot":
+            tau_hat = fft.fftn(tau)
+            F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
+            op = green.gamma_collocated if scheme == "collocated" else green.gamma_willot
+            eta_hat = op(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
+            if bc_active:
+                R = bcmod.bc_correction(bc, F0, F00)
+                eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
+            return fft.ifftn(eta_hat, grid.shape)
+        if scheme in _STAGGERED:
+            F0 = fields.mean(tau) if bc_active else None
+            f = staggered.div_staggered(grid, tau)
+            f_hat = fft.fftn(f)
+            u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
+            u = fft.ifftn(u_hat, grid.shape)
+            eta = staggered.eps_staggered(grid, jnp.asarray(E, tau.dtype), u)
+            if beta != 0.0:
+                eta = eta + beta * tau
+            if bc_active:
+                R = bcmod.bc_correction(bc, F0, F00)
+                eta = _apply_mean_correction(eta, R, alpha)
+            return eta
+
+    elif mode in ("heat", "porous"):
+        if scheme == "collocated":
+            tau_hat = fft.fftn(tau)
+            F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
+            eta_hat = green.gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
+            if bc_active:
+                R = bcmod.bc_correction(bc, F0, F00)
+                eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
+            return fft.ifftn(eta_hat, grid.shape)
+        if scheme in _STAGGERED:
+            F0 = fields.mean(tau) if bc_active else None
+            f = staggered.div_staggered_heat(grid, tau)
+            f_hat = fft.fftn(f)
+            u_hat = green.g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
+            u = fft.ifftn(u_hat, grid.shape)
+            eta = staggered.eps_staggered_heat(grid, jnp.asarray(E, tau.dtype), u)
+            if beta != 0.0:
+                eta = eta + beta * tau
+            if bc_active:
+                R = bcmod.bc_correction(bc, F0, F00)
+                eta = _apply_mean_correction(eta, R, alpha)
+            return eta
+
+    elif mode == "hyperelasticity":
+        if scheme == "collocated":
+            tau_hat = fft.fftn(tau)
+            F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
+            eta_hat = green.gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
+            if bc_active:
+                R = bcmod.bc_correction(bc, F0, F00)
+                eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
+            return fft.ifftn(eta_hat, grid.shape)
+        if scheme in _STAGGERED:
+            F0 = fields.mean(tau) if bc_active else None
+            f = staggered.div_staggered_hyper(grid, tau)
+            f_hat = fft.fftn(f)
+            u_hat = green.g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
+            u = fft.ifftn(u_hat, grid.shape)
+            eta = staggered.eps_staggered_hyper(grid, jnp.asarray(E, tau.dtype), u)
+            if beta != 0.0:
+                eta = eta + beta * tau
+            if bc_active:
+                R = bcmod.bc_correction(bc, F0, F00)
+                eta = _apply_mean_correction(eta, R, alpha)
+            return eta
+
+    raise ValueError(f"Unknown gamma scheme '{scheme}' for mode '{mode}'")
+
+
+def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau, alpha=-1.0, F00=None):
+    """Viscosity dual (fluidity) operator:
+        eta = 2*alpha*mu0v*(tau - mu0v * Gamma^0 : tau),  mean(eta) = E
+    where mu0v = 1/(4*mu_0) converts fluidity to viscosity and Gamma^0 uses
+    (mu0v, lambda_0 -> inf)  (DeltaOperator*, fibergen.cpp:20380-20486)."""
+    mu0v = 1.0 / (4.0 * mu_0)
+
+    if scheme == "collocated":
+        # applyDeltaFourier path (fibergen.cpp:19075-19080, 20464-20471)
+        tau_hat = fft.fftn_zero_trace(tau)
+        bc_active = bc is not None and not bc.is_trivial
+        F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
+        eta_hat = green.gamma_collocated(
+            grid, E, -1.0 / (4.0 * mu0v), float("inf"), tau_hat, alpha, 2.0 * alpha * mu0v)
+        if bc_active:
+            R = bcmod.bc_correction(bc, F0, F00)
+            eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
+        return fft.ifftn_zero_trace(eta_hat, grid.shape)
+
+    if scheme in _STAGGERED or scheme == "willot":
+        # mean constant such that <eta> = E (fibergen.cpp:20446-20453)
+        adj = jnp.asarray(E, tau.dtype) - 2.0 * alpha * mu0v * fields.mean(tau)
+        sub = "willot" if scheme == "willot" else "staggered"
+        eta = gamma_operator(grid, "elasticity", sub, bc, adj,
+                             -1.0 / (4.0 * mu0v), float("inf"), tau, alpha, 0.0, F00)
+        return eta + 2.0 * alpha * mu0v * tau
+
+    raise ValueError(f"Unknown delta scheme '{scheme}'")

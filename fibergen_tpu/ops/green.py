@@ -1,0 +1,351 @@
+"""Fourier-space Green operators for the Lippmann-Schwinger solvers.
+
+TPU-native re-derivation of the reference's per-wavenumber kernels
+(fibergen.cpp:19083-20218).  Instead of materializing 6x6 Gamma matrices per
+voxel, the operators are expressed in closed vector form (contract with xi
+once, scale, outer-product back), which XLA fuses into a single elementwise
+pass over the hat-field — the analogue of the reference's hot kernel #2
+(G0OperatorFourierStaggeredGeneral, fibergen.cpp:19834).
+
+All functions take hat-fields of shape (ncomp, nx, ny, nzc) and return the
+same shape.  The DC bin (0,0,0) is overwritten by the caller-provided mean
+(or zero), mirroring the reference's explicit zero-frequency handling.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+
+
+def _set_dc(y, value):
+    """Set the DC (zero-frequency) bin of each component."""
+    return y.at[:, 0, 0, 0].set(value)
+
+
+def _xi_bcast(grid: Grid, dtype):
+    fx, fy, fz = grid.xi(two_pi=False)
+    return (jnp.asarray(fx, dtype), jnp.asarray(fy, dtype), jnp.asarray(fz, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Collocated (classical Moulinec-Suquet) operators
+# ---------------------------------------------------------------------------
+
+def gamma_collocated(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.0):
+    """eta_hat = alpha * Gamma_hat : tau_hat + beta * tau_hat, DC bin = E.
+
+    Vector form of GammaOperatorFourierCollocated (fibergen.cpp:19381-19608):
+        t_i  = tau_ij xi_j
+        s    = xi . t
+        (Gamma tau)_ij = (xi_i t_j + xi_j t_i) / (2 mu0 |xi|^2)
+                         - (lam0+mu0)/(mu0(lam0+2mu0)) xi_i xi_j s / |xi|^4
+    """
+    rdtype = jnp.real(tau_hat).dtype
+    xi0, xi1, xi2 = _xi_bcast(grid, rdtype)
+    k2 = xi0 * xi0 + xi1 * xi1 + xi2 * xi2
+    k2 = k2.at[0, 0, 0].set(1.0)  # guard DC; overwritten below
+
+    A = alpha / (2.0 * mu_0)
+    # robust for lambda_0 -> inf (fibergen.cpp:19388)
+    B = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+
+    t0 = tau_hat[0] * xi0 + tau_hat[5] * xi1 + tau_hat[4] * xi2
+    t1 = tau_hat[5] * xi0 + tau_hat[1] * xi1 + tau_hat[3] * xi2
+    t2 = tau_hat[4] * xi0 + tau_hat[3] * xi1 + tau_hat[2] * xi2
+    s = xi0 * t0 + xi1 * t1 + xi2 * t2
+
+    a = A / k2
+    b = (B / (k2 * k2)) * s
+
+    eta = jnp.stack([
+        a * (2.0 * xi0 * t0) + b * (xi0 * xi0),
+        a * (2.0 * xi1 * t1) + b * (xi1 * xi1),
+        a * (2.0 * xi2 * t2) + b * (xi2 * xi2),
+        a * (xi1 * t2 + xi2 * t1) + b * (xi1 * xi2),
+        a * (xi0 * t2 + xi2 * t0) + b * (xi0 * xi2),
+        a * (xi0 * t1 + xi1 * t0) + b * (xi0 * xi1),
+    ])
+    if beta != 0.0:
+        eta = eta + beta * tau_hat
+    return _set_dc(eta, jnp.asarray(E, eta.dtype))
+
+
+def gamma_collocated_heat(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.0):
+    """Scalar (heat/porous) collocated Gamma with reference conductivity
+    k0 = 2*mu_0 (GammaOperatorFourierCollocatedHeat, fibergen.cpp:19302-19377):
+        (Gamma tau)_i = xi_i (xi . tau) / (2 mu0 |xi|^2)
+    """
+    rdtype = jnp.real(tau_hat).dtype
+    xi0, xi1, xi2 = _xi_bcast(grid, rdtype)
+    k2 = xi0 * xi0 + xi1 * xi1 + xi2 * xi2
+    k2 = k2.at[0, 0, 0].set(1.0)
+
+    s = tau_hat[0] * xi0 + tau_hat[1] * xi1 + tau_hat[2] * xi2
+    c = (alpha / (2.0 * mu_0)) * s / k2
+    eta = jnp.stack([c * xi0, c * xi1, c * xi2])
+    if beta != 0.0:
+        eta = eta + beta * tau_hat
+    return _set_dc(eta, jnp.asarray(E, eta.dtype))
+
+
+def gamma_collocated_hyper(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.0):
+    """Nonsymmetrized (finite-strain) collocated Gamma on 9-component fields
+    (GammaOperatorFourierCollocatedHyper, fibergen.cpp:19619-19745):
+        (Gamma tau)_ij = xi_j t_i / (2 mu0 |xi|^2)
+                         - lam0/(2 mu0 (lam0+2mu0)) xi_i xi_j s / |xi|^4
+    with t_i = tau_il xi_l (tau full, not symmetrized).
+    """
+    rdtype = jnp.real(tau_hat).dtype
+    xi0, xi1, xi2 = _xi_bcast(grid, rdtype)
+    k2 = xi0 * xi0 + xi1 * xi1 + xi2 * xi2
+    k2 = k2.at[0, 0, 0].set(1.0)
+
+    c1 = (alpha / (2.0 * mu_0)) / k2
+    # robust for lambda_0 -> 0 or inf (fibergen.cpp:19627)
+    c2f = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+
+    # rows of tau: (xx, xy, xz), (yx, yy, yz), (zx, zy, zz)
+    t0 = tau_hat[0] * xi0 + tau_hat[5] * xi1 + tau_hat[4] * xi2
+    t1 = tau_hat[8] * xi0 + tau_hat[1] * xi1 + tau_hat[3] * xi2
+    t2 = tau_hat[7] * xi0 + tau_hat[6] * xi1 + tau_hat[2] * xi2
+    s = xi0 * t0 + xi1 * t1 + xi2 * t2
+    b = (c2f / (k2 * k2)) * s
+
+    eta = jnp.stack([
+        c1 * xi0 * t0 + b * xi0 * xi0,   # xx
+        c1 * xi1 * t1 + b * xi1 * xi1,   # yy
+        c1 * xi2 * t2 + b * xi2 * xi2,   # zz
+        c1 * xi2 * t1 + b * xi1 * xi2,   # yz
+        c1 * xi2 * t0 + b * xi0 * xi2,   # xz
+        c1 * xi1 * t0 + b * xi0 * xi1,   # xy
+        c1 * xi1 * t2 + b * xi2 * xi1,   # zy
+        c1 * xi0 * t2 + b * xi2 * xi0,   # zx
+        c1 * xi0 * t1 + b * xi1 * xi0,   # yx
+    ])
+    if beta != 0.0:
+        eta = eta + beta * tau_hat
+    return _set_dc(eta, jnp.asarray(E, eta.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Staggered-grid G0 operators (modified wavenumbers)
+# ---------------------------------------------------------------------------
+
+def _staggered_k(grid: Grid, rdtype):
+    """Modified wavenumbers k+ = sin(xi) e^{+i xi} / h and |k|^2
+    (fibergen.cpp:19838-19877).  Returns (kp0, kp1, kp2, norm_kp2)."""
+    sx, sy, sz = grid.xi_staggered()
+    h0, h1, h2 = grid.staggered_h()
+    xi0 = jnp.asarray(sx, rdtype)
+    xi1 = jnp.asarray(sy, rdtype)
+    xi2 = jnp.asarray(sz, rdtype)
+    s0, s1, s2 = jnp.sin(xi0) / h0, jnp.sin(xi1) / h1, jnp.sin(xi2) / h2
+    kp0 = s0 * jnp.exp(1j * xi0.astype(jnp.result_type(rdtype, jnp.complex64)))
+    kp1 = s1 * jnp.exp(1j * xi1.astype(kp0.dtype))
+    kp2 = s2 * jnp.exp(1j * xi2.astype(kp0.dtype))
+    norm2 = s0 * s0 + s1 * s1 + s2 * s2
+    return kp0, kp1, kp2, norm2
+
+
+def g0_staggered(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
+    """eta_hat = alpha * G0_hat(tau_hat) on 3-component (force) hat fields
+    (G0OperatorFourierStaggered + General, fibergen.cpp:19749-19927):
+
+        eta = c1 tau + c2 (tau . k+) k-        with k- = -conj(k+)
+        c1  = -alpha/(mu0 |k|^2)
+        c2  = -alpha (lam0+mu0) / (mu0 (lam0+2mu0) |k|^4)
+    """
+    c10 = -alpha / mu_0
+    c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+    return _g0_staggered_general(grid, tau_hat, c10, c20)
+
+
+def g0_staggered_hyper(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
+    """Staggered G0 for the full-gradient scheme (fibergen.cpp:19768-19774)."""
+    c10 = -alpha / (2.0 * mu_0)
+    c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    return _g0_staggered_general(grid, tau_hat, c10, c20)
+
+
+def _g0_staggered_general(grid: Grid, tau_hat, c10, c20):
+    rdtype = jnp.real(tau_hat).dtype
+    kp0, kp1, kp2, n2 = _staggered_k(grid, rdtype)
+    n2 = n2.at[0, 0, 0].set(1.0)
+
+    c1 = c10 / n2
+    c2 = c20 / (n2 * n2)
+
+    fkp = tau_hat[0] * kp0 + tau_hat[1] * kp1 + tau_hat[2] * kp2
+    c2_fkp = c2 * fkp
+    # k- = (-Re(k+), Im(k+)) = -conj(k+)
+    eta = jnp.stack([
+        c1 * tau_hat[0] - c2_fkp * jnp.conj(kp0),
+        c1 * tau_hat[1] - c2_fkp * jnp.conj(kp1),
+        c1 * tau_hat[2] - c2_fkp * jnp.conj(kp2),
+    ])
+    return _set_dc(eta, jnp.zeros((), eta.dtype))
+
+
+def g0_staggered_heat(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
+    """Scalar staggered G0 (G0OperatorFourierStaggeredGeneralHeat,
+    fibergen.cpp:19778-19830): eta = -alpha/(2 mu0 |k|^2) * tau."""
+    rdtype = jnp.real(tau_hat).dtype
+    _, _, _, n2 = _staggered_k(grid, rdtype)
+    n2 = n2.at[0, 0, 0].set(1.0)
+    c10 = -alpha / (2.0 * mu_0)
+    eta = (c10 / n2) * tau_hat[0]
+    return _set_dc(eta[None], jnp.zeros((), eta.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Willot rotated scheme
+# ---------------------------------------------------------------------------
+
+def gamma_willot(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.0):
+    """Willot's rotated discrete Green operator on symmetric (6 comp) fields
+    (GammaOperatorFourierWillotR, fibergen.cpp:19083-19299).
+
+    The discrete wavevector is
+        kvec_a = i/4 * tan(q_a/2) * prod_b(1 + e^{i q_b}) / w_a,
+        q_a = 2 pi f_a / n_a,  w_a = d_a / n_a
+    normalized to r = kvec/|kvec|.  gamma is evaluated in a lambda_0-scaled
+    form valid for finite lambda_0 (incl. 0); pass ``lambda_0=None`` for the
+    lambda_0 -> infinity limit used by the viscosity Delta scheme.
+    """
+    rdtype = jnp.real(tau_hat).dtype
+    cdtype = tau_hat.dtype
+    fx, fy, fz = grid.freq_index
+    q0 = jnp.asarray(fx * (2.0 * np.pi / grid.nx), rdtype)
+    q1 = jnp.asarray(fy * (2.0 * np.pi / grid.ny), rdtype)
+    q2 = jnp.asarray(fz * (2.0 * np.pi / grid.nz), rdtype)
+    w = (grid.dx / grid.nx, grid.dy / grid.ny, grid.dz / grid.nz)
+
+    e0 = 1.0 + jnp.exp(1j * q0.astype(cdtype))
+    e1 = 1.0 + jnp.exp(1j * q1.astype(cdtype))
+    e2 = 1.0 + jnp.exp(1j * q2.astype(cdtype))
+    e012 = e0 * e1 * e2
+
+    kv = [
+        (1j * 0.25 / w[0]) * jnp.tan(0.5 * q0) * e012,
+        (1j * 0.25 / w[1]) * jnp.tan(0.5 * q1) * e012,
+        (1j * 0.25 / w[2]) * jnp.tan(0.5 * q2) * e012,
+    ]
+    tiny = np.finfo(np.dtype(rdtype)).tiny
+    mag = jnp.sqrt(sum(jnp.abs(k) ** 2 for k in kv)) + tiny
+    r = [k / mag for k in kv]
+    rc = [jnp.conj(x) for x in r]
+    r2 = jnp.abs(r[0] * r[0] + r[1] * r[1] + r[2] * r[2]) ** 2
+
+    # lambda_0-scaled coefficients (fibergen.cpp:19242-19250); the
+    # lambda_0 -> inf limit gives (1, 1, 0, 2, 1) (fibergen.cpp:19231-19240).
+    if lambda_0 is None or np.isinf(lambda_0):
+        a1, a2, a3, b1, b2 = 1.0, 1.0, 0.0, 2.0, 1.0
+    else:
+        a1 = lambda_0 + 2.0 * mu_0
+        a2 = lambda_0
+        a3 = -mu_0
+        b1 = 2.0 * (lambda_0 + mu_0)
+        b2 = lambda_0
+    den = mu_0 * (b1 - b2 * r2)
+
+    vi = [0, 1, 2, 1, 0, 0]
+    vj = [0, 1, 2, 2, 2, 1]
+
+    def im(a, b):
+        return (a * jnp.conj(b)).imag
+
+    def s_term(i, j, k):
+        # s_{jk} with row indices (i, j) (fibergen.cpp:19181-19214)
+        if k == j:
+            v = im(r[i], r[k])
+            return 4.0 * v * v
+        return -4.0 * im(r[k], r[j]) * im(r[k], r[i])
+
+    def gamma_entry(iv, jv):
+        i, j = vi[iv], vj[iv]
+        k, l = vi[jv], vj[jv]
+        d = lambda a, b: 1.0 if a == b else 0.0
+        A = 0.25 * (
+            r[i] * rc[l] * d(j, k) + r[j] * rc[l] * d(i, k)
+            + r[i] * rc[k] * d(j, l) + r[j] * rc[k] * d(i, l)
+        )
+        B = 0.25 * (
+            r[i] * rc[l] * s_term(i, j, k) + r[j] * rc[l] * s_term(j, i, k)
+            + r[i] * rc[k] * s_term(i, j, l) + r[j] * rc[k] * s_term(j, i, l)
+        ) - (r[i] * rc[j]).real * (r[k] * rc[l]).real
+        C = r[i] * r[j] * rc[k] * rc[l]
+        return (a1 * A + a2 * B + a3 * C) / den
+
+    # cache the upper triangle; lower triangle entries are conjugates
+    cache = {}
+
+    def g(iv, jv):
+        if iv <= jv:
+            key = (iv, jv)
+            if key not in cache:
+                cache[key] = gamma_entry(iv, jv)
+            return cache[key]
+        key = (jv, iv)
+        if key not in cache:
+            cache[key] = gamma_entry(jv, iv)
+        return jnp.conj(cache[key])
+
+    outs = []
+    for iv in range(6):
+        acc = 0.0
+        for jv in range(6):
+            wgt = 2.0 if jv >= 3 else 1.0
+            acc = acc + wgt * g(iv, jv) * tau_hat[jv]
+        outs.append(alpha * acc + (beta * tau_hat[iv] if beta != 0.0 else 0.0))
+    eta = jnp.stack(outs)
+    return _set_dc(eta, jnp.asarray(E, eta.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary Fourier operators for the hyperelastic Newton-Krylov path
+# ---------------------------------------------------------------------------
+
+def grad_hyper(grid: Grid, q_hat):
+    """W_hat = GRAD_hat q_hat (GradOperatorFourierHyper, fibergen.cpp:22069)."""
+    rdtype = jnp.real(q_hat).dtype
+    xi0, xi1, xi2 = _xi_bcast(grid, rdtype)
+    two_pi = 2.0 * np.pi
+    xi0, xi1, xi2 = two_pi * xi0, two_pi * xi1, two_pi * xi2
+    i = 1j
+    q0, q1, q2 = q_hat[0], q_hat[1], q_hat[2]
+    return jnp.stack([
+        i * xi0 * q0, i * xi1 * q1, i * xi2 * q2,
+        i * xi2 * q1, i * xi2 * q0, i * xi1 * q0,
+        i * xi1 * q2, i * xi0 * q2, i * xi0 * q1,
+    ])
+
+
+def g0_div_hyper(grid: Grid, mu_0, lambda_0, tau_hat, alpha=1.0):
+    """eta_hat = alpha * G0_hat Div_hat tau_hat on 9-component fields
+    (G0DivOperatorFourierHyper, fibergen.cpp:20155-20218)."""
+    rdtype = jnp.real(tau_hat).dtype
+    xi0, xi1, xi2 = _xi_bcast(grid, rdtype)
+    two_pi = 2.0 * np.pi
+    xi0, xi1, xi2 = two_pi * xi0, two_pi * xi1, two_pi * xi2
+    k2 = xi0 * xi0 + xi1 * xi1 + xi2 * xi2
+    k2 = k2.at[0, 0, 0].set(1.0)
+
+    c10 = -alpha / (2.0 * mu_0)
+    c20 = float(alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    c1 = c10 / k2
+    c2 = c20 / (k2 * k2)
+
+    i = 1j
+    f1 = i * (xi0 * tau_hat[0] + xi1 * tau_hat[5] + xi2 * tau_hat[4])
+    f2 = i * (xi0 * tau_hat[8] + xi1 * tau_hat[1] + xi2 * tau_hat[3])
+    f3 = i * (xi0 * tau_hat[7] + xi1 * tau_hat[6] + xi2 * tau_hat[2])
+    s = xi0 * f1 + xi1 * f2 + xi2 * f3
+
+    eta = jnp.stack([
+        c1 * f1 + c2 * xi0 * s,
+        c1 * f2 + c2 * xi1 * s,
+        c1 * f3 + c2 * xi2 * s,
+    ])
+    return _set_dc(eta, jnp.zeros((), eta.dtype))

@@ -1,0 +1,180 @@
+"""Operator-identity tests for the Green operators, mirroring the reference's
+embedded self-suite (run_tests_elasticity/heat, fibergen.cpp:23870-24181):
+for every discretization, applying eps o G0 o div o C0 to a Gamma-produced
+field must reproduce it (Gamma C0 Gamma = Gamma), and Gamma of a constant
+field must be the prescribed mean.
+
+Grid shapes include odd and anisotropic cases like the reference harness
+(fibergen.cpp:27252-27293).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fibergen_tpu.core.grid import Grid
+from fibergen_tpu.ops import fft, gamma as gammamod, green, staggered
+
+# Exact spectral identities hold bin-wise except on Nyquist planes of even
+# axes (where r2c folding makes cross-terms of Gamma ill-defined; the
+# reference's own self-tests run odd sizes 41x33x11, fibergen.cpp:27252-27293,
+# and its freq_hack for this is disabled by default).  We use odd grids for
+# the exact identities and Nyquist-filtered inputs for even grids.
+GRIDS = [
+    Grid(8, 8, 8),
+    Grid(9, 7, 5),
+    Grid(9, 7, 5, 1.0, 0.7, 1.3),
+]
+
+MU0, LAM0 = 1.3, 0.7
+
+
+def filter_nyquist(grid, x):
+    """Zero the Nyquist planes of even axes (makes Gamma exactly spectral)."""
+    from fibergen_tpu.ops import fft as fftmod
+    y = fftmod.fftn(x)
+    if grid.nx % 2 == 0:
+        y = y.at[:, grid.nx // 2, :, :].set(0)
+    if grid.ny % 2 == 0:
+        y = y.at[:, :, grid.ny // 2, :].set(0)
+    if grid.nz % 2 == 0:
+        y = y.at[:, :, :, grid.nz // 2].set(0)
+    return fftmod.ifftn(y, grid.shape)
+
+
+def rand_field(grid, dim, seed=0, nyquist_free=True):
+    rng = np.random.default_rng(seed)
+    f = jnp.asarray(rng.standard_normal((dim,) + grid.shape))
+    return filter_nyquist(grid, f) if nyquist_free else f
+
+
+def c0_apply(tau, mu0, lam0):
+    """sigma = 2*mu0*eps + lam0*tr(eps)*I (calcStressConst, fibergen.cpp:17973)."""
+    dim = tau.shape[0]
+    out = 2.0 * mu0 * tau
+    if dim >= 6:
+        tr = lam0 * (tau[0] + tau[1] + tau[2])
+        out = out.at[0:3].add(tr)
+    return out
+
+
+def gamma_apply(grid, mode, scheme, E, tau, mu0=MU0, lam0=LAM0, alpha=1.0):
+    """eta = alpha * Gamma tau (alpha=+1 so Gamma C0 Gamma = Gamma reads directly)."""
+    return gammamod.gamma_operator(grid, mode, scheme, None, E, mu0, lam0, tau, alpha=alpha)
+
+
+@pytest.mark.parametrize("grid", GRIDS)
+@pytest.mark.parametrize("scheme", ["collocated", "staggered", "willot"])
+def test_elasticity_projection_identity(grid, scheme):
+    """Gamma C0 Gamma tau == Gamma tau (fibergen.cpp:24093-24181)."""
+    tau = rand_field(grid, 6, seed=1)
+    E = np.zeros(6)
+    eta = gamma_apply(grid, "elasticity", scheme, E, tau)
+    eta2 = gamma_apply(grid, "elasticity", scheme, E, c0_apply(eta, MU0, LAM0))
+    err = float(jnp.abs(eta2 - eta).max()) / float(jnp.abs(eta).max())
+    assert err < 1e-10, f"{scheme} projection identity failed: {err}"
+
+
+@pytest.mark.parametrize("grid", GRIDS)
+@pytest.mark.parametrize("scheme", ["collocated", "staggered"])
+def test_heat_projection_identity(grid, scheme):
+    tau = rand_field(grid, 3, seed=2)
+    E = np.zeros(3)
+    eta = gamma_apply(grid, "heat", scheme, E, tau)
+    eta2 = gamma_apply(grid, "heat", scheme, E, c0_apply(eta, MU0, LAM0))
+    err = float(jnp.abs(eta2 - eta).max()) / float(jnp.abs(eta).max())
+    assert err < 1e-10
+
+
+@pytest.mark.parametrize("grid", GRIDS)
+@pytest.mark.parametrize("scheme", ["collocated", "staggered"])
+def test_hyper_projection_identity(grid, scheme):
+    tau = rand_field(grid, 9, seed=3)
+    E = np.zeros(9)
+    # lam0=0 would make the full-gradient G0 singular in the c2 term; use a
+    # nonzero reference lambda like the reference hyper tests.
+    eta = gamma_apply(grid, "hyperelasticity", scheme, E, tau)
+    eta2 = gamma_apply(grid, "hyperelasticity", scheme, E, c0_apply(eta, MU0, LAM0))
+    err = float(jnp.abs(eta2 - eta).max()) / float(jnp.abs(eta).max())
+    assert err < 1e-10
+
+
+@pytest.mark.parametrize("grid", GRIDS[:2])
+@pytest.mark.parametrize("mode,scheme,dim", [
+    ("elasticity", "collocated", 6),
+    ("elasticity", "staggered", 6),
+    ("elasticity", "willot", 6),
+    ("heat", "collocated", 3),
+    ("heat", "staggered", 3),
+    ("hyperelasticity", "collocated", 9),
+    ("hyperelasticity", "staggered", 9),
+])
+def test_mean_is_prescribed(grid, mode, scheme, dim):
+    """mean(Gamma-result) equals the prescribed E, and Gamma of a constant
+    field equals E exactly (zero-frequency handling)."""
+    rng = np.random.default_rng(4)
+    E = rng.standard_normal(dim)
+    tau = rand_field(grid, dim, seed=5)
+    eta = gamma_apply(grid, mode, scheme, E, tau)
+    m = np.asarray(eta.mean(axis=(1, 2, 3)))
+    np.testing.assert_allclose(m, E, atol=1e-12)
+
+    tau_const = jnp.broadcast_to(
+        jnp.asarray(rng.standard_normal(dim)).reshape(dim, 1, 1, 1), (dim,) + grid.shape)
+    eta_const = gamma_apply(grid, mode, scheme, E, tau_const)
+    np.testing.assert_allclose(
+        np.asarray(eta_const), np.broadcast_to(E.reshape(-1, 1, 1, 1), eta_const.shape),
+        atol=1e-12)
+
+
+@pytest.mark.parametrize("grid", GRIDS)
+def test_staggered_div_eps_adjoint(grid):
+    """Discrete integration by parts: <eps(u), tau>_w = -<u, div tau>
+    (the staggered D+/D- pairing, fibergen.cpp:18614-18908)."""
+    u = rand_field(grid, 3, seed=6)
+    tau = rand_field(grid, 6, seed=7)
+    eps_u = staggered.eps_staggered(grid, jnp.zeros(6), u)
+    div_t = staggered.div_staggered(grid, tau)
+    w = jnp.array([1, 1, 1, 2, 2, 2.0]).reshape(6, 1, 1, 1)
+    lhs = float((eps_u * w * tau).sum())
+    rhs = float(-(u * div_t).sum())
+    assert abs(lhs - rhs) < 1e-8 * max(abs(lhs), 1.0)
+
+
+@pytest.mark.parametrize("grid", GRIDS)
+def test_staggered_heat_div_eps_adjoint(grid):
+    u = rand_field(grid, 1, seed=8)
+    tau = rand_field(grid, 3, seed=9)
+    eps_u = staggered.eps_staggered_heat(grid, jnp.zeros(3), u)
+    div_t = staggered.div_staggered_heat(grid, tau)
+    lhs = float((eps_u * tau).sum())
+    rhs = float(-(u * div_t).sum())
+    assert abs(lhs - rhs) < 1e-8 * max(abs(lhs), 1.0)
+
+
+def test_collocated_reproduces_compatible_field():
+    """For a compatible strain field (symmetric gradient of a periodic u),
+    Gamma(C0 eps) recovers the zero-mean strain exactly."""
+    grid = Grid(9, 7, 5)
+    rng = np.random.default_rng(10)
+    u_hat = jnp.asarray(
+        rng.standard_normal((3,) + grid.rshape) + 1j * rng.standard_normal((3,) + grid.rshape))
+    u = fft.ifftn(u_hat, grid.shape).real
+    u = u - u.mean(axis=(1, 2, 3), keepdims=True)
+
+    # continuous (spectral) symmetric gradient
+    fx, fy, fz = grid.xi(two_pi=True)
+    xi = [jnp.asarray(fx), jnp.asarray(fy), jnp.asarray(fz)]
+    uh = fft.fftn(u)
+    g = [[1j * xi[b] * uh[a] for b in range(3)] for a in range(3)]
+    eps_hat = jnp.stack([
+        g[0][0], g[1][1], g[2][2],
+        0.5 * (g[1][2] + g[2][1]),
+        0.5 * (g[0][2] + g[2][0]),
+        0.5 * (g[0][1] + g[1][0]),
+    ])
+    eps = fft.ifftn(eps_hat, grid.shape)
+
+    eta = gamma_apply(grid, "elasticity", "collocated", np.zeros(6), c0_apply(eps, MU0, LAM0))
+    err = float(jnp.abs(eta - eps).max()) / float(jnp.abs(eps).max())
+    assert err < 1e-10
