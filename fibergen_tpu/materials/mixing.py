@@ -1,0 +1,298 @@
+"""Phase containers and composite-voxel mixing rules.
+
+Equivalent of PhaseBase + MixedMaterialLaw* (fibergen.cpp:12004-14342).
+Phases hold per-voxel volume-fraction fields phi (nx, ny, nz); the mixing
+rule defines the effective per-voxel constitutive response where
+0 < phi < 1.  All rules are expressed as fused field operations (no
+per-voxel dispatch): the Voigt rule is a phi-weighted sum of phase stresses;
+for all-isotropic phase sets the effective per-voxel moduli are formed once
+and a single isotropic kernel is applied (cheaper on TPU: 2 reads/1 write).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import fields, voigt
+from . import laws as lawsmod
+
+
+@dataclasses.dataclass
+class Phase:
+    """Per-phase state: name, law, volume-fraction field
+    (PhaseBase, fibergen.cpp:12004-12062)."""
+
+    name: str
+    law: lawsmod.MaterialLaw
+    phi: Optional[jnp.ndarray] = None  # (nx, ny, nz)
+    index: int = 0
+
+    @property
+    def vol(self):
+        return float(self.phi.mean()) if self.phi is not None else 0.0
+
+
+class MixedMaterial:
+    """Base mixed material over phases (MixedMaterialLawBase,
+    fibergen.cpp:12067-12143)."""
+
+    rule = "voigt"
+
+    def __init__(self, phases: List[Phase], dim: int = 6):
+        self._dim = dim
+        self.phases = []
+        for p in phases:
+            self.add_phase(p)
+
+    def add_phase(self, phase: Phase):
+        phase.index = len(self.phases)
+        self.phases.append(phase)
+
+    @property
+    def dim(self):
+        return self._dim
+
+    # -- per-field constitutive API ---------------------------------------
+    def pk1(self, F):
+        raise NotImplementedError
+
+    def w(self, F):
+        raise NotImplementedError
+
+    def dpk1(self, F, W):
+        raise NotImplementedError
+
+    def mean_pk1(self, F):
+        """<P(F)> over voxels (meanPK1, fibergen.cpp:12312)."""
+        return fields.mean(self.pk1(F))
+
+    def mean_w(self, F):
+        """<W(F)> over voxels (meanW, fibergen.cpp:12239)."""
+        return self.w(F).mean()
+
+    def mean_cauchy(self, F):
+        if self._dim != 9:
+            return self.mean_pk1(F)
+        # push forward per voxel then average
+        P = lawsmod.mat_from_voigt9(self.pk1(F))
+        Fm = lawsmod.mat_from_voigt9(jnp.asarray(F))
+        J = lawsmod.det3(Fm)
+        sig = jnp.einsum("...ij,...kj->...ik", P, Fm) / J[..., None, None]
+        return fields.mean(lawsmod.voigt9_from_mat(sig))
+
+    def polarization(self, mu_0, F, inv=False):
+        """Eyre-Milton transform; pure voxels use the phase law
+        (fibergen.cpp:12087-12099).  Only valid for sharp (0/1) phase fields
+        of isotropic laws: applies each phase transform phi-weighted."""
+        out = jnp.zeros_like(F)
+        for p in self.phases:
+            out = out + p.phi[None] * p.law.polarization(mu_0, F, inv)
+        return out
+
+    # -- reference material -------------------------------------------------
+    def eig_range(self, F, zero_trace=False):
+        """Per-voxel eigenvalue bounds of dPK1, reduced over the grid
+        (getRefMaterial, fibergen.cpp:12153-12236).  Returns (lmin, lmax)
+        as jnp scalars."""
+        iso = self._all_iso()
+        if iso is not None:
+            mu_x, lam_x = iso
+            if self._dim == 3:
+                # scalar laws: dPK1 = mu(x) * I3
+                m = 2.0 * mu_x
+                return m.min(), m.max()
+            e1 = 2.0 * mu_x
+            # dropping row/col 0 (zero_trace, viscosity) leaves eigenvalues
+            # {2mu, 2mu + 2lam} of the reduced 5x5 block; the full matrix has
+            # {2mu, 2mu + 3lam}
+            e2 = 2.0 * mu_x + (2.0 if zero_trace else 3.0) * lam_x
+            lo = jnp.minimum(e1, e2)
+            hi = jnp.maximum(e1, e2)
+            return lo.min(), hi.max()
+
+        # generic linear laws: conservative bounds from the phase constants
+        los, his = [], []
+        for p in self.phases:
+            r = p.law.eig_range_const()
+            if r is None:
+                return self._eig_range_nonlinear(F, zero_trace)
+            los.append(r[0]); his.append(r[1])
+        return jnp.asarray(min(los)), jnp.asarray(max(his))
+
+    def _eig_range_nonlinear(self, F, zero_trace):
+        """Exact per-voxel eigenvalue bounds of the 9x9 tangent for
+        hyperelastic laws, via batched eigvalsh (replaces the reference's
+        per-voxel LAPACK syev loop, fibergen.cpp:12472-12530)."""
+        dim = self._dim
+        eye = jnp.eye(dim, dtype=F.dtype)
+        # build tangent columns by jvp in unit directions
+        cols = []
+        for j in range(dim):
+            W = jnp.broadcast_to(eye[j].reshape(dim, 1, 1, 1), F.shape)
+            cols.append(self.dpk1(F, W))
+        Cmat = jnp.stack(cols, axis=1)            # (dim, dim, nx, ny, nz)
+        Cmat = jnp.moveaxis(Cmat, (0, 1), (-2, -1))
+        Cmat = 0.5 * (Cmat + jnp.swapaxes(Cmat, -1, -2))
+        if zero_trace:
+            Cmat = Cmat[..., 1:, 1:]
+        e = jnp.linalg.eigvalsh(Cmat)
+        return e.min(), e.max()
+
+    def _all_iso(self):
+        """If every phase law exposes iso_moduli, return per-voxel
+        (mu(x), lam(x)) fields, else None."""
+        mus, lams = [], []
+        for p in self.phases:
+            f = getattr(p.law, "iso_moduli", None)
+            if f is None:
+                return None
+            mu, lam = f()
+            mus.append(mu); lams.append(lam)
+        mu_x = sum(p.phi * m for p, m in zip(self.phases, mus))
+        lam_x = sum(p.phi * l for p, l in zip(self.phases, lams))
+        return mu_x, lam_x
+
+    def __str__(self):
+        return f"{self.rule} mixed ({len(self.phases)} phases)"
+
+
+class VoigtMixed(MixedMaterial):
+    """Arithmetic (Voigt) stress averaging: P = sum_p phi_p P_p(F)
+    (VoigtMixedMaterialLaw, fibergen.cpp:12729-12777).
+
+    For all-isotropic phase sets this collapses to a single isotropic kernel
+    with effective per-voxel moduli."""
+
+    rule = "voigt"
+
+    def pk1(self, F):
+        iso = self._all_iso()
+        if iso is not None and self._dim != 9:
+            mu_x, lam_x = iso
+            out = 2.0 * mu_x[None] * F
+            if self._dim >= 6:
+                tr = lam_x * (F[0] + F[1] + F[2])
+                out = out.at[0:3].add(tr[None])
+            return out
+        out = None
+        for p in self.phases:
+            t = p.phi[None] * p.law.pk1(F)
+            out = t if out is None else out + t
+        return out
+
+    def w(self, F):
+        out = None
+        for p in self.phases:
+            t = p.phi * p.law.w(F)
+            out = t if out is None else out + t
+        return out
+
+    def dpk1(self, F, W):
+        iso = self._all_iso()
+        if iso is not None and self._dim != 9:
+            return self.pk1(W)
+        out = None
+        for p in self.phases:
+            t = p.phi[None] * p.law.dpk1(F, W)
+            out = t if out is None else out + t
+        return out
+
+
+class ReussMixed(MixedMaterial):
+    """Harmonic (Reuss) compliance averaging (ReussMixedMaterialLaw,
+    fibergen.cpp:12653-12726).  For all-isotropic phases the effective
+    per-voxel moduli are the harmonic means; general laws are not yet
+    supported."""
+
+    rule = "reuss"
+
+    def _iso_harmonic(self):
+        mus, lams = [], []
+        for p in self.phases:
+            f = getattr(p.law, "iso_moduli", None)
+            if f is None:
+                raise NotImplementedError("reuss mixing needs isotropic laws")
+            mu, lam = f()
+            mus.append(mu); lams.append(lam)
+        eps = np.finfo(np.float64).tiny
+        # harmonic average of (2mu) and (3lam+2mu) -> recover (mu, lam)
+        inv_m = sum(p.phi / (2.0 * m + eps) for p, m in zip(self.phases, mus))
+        inv_k = sum(p.phi / (3.0 * l + 2.0 * m + eps)
+                    for p, m, l in zip(self.phases, mus, lams))
+        two_mu = 1.0 / inv_m
+        three_lam_two_mu = 1.0 / inv_k
+        mu_x = 0.5 * two_mu
+        lam_x = (three_lam_two_mu - two_mu) / 3.0
+        return mu_x, lam_x
+
+    def _all_iso(self):
+        return self._iso_harmonic()
+
+    def pk1(self, F):
+        mu_x, lam_x = self._iso_harmonic()
+        out = 2.0 * mu_x[None] * F
+        if self._dim >= 6:
+            tr = lam_x * (F[0] + F[1] + F[2])
+            out = out.at[0:3].add(tr[None])
+        return out
+
+    def dpk1(self, F, W):
+        return self.pk1(W)
+
+    def w(self, F):
+        s = self.pk1(F)
+        w = voigt.weights(self._dim)
+        return 0.5 * sum(w[i] * s[i] * F[i] for i in range(self._dim))
+
+
+class MaximumMixed(MixedMaterial):
+    """Dominant-phase selection: the voxel uses the law of the phase with the
+    largest phi (MaximumMixedMaterialLaw, fibergen.cpp:12568-12605)."""
+
+    rule = "maximum"
+
+    def _masks(self):
+        phis = jnp.stack([p.phi for p in self.phases])
+        arg = jnp.argmax(phis, axis=0)
+        return [(arg == i).astype(phis.dtype) for i in range(len(self.phases))]
+
+    def pk1(self, F):
+        out = None
+        for m, p in zip(self._masks(), self.phases):
+            t = m[None] * p.law.pk1(F)
+            out = t if out is None else out + t
+        return out
+
+    def dpk1(self, F, W):
+        out = None
+        for m, p in zip(self._masks(), self.phases):
+            t = m[None] * p.law.dpk1(F, W)
+            out = t if out is None else out + t
+        return out
+
+    def w(self, F):
+        out = None
+        for m, p in zip(self._masks(), self.phases):
+            t = m * p.law.w(F)
+            out = t if out is None else out + t
+        return out
+
+
+MIXING_RULES = {
+    "voigt": VoigtMixed,
+    "reuss": ReussMixed,
+    "maximum": MaximumMixed,
+}
+
+
+def make_mixed(rule: str, phases: List[Phase], dim: int = 6) -> MixedMaterial:
+    """Mixing-rule factory (create_mixed_material_law equivalent,
+    fibergen.cpp:15120-15180)."""
+    try:
+        cls = MIXING_RULES[rule]
+    except KeyError:
+        raise ValueError(f"Unknown mixing rule '{rule}'") from None
+    return cls(phases, dim=dim)

@@ -38,7 +38,7 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
     if mode == "viscosity":
         return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha, F00)
 
-    bc_active = bc is not None and not bc.is_trivial
+    bc_active = bc is not None
 
     if mode == "elasticity":
         if scheme == "collocated" or scheme == "willot":
@@ -123,7 +123,7 @@ def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau, alpha=-1
     if scheme == "collocated":
         # applyDeltaFourier path (fibergen.cpp:19075-19080, 20464-20471)
         tau_hat = fft.fftn_zero_trace(tau)
-        bc_active = bc is not None and not bc.is_trivial
+        bc_active = bc is not None
         F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
         eta_hat = green.gamma_collocated(
             grid, E, -1.0 / (4.0 * mu0v), float("inf"), tau_hat, alpha, 2.0 * alpha * mu0v)

@@ -104,7 +104,8 @@ def gamma_collocated_hyper(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, b
 
     c1 = (alpha / (2.0 * mu_0)) / k2
     # robust for lambda_0 -> 0 or inf (fibergen.cpp:19627)
-    c2f = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    with np.errstate(divide="ignore"):
+        c2f = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
 
     # rows of tau: (xx, xy, xz), (yx, yy, yz), (zx, zy, zz)
     t0 = tau_hat[0] * xi0 + tau_hat[5] * xi1 + tau_hat[4] * xi2
@@ -165,7 +166,8 @@ def g0_staggered(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
 def g0_staggered_hyper(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
     """Staggered G0 for the full-gradient scheme (fibergen.cpp:19768-19774)."""
     c10 = -alpha / (2.0 * mu_0)
-    c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    with np.errstate(divide="ignore"):  # lambda_0 = 0 -> c20 = 0 (IEEE inf)
+        c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
     return _g0_staggered_general(grid, tau_hat, c10, c20)
 
 
@@ -333,7 +335,8 @@ def g0_div_hyper(grid: Grid, mu_0, lambda_0, tau_hat, alpha=1.0):
     k2 = k2.at[0, 0, 0].set(1.0)
 
     c10 = -alpha / (2.0 * mu_0)
-    c20 = float(alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    with np.errstate(divide="ignore"):
+        c20 = float(alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
     c1 = c10 / k2
     c2 = c20 / (k2 * k2)
 

@@ -72,6 +72,45 @@ def make_bc_projector(P: np.ndarray, mu_0: float, lambda_0: float,
     return BCProjector(P=P, Q=Q, QC0=QC0, M=M, MQ=MQ, bc_relax=bc_relax)
 
 
+@dataclasses.dataclass
+class BCArrays:
+    """Traced (jnp) view of the projector matrices for use inside jitted
+    solver steps; registered as a pytree with bc_relax static."""
+
+    MQ: object
+    M: object
+    QC0: object
+    bc_relax: float = 1.0
+
+
+def _bc_arrays_flatten(b):
+    return (b.MQ, b.M, b.QC0), b.bc_relax
+
+
+def _bc_arrays_unflatten(aux, children):
+    return BCArrays(MQ=children[0], M=children[1], QC0=children[2], bc_relax=aux)
+
+
+import jax  # noqa: E402
+
+jax.tree_util.register_pytree_node(BCArrays, _bc_arrays_flatten, _bc_arrays_unflatten)
+
+
+def to_arrays(bc: BCProjector, dtype) -> "BCArrays | None":
+    """Return a traced-arg view, or None when the projector is trivial
+    (pure strain control: no per-iteration mean correction needed)."""
+    import jax.numpy as jnp
+
+    if bc is None or bc.is_trivial:
+        return None
+    return BCArrays(
+        MQ=jnp.asarray(bc.MQ, dtype),
+        M=jnp.asarray(bc.M, dtype),
+        QC0=jnp.asarray(bc.QC0, dtype),
+        bc_relax=bc.bc_relax,
+    )
+
+
 def calc_bc_mean(bc: BCProjector, E, S):
     """E + bc_relax * M : (S - Q:C0 : E) (calcBCMean, fibergen.cpp:20242-20245).
 

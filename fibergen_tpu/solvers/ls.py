@@ -1,0 +1,668 @@
+"""Lippmann-Schwinger solver.
+
+TPU-native equivalent of the reference's LSSolver (fibergen.cpp:14643-24741):
+iteration schemes operate on whole (dim, nx, ny, nz) jax fields with each
+iteration compiled to a single fused XLA program (stress kernel + staggered
+FD ops + batched FFTs + Green kernel + reductions).  The host loop only
+consumes per-iteration scalars (error-estimator metrics), mirroring the
+reference's converged() logic (fibergen.cpp:21164-21244).
+
+Reference material (mu_0, lambda_0) is static per loadstep, so it is passed
+as a hashable jit-static argument: XLA constant-folds the Green-operator
+coefficients, and re-running with the same material hits the jit cache.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import fields, voigt
+from ..core.grid import Grid
+from ..materials.mixing import MixedMaterial
+from ..ops import gamma as gammamod
+from ..utils.logging import LOG, timer
+from . import bc as bcmod
+from .estimators import make_estimator
+
+MODE_DIM = {
+    "elasticity": 6,
+    "hyperelasticity": 9,
+    "viscosity": 6,
+    "heat": 3,
+    "porous": 3,
+}
+
+
+class SolverError(RuntimeError):
+    pass
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    """Solver configuration (defaults per LSSolver ctor,
+    fibergen.cpp:14780-14892)."""
+
+    mode: str = "elasticity"
+    method: str = "cg"
+    gamma_scheme: str = "auto"
+    tol: float = 1e-4
+    tol_red: float = math.sqrt(np.finfo(np.float64).eps)
+    abs_tol: float = float(np.finfo(np.float64).eps)
+    bc_tol: float = 1e-3
+    maxiter: int = 10000
+    update_ref: str = "loadstep"
+    ref_scale: float = 1.0
+    newton_relax: float = 1.0
+    basic_relax: float = 1.0
+    bc_relax: float = 1.0
+    cg_inner_product: str = "l2"
+    cg_reinit: int = 0
+    nl_cg_beta_scheme: str = "polak_ribiere"
+    nl_cg_c: float = 0.5
+    nl_cg_tau: float = 0.5
+    nl_cg_alpha: float = 1.0
+    error_estimator: str = "epsilon"
+    outer_error_estimator: str = "epsilon"
+    loadsteps: int = 1
+    first_loadstep: int = -1
+    loadstep_extrapolation_order: int = 0
+    loadstep_extrapolation_method: str = "polynomial"
+    print_mean: bool = False
+    print_detF: bool = False
+    dtype: str = "float64"
+    # explicit reference material (overrides the eigenvalue-bound update when
+    # update_ref == "never"; <materials><reference .../>, fibergen.cpp:15187)
+    ref_mu: Optional[float] = None
+    ref_lambda: Optional[float] = None
+
+    def resolved_scheme(self) -> str:
+        """'auto' resolution (fibergen.cpp:15068-15079)."""
+        s = self.gamma_scheme.replace("-", "_")
+        if s == "Willot_R".replace("-", "_") or s.lower() == "willot_r":
+            s = "willot"
+        if s == "auto":
+            s = "collocated" if self.method == "polarization" else "staggered"
+        if self.method == "polarization" and "staggered" in s:
+            LOG.warn("switching to collocated discretization for polarization method")
+            s = "collocated"
+        return s
+
+
+class LSSolver:
+    """FFT-homogenization solver on a periodic voxel grid."""
+
+    def __init__(self, grid: Grid, material: MixedMaterial, options: SolverOptions = None):
+        self.grid = grid
+        self.mat = material
+        self.opt = options or SolverOptions()
+        self.mode = self.opt.mode
+        self.dim = MODE_DIM[self.mode]
+        if material.dim != self.dim:
+            raise SolverError(
+                f"material dim {material.dim} incompatible with mode '{self.mode}'")
+        self.scheme = self.opt.resolved_scheme()
+        self.dtype = jnp.dtype(self.opt.dtype)
+
+        # prescribed BCs (Voigt vectors of mode dim)
+        self.E = np.zeros(self.dim)
+        self.S = np.zeros(self.dim)
+        self.P = voigt.id4(self.dim)
+        self._bc: Optional[bcmod.BCProjector] = None
+
+        # reference material: NaN until set or derived (fibergen.cpp:14836)
+        self.mu_0 = self.opt.ref_mu if self.opt.ref_mu is not None else float("nan")
+        self.lambda_0 = self.opt.ref_lambda if self.opt.ref_lambda is not None else 0.0
+
+        self.eps: Optional[jnp.ndarray] = None
+        self.residuals: List[float] = []
+        self.convergence_callback: Optional[Callable[[], bool]] = None
+        self.loadstep_callback: Optional[Callable[[], bool]] = None
+        self._canceled = False
+
+        self._current_E = self.E
+        self._current_S = self.S
+        self.solve_time = 0.0
+
+        self._id = voigt.identity_vec(self.dim)
+        self._estimator_kind = make_estimator(self.opt.error_estimator).metric_kind
+
+        self._build_kernels()
+
+    # ------------------------------------------------------------------ API
+    def set_strain(self, e):
+        """Prescribe mean strain/gradient (setStrain, fibergen.cpp:20692)."""
+        self.E = self._fit_vec(np.asarray(e, dtype=np.float64))
+
+    def set_stress(self, s):
+        """Prescribe mean stress/flux (setStress, fibergen.cpp:20668)."""
+        self.S = self._fit_vec(np.asarray(s, dtype=np.float64))
+
+    def set_bc_projector(self, P):
+        """Prescribe the strain-control projector (setBCProjector)."""
+        self.P = np.asarray(P, dtype=np.float64)
+        if np.isfinite(self.mu_0):
+            self._bc = bcmod.make_bc_projector(
+                self.P, self.mu_0, self.lambda_0, self.opt.bc_relax)
+
+    def cancel(self):
+        self._canceled = True
+
+    def _fit_vec(self, e):
+        out = np.zeros(self.dim)
+        n = min(e.size, self.dim)
+        if e.size == 6 and self.dim == 9:
+            out[:6] = e
+            out[6:9] = e[3:6]
+        elif e.size <= self.dim:
+            out[:n] = e[:n]
+        else:
+            out[:] = e[: self.dim]
+        return out
+
+    # --------------------------------------------------------------- kernels
+    def _build_kernels(self):
+        grid, mode, scheme = self.grid, self.mode, self.scheme
+        mat = self.mat
+        kind = self._estimator_kind
+        dt = self.dtype
+        tiny = float(np.finfo(np.float64 if dt == jnp.float64 else np.float32).tiny)
+
+        def metric(eps):
+            if kind == "epsilon":
+                return fields.component_norm(eps)
+            if kind == "sigma":
+                return mat.mean_pk1(eps)
+            if kind == "energy":
+                return mat.mean_w(eps)
+            return jnp.zeros((), dt)
+
+        def stress_diff(eps, mu0, lam0):
+            """tau = (C - C0) : eps (calcStressDiff, fibergen.cpp:18030)."""
+            tau = mat.pk1(eps) - 2.0 * mu0 * eps
+            if self.dim >= 6 and lam0 != 0.0:
+                tr = lam0 * (eps[0] + eps[1] + eps[2])
+                tau = tau.at[0:3].add(-tr)
+            return tau
+
+        def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0):
+            return gammamod.gamma_operator(
+                grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta)
+
+        def basic_step(eps, E, bca, mu0, lam0):
+            tau = stress_diff(eps, mu0, lam0)
+            eta = gamma_op(E, tau, mu0, lam0, bca)
+            return eta, metric(eta)
+
+        def krylov(eps, bca, mu0, lam0):
+            """-Gamma (C-C0) eps with zero mean (krylovOperator,
+            fibergen.cpp:20583-20587)."""
+            zero = jnp.zeros(self.dim, dt)
+            tau = stress_diff(eps, mu0, lam0)
+            return gamma_op(zero, tau, mu0, lam0, bca)
+
+        def cg_init(E, bca, mu0, lam0):
+            eps = fields.const_field(grid, E, dt)
+            r = krylov(eps, bca, mu0, lam0)
+            r = r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps)
+            gamma0 = fields.inner_l2(r, r) + tiny
+            return eps, r, r, gamma0, metric(eps)
+
+        def cg_step(eps, r, p, gamma, bca, mu0, lam0):
+            w = krylov(p, bca, mu0, lam0)
+            denom = fields.inner_l2_diff(p, p, w) + tiny
+            alpha = gamma / denom
+            eps2 = eps + alpha * p
+            met = metric(eps2)
+            r2 = r - alpha * (p - w)
+            delta = fields.inner_l2(r2, r2) + tiny
+            beta = delta / gamma
+            p2 = r2 + beta * p
+            return eps2, r2, p2, delta, met
+
+        def cg_recompute_residual(eps, p, gamma, E, bca, mu0, lam0):
+            """Exact residual + conjugate update (cg_reinit path,
+            fibergen.cpp:23231-23245)."""
+            r = krylov(eps, bca, mu0, lam0)
+            r = r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps)
+            delta = fields.inner_l2(r, r) + tiny
+            beta = delta / gamma
+            p2 = r + beta * p
+            return r, p2, delta
+
+        def mean_values(eps):
+            return fields.mean(eps), mat.mean_pk1(eps)
+
+        def eig_range(eps):
+            return mat.eig_range(eps, zero_trace=(mode == "viscosity"))
+
+        def polar_step(eps, E, P0, bca, mu0, lam0):
+            """One Eyre-Milton iteration (polarizationScheme,
+            fibergen.cpp:20536-20554)."""
+            tau = mat.polarization(mu0, eps)
+            P00 = fields.mean(tau)
+            eta = gamma_op(P00 + jnp.asarray(P0, dt), tau, mu0, lam0, bca,
+                           alpha=-4.0 * mu0, beta=1.0)
+            return eta, metric(eta)
+
+        def polar_finish(eps, mu0):
+            return mat.polarization(mu0, eps, inv=True)
+
+        def nesterov_step(tau, eps_in, q_old, n, E, bca, mu0, lam0):
+            """One Nesterov iteration (runNesterov, fibergen.cpp:21999-22043)."""
+            tau2, met = basic_step(tau, E, bca, mu0, lam0)
+            eps2 = eps_in - tau2
+            q = fields.inner_l2(tau2, tau2) * (grid.dx * grid.dy * grid.dz)
+            return tau2, eps2, q, met
+
+        def calc_step_alpha(eps, deps):
+            """Exact line-search step (calcStep, fibergen.cpp:21853-21914)."""
+            S = mat.pk1(deps)
+            w = jnp.asarray(voigt.weights(self.dim), dt).reshape(-1, 1, 1, 1)
+            s1 = (eps * w * S).sum()
+            s2 = (deps * w * S).sum()
+            return jnp.where(s2 == 0, 0.0, -s1 / s2)
+
+        jit = partial(jax.jit, static_argnames=("mu0", "lam0"))
+        self._k_basic = jit(basic_step)
+        self._k_krylov = jit(krylov)
+        self._k_cg_init = jit(cg_init)
+        self._k_cg_step = jit(cg_step)
+        self._k_cg_reinit = jit(cg_recompute_residual)
+        self._k_means = jax.jit(mean_values)
+        self._k_eig = jax.jit(eig_range)
+        self._k_metric = jax.jit(metric)
+        self._k_polar_step = jit(polar_step)
+        self._k_polar_finish = jax.jit(polar_finish, static_argnames=("mu0",))
+        self._k_nesterov = jit(nesterov_step)
+        self._k_calc_step = jax.jit(calc_step_alpha)
+
+    def _bca(self):
+        return bcmod.to_arrays(self._bc, self.dtype)
+
+    # --------------------------------------------------------- ref material
+    def calc_ref_material(self):
+        """Update (mu_0, lambda_0) from per-voxel tangent eigenvalue bounds
+        (calcRefMaterial, fibergen.cpp:22283-22313)."""
+        with timer("calc ref material"):
+            lmin, lmax = self._k_eig(self.eps)
+            lmin, lmax = float(lmin), float(lmax)
+        if lmin < 0:
+            LOG.warn(f"negative tangent eigenvalue ({lmin}); cutting off at 0")
+            lmin = 0.0
+        if self.opt.method == "polarization":
+            mu = math.sqrt(lmin * lmax)
+        else:
+            mu = 0.5 * (lmin + lmax)
+        self.mu_0 = 0.5 * self.opt.ref_scale * mu
+        self.lambda_0 = 0.0
+        LOG.info(f"adjusting mu_ref={self.mu_0:g}, lambda_ref={self.lambda_0:g}")
+        self._bc = bcmod.make_bc_projector(
+            self.P, self.mu_0, self.lambda_0, self.opt.bc_relax)
+
+    # -------------------------------------------------------------- run
+    def run(self) -> bool:
+        """Full solve over all loadsteps (run, fibergen.cpp:21247-21398).
+        Returns True on failure/cancel like the reference."""
+        self.residuals = []
+        self._canceled = False
+
+        LOG.info(f"RVE: dims={self.grid.dx}x{self.grid.dy}x{self.grid.dz} "
+                 f"voxels={self.grid.nx}x{self.grid.ny}x{self.grid.nz}")
+        LOG.info(f"mode: {self.opt.method} {self.scheme} {self.mode} "
+                 f"{self.opt.cg_inner_product}")
+        LOG.info(f"tolerances: relative={self.opt.tol} absolute={self.opt.abs_tol}")
+        for p in self.mat.phases:
+            LOG.info(f" - {p.name}: {p.law}")
+
+        # BC compatibility checks (fibergen.cpp:21352-21364)
+        Q = voigt.id4(self.dim) - self.P
+        eps_m = math.sqrt(np.finfo(np.float64).eps)
+        if voigt.norm_2(voigt.dyad4_mv(self.P, self.S)) > eps_m * (voigt.norm_2(self.S) or 1):
+            if voigt.norm_2(self.S) > 0:
+                raise SolverError("Incompatible stress boundary condition specified")
+        if voigt.norm_2(voigt.dyad4_mv(Q, self.E)) > eps_m * (voigt.norm_2(self.E) or 1):
+            if voigt.norm_2(self.E) > 0:
+                raise SolverError("Incompatible strain boundary condition specified")
+
+        # initial field (fibergen.cpp:21368-21380)
+        if self.mode == "hyperelasticity":
+            self.eps = fields.const_field(self.grid, self._id, self.dtype)
+        else:
+            self.eps = fields.const_field(self.grid, np.zeros(self.dim), self.dtype)
+
+        if np.isfinite(self.mu_0) and self._bc is None:
+            self._bc = bcmod.make_bc_projector(
+                self.P, self.mu_0, self.lambda_0, self.opt.bc_relax)
+
+        import time as _time
+        t0 = _time.perf_counter()
+        ret = self._run_loadstepping(self.E, self.S)
+        self.solve_time = _time.perf_counter() - t0
+        return ret
+
+    def _loadstep_params(self):
+        n = max(1, int(self.opt.loadsteps))
+        params = [i / n for i in range(n + 1)]
+        first = self.opt.first_loadstep
+        if first < 0:
+            first = 0 if len(params) > 2 else 1
+        return params, first
+
+    def _run_loadstepping(self, Emax, Smax) -> bool:
+        """Loadstep loop with optional solution extrapolation
+        (runLoadsteppingSolver, fibergen.cpp:21584-21685)."""
+        params, first = self._loadstep_params()
+        history = []  # (t, eps) for extrapolation
+
+        for istep in range(first, len(params)):
+            t = params[istep]
+            E = t * np.asarray(Emax)
+            S = t * np.asarray(Smax)
+            if self.mode == "hyperelasticity":
+                E = E + (1 - t) * voigt.dyad4_mv(self.P, self._id)
+
+            if len(params) > 2:
+                LOG.info(f"*** loadstep {istep}/{len(params)-1} parameter {t} ***")
+
+            order = self.opt.loadstep_extrapolation_order
+            if order > 0 and istep > first:
+                history.append((params[istep - 1], self.eps))
+                history = history[-(order + 1):]
+                if len(history) >= 2:
+                    self.eps = _extrapolate(history, t)
+
+            try:
+                self.run_solver(E, S)
+            except SolverError:
+                raise
+            if self._canceled:
+                LOG.error("loadsteps canceled")
+                return True
+            if self.loadstep_callback and self.loadstep_callback():
+                LOG.info("Loadstep callback break request.")
+                return True
+        return False
+
+    def run_solver(self, E, S):
+        """Method dispatch (runSolver, fibergen.cpp:21401-21433)."""
+        self._current_E = np.asarray(E)
+        self._current_S = np.asarray(S)
+        m = self.opt.method
+        if m == "basic":
+            self._run_basic(E, S)
+        elif m == "cg":
+            self._run_cg(E, S)
+        elif m == "polarization":
+            self._run_polarization(E, S)
+        elif m == "nesterov":
+            self._run_nesterov(E, S)
+        elif m == "basic+el":
+            self._run_basic_el(E, S)
+        elif m == "nl_cg":
+            self._run_nlcg(E, S)
+        else:
+            raise SolverError(f"Unknown solver method '{m}'")
+        if self.opt.print_mean:
+            self._print_mean_values()
+
+    # ------------------------------------------------------------ schemes
+    def _maybe_update_ref(self):
+        if self.opt.update_ref != "never" or not np.isfinite(self.mu_0):
+            self.calc_ref_material()
+        elif self._bc is None:
+            self._bc = bcmod.make_bc_projector(
+                self.P, self.mu_0, self.lambda_0, self.opt.bc_relax)
+
+    def _bc_mean(self, E, S):
+        return np.asarray(bcmod.calc_bc_mean(self._bc, E, S), dtype=np.float64)
+
+    def _run_basic(self, E0, S0):
+        """Fixed-point scheme eps <- E - Gamma (C-C0) eps
+        (runBasic, fibergen.cpp:21716-21805)."""
+        self._maybe_update_ref()
+        E = self._bc_mean(E0, S0)
+        ee = make_estimator(self.opt.error_estimator)
+        ee.start(self._k_metric(self.eps))
+        bca = self._bca()
+        mu0, lam0 = self.mu_0, self.lambda_0
+        Ej = jnp.asarray(E, self.dtype)
+
+        it = 1
+        while True:
+            self.eps, met = self._k_basic(self.eps, Ej, bca, mu0=mu0, lam0=lam0)
+            ee.update(np.asarray(met))
+            it, done = self._converged(it, ee.abs_error(), ee.rel_error())
+            if done:
+                break
+
+    def _run_cg(self, E0, S0):
+        if self.mode == "hyperelasticity":
+            return self._run_cg_hyper(E0, S0)
+        return self._run_cg_elasticity(E0, S0)
+
+    def _run_cg_elasticity(self, E0, S0):
+        """Linear CG on (I + Gamma(C-C0)) eps = E
+        (runCGElasticity, fibergen.cpp:23153-23247)."""
+        self._maybe_update_ref()
+        E = self._bc_mean(E0, S0)
+        ee = make_estimator(self.opt.error_estimator)
+        bca = self._bca()
+        mu0, lam0 = self.mu_0, self.lambda_0
+        Ej = jnp.asarray(E, self.dtype)
+
+        eps, r, p, gamma, met0 = self._k_cg_init(Ej, bca, mu0=mu0, lam0=lam0)
+        ee.start(np.asarray(met0))
+        gamma = float(gamma)
+        gamma0 = gamma
+
+        it = 0
+        while True:
+            eps, r, p, delta, met = self._k_cg_step(
+                eps, r, p, gamma, bca, mu0=mu0, lam0=lam0)
+            self.eps = eps  # keep live state visible to bc_error/callbacks
+            if ee.metric_kind == "residual":
+                ee.update_cg(gamma, gamma0)
+            else:
+                ee.update(np.asarray(met))
+            it, done = self._converged(it, ee.abs_error(), ee.rel_error())
+            if done:
+                break
+            if self.opt.cg_reinit > 0 and (it % self.opt.cg_reinit) == 0:
+                r, p, delta = self._k_cg_reinit(
+                    eps, p, gamma, Ej, bca, mu0=mu0, lam0=lam0)
+            gamma = float(delta)
+
+    def _run_cg_hyper(self, E0, S0):
+        from .newton import run_newton_cg
+        run_newton_cg(self, E0, S0)
+
+    def _run_nlcg(self, E0, S0):
+        if self.mode != "hyperelasticity":
+            raise SolverError("nl_cg requires hyperelasticity mode")
+        from .newton import run_nlcg
+        run_nlcg(self, E0, S0)
+
+    def _run_polarization(self, E0, S0):
+        """Eyre-Milton accelerated scheme (runPolarization,
+        fibergen.cpp:21808-21851)."""
+        self._maybe_update_ref()
+        E = self._bc_mean(E0, S0)
+        ee = make_estimator(self.opt.error_estimator)
+        bca = self._bca()
+        mu0, lam0 = self.mu_0, self.lambda_0
+
+        self.eps = fields.const_field(self.grid, 4.0 * mu0 * E, self.dtype)
+        ee.start(self._k_metric(self.eps))
+        P0 = jnp.asarray(4.0 * mu0 * E, self.dtype)
+        Ej = jnp.zeros(self.dim, self.dtype)  # unused placeholder
+
+        it = 1
+        while True:
+            self.eps, met = self._k_polar_step(
+                self.eps, Ej, P0, bca, mu0=mu0, lam0=lam0)
+            ee.update(np.asarray(met))
+            it, done = self._converged(it, ee.abs_error(), ee.rel_error(),
+                                       check_bc=False)
+            if done:
+                break
+        self.eps = self._k_polar_finish(self.eps, mu0=mu0)
+
+    def _run_nesterov(self, E0, S0):
+        """Nesterov-accelerated basic scheme (runNesterov,
+        fibergen.cpp:21999-22043)."""
+        self._maybe_update_ref()
+        E = self._bc_mean(E0, S0)
+        ee = make_estimator(self.opt.error_estimator)
+        ee.start(self._k_metric(self.eps))
+        bca = self._bca()
+        mu0, lam0 = self.mu_0, self.lambda_0
+        Ej = jnp.asarray(E, self.dtype)
+
+        tau = self.eps
+        eps = tau
+        q_old = 0.0
+        q = 0.0
+        n = 0
+        n_min = 5
+        it = 1
+        while True:
+            n += 1
+            tau, met = self._k_basic(tau, Ej, bca, mu0=mu0, lam0=lam0)
+            eps = eps - tau
+            q_old = q
+            q = float(fields.inner_l2(tau, tau)) * (
+                self.grid.dx * self.grid.dy * self.grid.dz)
+            if q_old > q and n > n_min:
+                n = 0
+                eps = tau
+            else:
+                eps = tau + (n - 1.0) / (n + 2.0) * eps
+                tau, eps = eps, tau
+            self.eps = tau  # keep live state visible to bc_error/callbacks
+            ee.update(np.asarray(met))
+            it, done = self._converged(it, ee.abs_error(), ee.rel_error())
+            if done:
+                break
+
+    def _run_basic_el(self, E0, S0):
+        """Basic scheme with exact line search (runBasicEL,
+        fibergen.cpp:21918-21996)."""
+        self._maybe_update_ref()
+        ee = make_estimator(self.opt.error_estimator)
+        bca = self._bca()
+        mu0, lam0 = self.mu_0, self.lambda_0
+        zero = jnp.zeros(self.dim, self.dtype)
+
+        self.eps = fields.const_field(self.grid, self._fit_vec(np.asarray(E0)),
+                                      self.dtype)
+        ee.start(self._k_metric(self.eps))
+        deps, _ = self._k_basic(self.eps, zero, bca, mu0=mu0, lam0=lam0)
+
+        it = 1
+        while True:
+            alpha = float(self._k_calc_step(self.eps, deps))
+            self.eps = self.eps + alpha * deps
+            deps, met = self._k_basic(deps, zero, bca, mu0=mu0, lam0=lam0)
+            ee.update(np.asarray(self._k_metric(self.eps)))
+            it, done = self._converged(it, ee.abs_error(), ee.rel_error())
+            if done:
+                break
+
+    # --------------------------------------------------------- convergence
+    def _converged(self, it, abs_err, rel_err, check_bc=True):
+        """(converged, fibergen.cpp:21164-21244).  Returns (next_it, done)."""
+        LOG.info(f"# Iteration {it}: {self.opt.error_estimator} error "
+                 f"abs. = {abs_err:g} rel. = {rel_err:g}")
+        if math.isnan(rel_err):
+            self._canceled = True
+            LOG.error("NaN detected in solution. Aborting.")
+            return it, True
+        self.residuals.append(rel_err)
+        if self.convergence_callback and self.convergence_callback():
+            LOG.info("Custom convergence test returned true.")
+            return it, True
+        if it >= self.opt.maxiter:
+            LOG.info("Maximum number of iterations reached.")
+            return it, True
+        if rel_err <= self.opt.tol or abs_err <= self.opt.abs_tol:
+            bc_err = 0.0
+            if check_bc:
+                bc_err = self.bc_error()
+                LOG.info(f"Boundary condition error = {bc_err:g}")
+            if bc_err <= self.opt.bc_tol:
+                LOG.info("Converged.")
+                return it, True
+        return it + 1, False
+
+    def bc_error(self) -> float:
+        """Relative mixed-BC satisfaction error (bc_error,
+        fibergen.cpp:21129-21161)."""
+        Emean, Smean = self._k_means(self.eps)
+        Emean = np.asarray(Emean, dtype=np.float64)
+        Smean = np.asarray(Smean, dtype=np.float64)
+        Q = voigt.id4(self.dim) - self.P
+        P_E = voigt.dyad4_mv(self.P, Emean)
+        Q_S = voigt.dyad4_mv(Q, Smean)
+        PE_target = voigt.dyad4_mv(self.P, self._current_E)
+        if self.dim == 9:
+            PE_target = PE_target - voigt.dyad4_mv(self.P, self._id)
+        norm_E = voigt.norm_2(PE_target)
+        norm_S = voigt.norm_2(self._current_S)
+        err_F = voigt.norm_2(P_E - self._current_E) / (
+            1.0 if norm_E < self.opt.bc_tol else norm_E)
+        err_S = voigt.norm_2(Q_S - self._current_S) / (
+            1.0 if norm_S < self.opt.bc_tol else norm_S)
+        return float(max(err_F, err_S))
+
+    # --------------------------------------------------------------- stats
+    def calc_mean_strain(self):
+        return np.asarray(fields.mean(self.eps))
+
+    def calc_mean_stress(self):
+        return np.asarray(self.mat.mean_pk1(self.eps))
+
+    def calc_mean_cauchy(self):
+        return np.asarray(self.mat.mean_cauchy(self.eps))
+
+    def calc_mean_energy(self):
+        return float(self.mat.mean_w(self.eps))
+
+    def calc_min_det_f(self):
+        from ..materials import laws as lawsmod
+        Fm = lawsmod.mat_from_voigt9(self.eps)
+        return float(lawsmod.det3(Fm).min())
+
+    def _print_mean_values(self):
+        names = {
+            "elasticity": ("elastic strain", "average elastic stress"),
+            "hyperelasticity": ("deformation gradient", "1st Piola-Kirchhoff stress"),
+            "viscosity": ("fluid stress", "fluid shear"),
+            "heat": ("temperature gradient", "heat flux"),
+            "porous": ("pressure gradient", "volumetric flux"),
+        }[self.mode]
+        LOG.info(f"mean {names[0]} = {self.calc_mean_strain()}")
+        LOG.info(f"mean {names[1]} = {self.calc_mean_stress()}")
+
+
+def _extrapolate(history, t):
+    """Polynomial extrapolation of the solution to loadstep parameter t
+    (extrapolateLoadstep, fibergen.cpp:21454-21582, polynomial branch)."""
+    ts = np.array([h[0] for h in history])
+    # Lagrange weights at t
+    wts = []
+    for i in range(len(ts)):
+        w = 1.0
+        for j in range(len(ts)):
+            if i != j:
+                w *= (t - ts[j]) / (ts[i] - ts[j])
+        wts.append(w)
+    out = None
+    for w, (_, e) in zip(wts, history):
+        out = w * e if out is None else out + w * e
+    return out

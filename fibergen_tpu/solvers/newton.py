@@ -1,0 +1,231 @@
+"""Hyperelastic solvers: Newton-Krylov and nonlinear CG.
+
+Equivalents of runCGHyper (outer Newton on the nonlinear Lippmann-Schwinger
+equation, inner linear CG on the linearized operator, fibergen.cpp:22699-23131)
+and runNLCGHyper (conjugate-direction descent with pluggable beta schemes,
+fibergen.cpp:22480-22695).  The per-voxel tangent dP/dF comes from jax.jvp of
+the autodiff PK1 instead of hand-derived dPK1 kernels.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import fields, voigt
+from ..ops import gamma as gammamod
+from ..utils.logging import LOG
+from . import bc as bcmod
+from .estimators import make_estimator
+
+
+def _kernels(solver):
+    """Build (cached) jitted kernels for the hyper path on a solver."""
+    if getattr(solver, "_hyper_kernels", None) is not None:
+        return solver._hyper_kernels
+
+    grid, mode, scheme = solver.grid, solver.mode, solver.scheme
+    mat = solver.mat
+    dt = solver.dtype
+    dim = solver.dim
+    tiny = float(np.finfo(np.float64 if dt == jnp.float64 else np.float32).tiny)
+
+    def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0):
+        return gammamod.gamma_operator(
+            grid, mode, scheme, bca, E, mu0, lam0, tau, alpha)
+
+    def stress_deriv(F, Q, mu0, lam0):
+        """(dP/dF(F) - C0) : Q (calcStressDeriv, fibergen.cpp:18425-18480)."""
+        W = mat.dpk1(F, Q) - 2.0 * mu0 * Q
+        if lam0 != 0.0:
+            tr = lam0 * (Q[0] + Q[1] + Q[2])
+            W = W.at[0:3].add(-tr)
+        return W
+
+    def apply_op(F, Q, mu0, lam0, bca):
+        """-Gamma0 (dP/dF(F) - C0) : Q (ApplyOperator, fibergen.cpp:23132)."""
+        W = stress_deriv(F, Q, mu0, lam0)
+        zero = jnp.zeros(dim, dt)
+        return gamma_op(zero, W, mu0, lam0, bca)
+
+    def newton_init(eps, X0, mu0, lam0, bca):
+        """X = -Gamma0 P(F) with mean X0; R = Q = ApplyOp(F, X); gamma."""
+        F = eps
+        PF = mat.pk1(F)
+        X = gamma_op(jnp.asarray(X0, dt), PF, mu0, lam0, bca, alpha=-1.0)
+        R = apply_op(F, X, mu0, lam0, bca)
+        gamma = fields.inner_l2(R, R) + tiny
+        return X, R, gamma
+
+    def newton_cg_step(F, X, R, Q, gamma, newton_relax, mu0, lam0, bca):
+        W = apply_op(F, Q, mu0, lam0, bca)
+        denom = fields.inner_l2_diff(Q, Q, W) + tiny
+        alpha = gamma / denom
+        X2 = X + alpha * Q
+        eps2 = F + newton_relax * X2
+        R2 = R - alpha * (Q - W)
+        delta = fields.inner_l2(R2, R2) + tiny
+        beta = delta / gamma
+        Q2 = R2 + beta * Q
+        return X2, eps2, R2, Q2, delta, denom
+
+    def metric(eps):
+        kind = solver._estimator_kind
+        if kind == "epsilon":
+            return fields.component_norm(eps)
+        if kind == "sigma":
+            return mat.mean_pk1(eps)
+        if kind == "energy":
+            return mat.mean_w(eps)
+        return jnp.zeros((), dt)
+
+    def grad_step(eps, Emean, mu0, lam0, bca):
+        """Steepest-descent direction dX = -Gamma0 P(eps), mean = Emean
+        (calcGrad, fibergen.cpp:22434-22447)."""
+        PF = mat.pk1(eps)
+        dX = gamma_op(jnp.asarray(Emean, dt), PF, mu0, lam0, bca, alpha=-1.0)
+        n2 = fields.inner_l2(dX, dX)
+        return dX, n2
+
+    jit = partial(jax.jit, static_argnames=("mu0", "lam0"))
+    ks = {
+        "init": jit(newton_init),
+        "cg_step": jit(newton_cg_step),
+        "metric": jax.jit(metric),
+        "grad": jit(grad_step),
+        "inner": jax.jit(fields.inner_l2),
+        "inner_diff": jax.jit(fields.inner_l2_diff),
+    }
+    solver._hyper_kernels = ks
+    return ks
+
+
+def run_newton_cg(solver, E0, S0):
+    """Newton-Krylov for finite strain (runCGHyper, fibergen.cpp:22699-23131)."""
+    ks = _kernels(solver)
+    opt = solver.opt
+
+    # satisfy P : <eps> = E0 (fibergen.cpp:22744-22745)
+    dE = np.asarray(E0) - voigt.dyad4_mv(solver.P, np.asarray(fields.mean(solver.eps)))
+    solver.eps = solver.eps + jnp.asarray(dE, solver.dtype).reshape(-1, 1, 1, 1)
+
+    ee_outer = make_estimator(opt.outer_error_estimator)
+    ee_outer.start(np.asarray(ks["metric"](solver.eps)))
+    iter_outer = 0
+    gamma0 = -1.0
+
+    while True:
+        if gamma0 < 0 or opt.update_ref == "always":
+            solver.calc_ref_material()
+        mu0, lam0 = solver.mu_0, solver.lambda_0
+        bca = bcmod.to_arrays(solver._bc, solver.dtype)
+
+        F = solver.eps
+        X0 = voigt.dyad4_mv(solver._bc.M, np.asarray(S0))
+        X, R, gamma = ks["init"](F, X0, mu0=mu0, lam0=lam0, bca=bca)
+        gamma = float(gamma)
+        if gamma0 < 0:
+            gamma0 = gamma
+        Q = R
+
+        ee = make_estimator(opt.error_estimator)
+        ee.start(np.asarray(ks["metric"](solver.eps)))
+        it = 0
+        while True:
+            X, eps2, R, Q, delta, denom = ks["cg_step"](
+                F, X, R, Q, gamma, opt.newton_relax, mu0=mu0, lam0=lam0, bca=bca)
+            if float(denom) <= 0:
+                solver._canceled = True
+                LOG.error(f"indefinite operator (alpha={float(denom):g}) canceling CG!")
+                return
+            solver.eps = eps2
+            if ee.metric_kind == "residual":
+                ee.update_cg(gamma, gamma0)
+            else:
+                ee.update(np.asarray(ks["metric"](solver.eps)))
+            it, done = solver._converged(it, ee.abs_error(), ee.rel_error(),
+                                         check_bc=False)
+            if done:
+                break
+            gamma = float(delta)
+        if solver._canceled:
+            return
+
+        ee_outer.update(np.asarray(ks["metric"](solver.eps)))
+        iter_outer, done = solver._converged(
+            iter_outer, ee_outer.abs_error(), ee_outer.rel_error())
+        if done:
+            break
+
+
+def run_nlcg(solver, E0, S0):
+    """Nonlinear conjugate gradient for finite strain
+    (runNLCGHyper, fibergen.cpp:22480-22695).  The reference's backtracking
+    line search is dead code (early `continue`, fibergen.cpp:22597); steps use
+    the constant nl_cg_alpha exactly like the reference executes."""
+    ks = _kernels(solver)
+    opt = solver.opt
+
+    # initialize: one basic-scheme application to satisfy the mean constraint
+    solver.calc_ref_material()
+    mu0, lam0 = solver.mu_0, solver.lambda_0
+    bca = bcmod.to_arrays(solver._bc, solver.dtype)
+    E = solver._bc_mean(np.asarray(E0), np.asarray(S0))
+    solver.eps, _ = solver._k_basic(
+        solver.eps, jnp.asarray(E, solver.dtype), bca, mu0=mu0, lam0=lam0)
+
+    solver.calc_ref_material()
+    mu0, lam0 = solver.mu_0, solver.lambda_0
+    bca = bcmod.to_arrays(solver._bc, solver.dtype)
+
+    Emean = voigt.dyad4_mv(solver._bc.M, np.asarray(S0))
+    alpha = opt.nl_cg_alpha
+    beta_scheme = opt.nl_cg_beta_scheme
+
+    X = solver.eps
+    s = jnp.zeros_like(X)
+    dX = None
+    dX_norm2 = 0.0
+    dX_norm2_initial = -1.0
+    it = 0
+
+    while True:
+        dX_old = dX
+        dX_old_norm2 = dX_norm2
+        s_old = s
+
+        dX, n2 = ks["grad"](X, Emean, mu0=mu0, lam0=lam0, bca=bca)
+        dX_norm2 = float(n2)
+        if dX_norm2_initial < 0:
+            dX_norm2_initial = dX_norm2 + np.finfo(np.float64).tiny
+
+        abs_err = np.sqrt(dX_norm2)
+        rel_err = np.sqrt(dX_norm2 / dX_norm2_initial)
+        it, done = solver._converged(it, abs_err, rel_err, check_bc=False)
+        if done:
+            break
+
+        beta = 0.0
+        if it > 1 and dX_old is not None:
+            if beta_scheme == "steepest_descent":
+                beta = 0.0
+            elif beta_scheme == "polak_ribiere":
+                dot_old = float(ks["inner"](dX, dX_old))
+                beta = 0.0 if dot_old > 0.2 * dX_norm2 else (
+                    (dX_norm2 - dot_old) / dX_old_norm2)
+            elif beta_scheme == "fletcher_reeves":
+                beta = dX_norm2 / dX_old_norm2
+            elif beta_scheme == "hestenes_stiefel":
+                dot_old = float(ks["inner"](dX, dX_old))
+                beta = (dX_norm2 - dot_old) / float(ks["inner_diff"](s_old, dX, dX_old))
+            elif beta_scheme == "day_yuan":
+                beta = dX_norm2 / float(ks["inner_diff"](s_old, dX, dX_old))
+            else:
+                raise ValueError(f"Unknown beta scheme '{beta_scheme}'")
+        beta = max(0.0, beta)
+
+        s = dX + beta * s_old if beta != 0.0 else dX
+        X = X + alpha * s
+        solver.eps = X

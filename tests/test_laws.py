@@ -1,0 +1,110 @@
+"""Constitutive-law derivative checks.
+
+The reference's test_law (fibergen.cpp:23527) compares PK1 against finite
+differences of W and dPK1 against finite differences of PK1 — but is disabled
+by an early return.  With autodiff laws these checks are resurrected and must
+hold to near machine precision.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fibergen_tpu.core import voigt
+from fibergen_tpu.materials import convert, laws
+
+HYPER_LAWS = [
+    laws.SaintVenantKirchhoff(mu=1.3, lam=0.8),
+    laws.NeoHooke(mu=1.3, lam=0.8),
+    laws.NeoHooke2(mu=1.3, K=2.1),
+]
+
+
+def rand_F9(n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    F = 0.2 * rng.standard_normal((9, n, 1, 1))
+    F[0:3] += 1.0  # close to identity, det > 0
+    return jnp.asarray(F)
+
+
+@pytest.mark.parametrize("law", HYPER_LAWS, ids=lambda l: type(l).__name__)
+def test_pk1_is_gradient_of_w(law):
+    F = rand_F9()
+    P = law.pk1(F)
+    h = 1e-6
+    for k in range(9):
+        Fp = F.at[k].add(h)
+        Fm = F.at[k].add(-h)
+        fd = (law.w(Fp) - law.w(Fm)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(P[k]), np.asarray(fd),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("law", HYPER_LAWS, ids=lambda l: type(l).__name__)
+def test_dpk1_is_derivative_of_pk1(law):
+    F = rand_F9(seed=1)
+    rng = np.random.default_rng(2)
+    W = jnp.asarray(0.5 * rng.standard_normal(F.shape))
+    dP = law.dpk1(F, W)
+    h = 1e-6
+    fd = (law.pk1(F + h * W) - law.pk1(F - h * W)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(dP), np.asarray(fd), rtol=1e-5, atol=1e-7)
+
+
+def test_linear_isotropic_consistency():
+    law = laws.LinearIsotropic(mu=1.5, lam=0.7)
+    rng = np.random.default_rng(3)
+    E = jnp.asarray(rng.standard_normal((6, 3, 1, 1)))
+    P = law.pk1(E)
+    # sigma = 2 mu eps + lam tr(eps) I
+    tr = np.asarray(E[0] + E[1] + E[2])
+    expect = 2 * 1.5 * np.asarray(E)
+    expect[0:3] += 0.7 * tr
+    np.testing.assert_allclose(np.asarray(P), expect, rtol=1e-12)
+    # energy consistency W = 1/2 sigma : eps
+    w = voigt.weights(6)
+    expW = 0.5 * sum(w[i] * expect[i] * np.asarray(E[i]) for i in range(6))
+    np.testing.assert_allclose(np.asarray(law.w(E)), expW, rtol=1e-12)
+
+
+def test_svk_matches_linear_at_small_strain():
+    mu, lam = 1.3, 0.8
+    svk = laws.SaintVenantKirchhoff(mu=mu, lam=lam)
+    lin = laws.LinearIsotropic(mu=mu, lam=lam)
+    rng = np.random.default_rng(4)
+    eps6 = 1e-6 * rng.standard_normal(6)
+    F9 = np.array([1 + eps6[0], 1 + eps6[1], 1 + eps6[2],
+                   eps6[3], eps6[4], eps6[5], eps6[3], eps6[4], eps6[5]])
+    P9 = np.asarray(svk.pk1(jnp.asarray(F9.reshape(9, 1, 1, 1)))).reshape(9)
+    S6 = np.asarray(lin.pk1(jnp.asarray(eps6.reshape(6, 1, 1, 1)))).reshape(6)
+    np.testing.assert_allclose(P9[:6], S6, rtol=1e-4, atol=1e-11)
+
+
+def test_material_constant_conversion_roundtrip():
+    c = convert.elastic_constants(mu=1.3, lam=0.8)
+    for pair in [("K", "E"), ("K", "mu"), ("E", "nu"), ("mu", "nu"), ("mu", "M")]:
+        c2 = convert.elastic_constants(**{pair[0]: c[pair[0]], pair[1]: c[pair[1]]})
+        for k in c:
+            assert abs(c[k] - c2[k]) < 1e-12 * max(1, abs(c[k])), (pair, k)
+
+
+def test_conversion_errors():
+    with pytest.raises(ValueError):
+        convert.elastic_constants(mu=1.0)
+    with pytest.raises(ValueError):
+        convert.elastic_constants(K=1.0, E=1.0, mu=1.0)
+
+
+def test_polarization_transform_inverse():
+    """(C - C0)(C + C0)^{-1} composed with the inverse transform."""
+    law = laws.LinearIsotropic(mu=2.0, lam=1.0)
+    rng = np.random.default_rng(5)
+    F = jnp.asarray(rng.standard_normal((6, 2, 1, 1)))
+    mu0 = 0.7
+    Q = law.polarization(mu0, F)            # (C-C0)(C+C0)^{-1} F
+    Finv = law.polarization(mu0, F, inv=True)   # (C+C0)^{-1} F
+    # consistency: Q == (C - C0) applied to Finv
+    CF = law.pk1(Finv)
+    C0F = 2 * mu0 * Finv
+    np.testing.assert_allclose(np.asarray(Q), np.asarray(CF - C0F),
+                               rtol=1e-10, atol=1e-12)

@@ -1,0 +1,192 @@
+"""End-to-end solver tests against analytic laminate oracles.
+
+A two-phase layered microstructure (layers normal to x) has exact effective
+properties: series (harmonic) across the layers, parallel (arithmetic) in
+plane — the standard sanity oracle for FFT homogenization (the reference's
+equivalent is demo/elasticity/laminate + calc_isotropic_laminate,
+fibergen.cpp:26405-26474).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fibergen_tpu.core.grid import Grid
+from fibergen_tpu.materials import laws
+from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+from fibergen_tpu.solvers.ls import LSSolver, SolverOptions
+
+
+def layered_phi(grid, frac=0.5):
+    """Sharp layered phase field along x: phi=1 for x < frac."""
+    x = (np.arange(grid.nx) + 0.5) / grid.nx
+    m = (x < frac).astype(np.float64)
+    phi1 = jnp.asarray(np.broadcast_to(m[:, None, None], grid.shape))
+    return phi1, 1.0 - phi1
+
+
+def heat_material(grid, k1, k2, frac=0.5):
+    phi1, phi2 = layered_phi(grid, frac)
+    return VoigtMixed([
+        Phase("mat1", laws.ScalarLinearIsotropic(mu=k1, dim=3), phi1),
+        Phase("mat2", laws.ScalarLinearIsotropic(mu=k2, dim=3), phi2),
+    ], dim=3)
+
+
+def elastic_material(grid, m1, m2, frac=0.5):
+    phi1, phi2 = layered_phi(grid, frac)
+    return VoigtMixed([
+        Phase("mat1", laws.LinearIsotropic(**m1), phi1),
+        Phase("mat2", laws.LinearIsotropic(**m2), phi2),
+    ], dim=6)
+
+
+K1, K2 = 1.0, 10.0
+SERIES = 2 * K1 * K2 / (K1 + K2)    # harmonic mean at 50/50
+PARALLEL = 0.5 * (K1 + K2)          # arithmetic mean
+
+
+@pytest.mark.parametrize("scheme", ["staggered", "collocated"])
+@pytest.mark.parametrize("method", ["cg", "basic"])
+def test_heat_laminate(scheme, method):
+    grid = Grid(16, 4, 4)
+    mat = heat_material(grid, K1, K2)
+    opt = SolverOptions(mode="heat", method=method, gamma_scheme=scheme,
+                        tol=1e-10, maxiter=2000)
+    s = LSSolver(grid, mat, opt)
+
+    # gradient across layers -> series conductivity
+    s.set_strain([1.0, 0.0, 0.0])
+    assert not s.run()
+    # must actually converge, not spin to maxiter (guards the bc_error
+    # stale-state bug where self.eps lagged the live iterate)
+    assert len(s.residuals) < s.opt.maxiter
+    flux = s.calc_mean_stress()
+    np.testing.assert_allclose(flux[0], SERIES, rtol=1e-7)
+    np.testing.assert_allclose(flux[1:], 0.0, atol=1e-8)
+
+    # in-plane gradient -> parallel conductivity
+    s.set_strain([0.0, 1.0, 0.0])
+    assert not s.run()
+    flux = s.calc_mean_stress()
+    np.testing.assert_allclose(flux[1], PARALLEL, rtol=1e-7)
+
+
+def laminate_elastic_xx(m1, m2, f1=0.5):
+    """Exact effective axial stiffness C11 across layers (series with
+    transverse coupling): standard laminate formula."""
+    M1 = m1["lam"] + 2 * m1["mu"]
+    M2 = m2["lam"] + 2 * m2["mu"]
+    f2 = 1 - f1
+    # <1/M>^{-1}
+    return 1.0 / (f1 / M1 + f2 / M2)
+
+
+@pytest.mark.parametrize("scheme", ["staggered", "collocated", "willot"])
+def test_elastic_laminate_series_c11(scheme):
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=5.0, lam=2.0)
+    grid = Grid(16, 4, 4)
+    mat = elastic_material(grid, m1, m2)
+    opt = SolverOptions(mode="elasticity", method="cg", gamma_scheme=scheme,
+                        tol=1e-10, maxiter=2000)
+    s = LSSolver(grid, mat, opt)
+
+    # pure stress control on column xx: prescribe sigma_xx = 1, rest free?
+    # Simpler exact check: strain control e_xx=1 gives
+    # sigma_xx = <M> - <lam^2/M>... use the full laminate solution instead:
+    # under e_xx = 1 (others 0), lateral strains vanish per-layer (periodic
+    # laminate with uniform e_yy=e_zz=0), so eps_xx per layer ~ 1/M_i and
+    # sigma_xx = <1/M>^{-1}.
+    s.set_strain([1.0, 0, 0, 0, 0, 0])
+    assert not s.run()
+    assert len(s.residuals) < s.opt.maxiter
+    sig = s.calc_mean_stress()
+    np.testing.assert_allclose(sig[0], laminate_elastic_xx(m1, m2), rtol=1e-7)
+
+
+def test_cg_matches_basic_elasticity():
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=3.0, lam=2.0)
+    grid = Grid(8, 4, 4)
+    mat = elastic_material(grid, m1, m2)
+    E = [0.3, -0.1, 0.2, 0.05, -0.04, 0.08]
+    res = {}
+    for method in ("cg", "basic", "nesterov"):
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="elasticity", method=method, tol=1e-11, maxiter=5000))
+        s.set_strain(E)
+        assert not s.run()
+        res[method] = s.calc_mean_stress()
+    np.testing.assert_allclose(res["cg"], res["basic"], rtol=1e-6)
+    np.testing.assert_allclose(res["cg"], res["nesterov"], rtol=1e-5)
+
+
+def test_polarization_matches_cg_heat():
+    grid = Grid(8, 4, 4)
+    mat = heat_material(grid, 1.0, 4.0)
+    s1 = LSSolver(grid, mat, SolverOptions(
+        mode="heat", method="cg", tol=1e-11, maxiter=2000))
+    s1.set_strain([1.0, 0, 0])
+    assert not s1.run()
+    s2 = LSSolver(grid, mat, SolverOptions(
+        mode="heat", method="polarization", gamma_scheme="collocated",
+        tol=1e-12, maxiter=4000, error_estimator="sigma"))
+    s2.set_strain([1.0, 0, 0])
+    assert not s2.run()
+    np.testing.assert_allclose(s2.calc_mean_stress(), s1.calc_mean_stress(),
+                               rtol=1e-6)
+
+
+def test_mixed_bc_stress_control():
+    """Full stress control (P=0): prescribed mean stress must be attained and
+    the mean strain must equal the compliance response."""
+    m1 = dict(mu=1.0, lam=1.0)
+    grid = Grid(4, 4, 4)
+    phi = jnp.ones(grid.shape)
+    mat = VoigtMixed([Phase("m", laws.LinearIsotropic(**m1), phi)], dim=6)
+    s = LSSolver(grid, mat, SolverOptions(
+        mode="elasticity", method="cg", tol=1e-10, maxiter=500))
+    s.set_bc_projector(np.zeros((6, 6)))
+    S = np.array([1.0, 0, 0, 0, 0, 0])
+    s.set_stress(S)
+    s.set_strain(np.zeros(6))
+    assert not s.run()
+    np.testing.assert_allclose(s.calc_mean_stress(), S, atol=1e-8)
+    # homogeneous material: eps = C^{-1} sigma
+    lam, mu = m1["lam"], m1["mu"]
+    C = 2 * mu * np.diag([1, 1, 1, 0.5, 0.5, 0.5])
+    C[0:3, 0:3] += lam
+    w = np.array([1, 1, 1, 2, 2, 2.0])
+    eps_expect = np.linalg.solve(C * w[None, :], S)
+    np.testing.assert_allclose(s.calc_mean_strain(), eps_expect, atol=1e-8)
+
+
+def test_hyper_svk_small_strain_matches_linear():
+    """SVK Newton-Krylov at tiny strain reproduces the linear elastic
+    laminate response."""
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=3.0, lam=2.0)
+    grid = Grid(8, 4, 4)
+    phi1, phi2 = layered_phi(grid)
+
+    lin = VoigtMixed([
+        Phase("m1", laws.LinearIsotropic(**m1), phi1),
+        Phase("m2", laws.LinearIsotropic(**m2), phi2),
+    ], dim=6)
+    s_lin = LSSolver(grid, lin, SolverOptions(
+        mode="elasticity", method="cg", tol=1e-12, maxiter=2000))
+    h = 1e-5
+    s_lin.set_strain([h, 0, 0, 0, 0, 0])
+    assert not s_lin.run()
+    sig_lin = s_lin.calc_mean_stress()
+
+    hyp = VoigtMixed([
+        Phase("m1", laws.SaintVenantKirchhoff(**m1), phi1),
+        Phase("m2", laws.SaintVenantKirchhoff(**m2), phi2),
+    ], dim=9)
+    s_h = LSSolver(grid, hyp, SolverOptions(
+        mode="hyperelasticity", method="cg", tol=1e-10, maxiter=2000))
+    s_h.set_strain(np.array([1 + h, 1, 1, 0, 0, 0, 0, 0, 0]))
+    assert not s_h.run()
+    sig_h = s_h.calc_mean_stress()
+    np.testing.assert_allclose(sig_h[:6], sig_lin, rtol=1e-3, atol=1e-10 * h)
