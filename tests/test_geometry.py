@@ -1,0 +1,174 @@
+"""Geometry layer tests: plane-cut volumes, voxelization accuracy, RSA
+generation invariants, ACG moment inversion, and the Hashin coated-sphere
+analytic oracle (demo/elasticity/hashin/project.xml:28-31)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fibergen_tpu as fg
+from fibergen_tpu.geometry import discretize, distributions as dist
+from fibergen_tpu.geometry.generator import FiberGenerator, GeneratorSettings
+from fibergen_tpu.geometry.primitives import (
+    Capsule, Cylinder, fiber_fiber_distance, sphere)
+from fibergen_tpu.solvers.ls import LSSolver, SolverOptions
+from fibergen_tpu.utils.logging import LOG
+
+LOG.enabled = False
+
+
+def test_plane_cut_fraction_axis_aligned():
+    h = (1.0, 1.0, 1.0)
+    # plane x = d with normal +x: fraction inside (x < center + d)
+    for d in [-0.6, -0.25, 0.0, 0.25, 0.6]:
+        f = float(discretize.plane_cut_fraction(
+            jnp.asarray(d), jnp.asarray(1.0), jnp.asarray(0.0), jnp.asarray(0.0), h))
+        expect = np.clip(0.5 - d, 0.0, 1.0)
+        assert abs(f - expect) < 1e-6, (d, f, expect)
+
+
+def test_plane_cut_fraction_diagonal():
+    h = (1.0, 1.0, 1.0)
+    n = np.ones(3) / np.sqrt(3)
+    # plane through center with body-diagonal normal cuts the cube in half
+    f = float(discretize.plane_cut_fraction(
+        jnp.asarray(0.0), *[jnp.asarray(v) for v in n], h))
+    assert abs(f - 0.5) < 1e-6
+    # corner cut: plane at distance d leaves a tetrahedron of volume
+    # (sqrt(3)(1/2*3) - d)^3 ... check saturation limits instead
+    f0 = float(discretize.plane_cut_fraction(
+        jnp.asarray(np.sqrt(3)), *[jnp.asarray(v) for v in n], h))
+    f1 = float(discretize.plane_cut_fraction(
+        jnp.asarray(-np.sqrt(3)), *[jnp.asarray(v) for v in n], h))
+    assert f0 == 0.0 and f1 == 1.0
+
+
+def test_sphere_voxel_volume():
+    grid = fg.Grid(32, 32, 32)
+    R = 0.3
+    s = sphere([0.5, 0.5, 0.5], R)
+    phi = discretize.phi_field(grid, [s], supersample=1, dtype=jnp.float64)
+    vol = float(phi.mean())
+    exact = 4 / 3 * np.pi * R ** 3
+    # tangent-plane (level-0) voxelization has O(h^2 * curvature) bias,
+    # like the reference at its default smooth_tol=1e-3
+    assert abs(vol - exact) / exact < 5e-3
+    # supersampling shrinks the curvature error ~quadratically
+    phi4 = discretize.phi_field(grid, [s], supersample=4, dtype=jnp.float64)
+    vol4 = float(phi4.mean())
+    assert abs(vol4 - exact) < 0.2 * abs(vol - exact)
+
+
+def test_cylinder_voxel_volume():
+    grid = fg.Grid(32, 32, 32)
+    c = Cylinder(center=np.array([0.5, 0.5, 0.5]),
+                 axis=np.array([0.0, 0.0, 1.0]), length=0.5, radius=0.2)
+    phi = discretize.phi_field(grid, [c], supersample=2, dtype=jnp.float64)
+    exact = np.pi * 0.2 ** 2 * 0.5
+    assert abs(float(phi.mean()) - exact) / exact < 1e-3
+
+
+def test_capsule_distance_and_volume():
+    c = Capsule(center=np.zeros(3), axis=np.array([1.0, 0, 0]),
+                length=1.0, radius=0.25)
+    assert abs(c.volume() - (np.pi * .25**2 * 1 + 4/3*np.pi*.25**3)) < 1e-12
+    assert abs(c.distance(np.array([1.0, 0, 0])) - 0.25) < 1e-12
+    assert abs(c.distance(np.array([0.0, 1.0, 0])) - 0.75) < 1e-12
+    assert c.distance(np.array([0.2, 0.1, 0.0])) < 0
+
+
+def test_fiber_fiber_distance():
+    f1 = Capsule(center=np.zeros(3), axis=np.array([1.0, 0, 0]),
+                 length=1.0, radius=0.1)
+    f2 = Capsule(center=np.array([0.0, 0.5, 0.0]), axis=np.array([1.0, 0, 0]),
+                 length=1.0, radius=0.1)
+    d = fiber_fiber_distance(f1, [f2])
+    assert abs(d[0] - 0.3) < 1e-12
+
+
+def test_rsa_generation_no_intersections():
+    s = GeneratorSettings(fiber_type="capsule", length=0.3, radius=0.05,
+                          target_count=20, max_iter=5000, dmin=0.01, seed=3)
+    gen = FiberGenerator(s)
+    gen.select_material(1, "fiber")
+    gen.run()
+    assert len(gen.fibers) == 20
+    # pairwise clearance (incl. periodic clones)
+    allf = gen.all_fibers()
+    for i, f in enumerate(gen.fibers):
+        others = [g for g in allf if g is not f]
+        d = fiber_fiber_distance(f, others)
+        # clones of f itself overlap f is impossible (distance to own clone
+        # >= period - size); clearance must hold for all
+        assert d.min() >= 0.01 - 1e-9, d.min()
+
+
+def test_rsa_reproducible():
+    s = GeneratorSettings(target_count=5, max_iter=1000, seed=7,
+                          length=0.2, radius=0.05)
+    g1, g2 = FiberGenerator(s), FiberGenerator(s)
+    g1.run(); g2.run()
+    for a, b in zip(g1.fibers, g2.fibers):
+        np.testing.assert_allclose(a.center, b.center)
+
+
+def test_a2_moments():
+    s = GeneratorSettings(target_count=50, max_iter=10000, seed=1,
+                          length=0.1, radius=0.02)
+    gen = FiberGenerator(s)
+    gen.orientation_distribution = dist.Dirac(np.array([0.0, 0.0, 1.0]))
+    gen.run()
+    A2 = gen.get_A2()
+    np.testing.assert_allclose(A2, np.diag([0, 0, 1.0]), atol=1e-12)
+    A4 = gen.get_A4()
+    assert abs(A4[2, 2, 2, 2] - 1.0) < 1e-12
+
+
+def test_acg_inversion_roundtrip():
+    for b in [np.array([1.0, 1.0, 1.0]), np.array([4.0, 1.0, 0.25]),
+              np.array([10.0, 0.5, 0.2])]:
+        b = b / np.cbrt(b.prod())
+        a = dist.acg_moments_from_b(b)
+        b2 = dist.acg_b_from_moments(a)
+        a2 = dist.acg_moments_from_b(b2)
+        np.testing.assert_allclose(a2, a, atol=1e-9)
+
+
+def test_acg_sampling_moments():
+    A = np.diag([0.7, 0.2, 0.1])
+    d = dist.ACG(A=A)
+    rng = np.random.default_rng(0)
+    xs = np.stack([d.draw(rng) for _ in range(20000)])
+    A2 = (xs[:, :, None] * xs[:, None, :]).mean(0)
+    np.testing.assert_allclose(np.diag(A2), np.diag(A), atol=0.02)
+
+
+def test_hashin_coated_sphere():
+    """Hashin coated-sphere assemblage: hydrostatic response equals the
+    exact k* = lambda_matrix + 2/3 mu_matrix when the matrix is 'neutral'
+    (demo/elasticity/hashin/project.xml: k_eff 4.305067 computed vs
+    4.305344 exact at n=64)."""
+    n = 32
+    grid = fg.Grid(n, n, n)
+    lam_m = 3.63867684478
+    # material order follows the reference XML <materials> listing
+    # (matrix, mat2, mat1): the inner sphere (mat1) has the highest index so
+    # normalizePhi gives it priority over the enclosing shell
+    shell = sphere([0.5, 0.5, 0.5], 0.4, material=1)   # mat2
+    inner = sphere([0.5, 0.5, 0.5], 0.2, material=2)   # mat1
+    phis = discretize.voxelize(grid, [shell, inner], n_materials=3,
+                               matrix_material=0, supersample=2,
+                               dtype=jnp.float64)
+    mat = fg.VoigtMixed([
+        fg.Phase("matrix", fg.LinearIsotropic(mu=1.0, lam=lam_m), phis[0]),
+        fg.Phase("mat2", fg.LinearIsotropic(mu=3.0, lam=2.0), phis[1]),
+        fg.Phase("mat1", fg.LinearIsotropic(mu=5.0, lam=4.0), phis[2]),
+    ], dim=6)
+    s = LSSolver(grid, mat, SolverOptions(
+        mode="elasticity", method="cg", tol=1e-10, maxiter=500))
+    s.set_strain([1.0, 1.0, 1.0, 0, 0, 0])
+    assert not s.run()
+    assert len(s.residuals) < s.opt.maxiter
+    sig = s.calc_mean_stress()
+    k_eff = (sig[0] + sig[1] + sig[2]) / 9.0
+    k_star = lam_m + 2.0 / 3.0 * 1.0
+    assert abs(k_eff - k_star) / k_star < 2e-3, (k_eff, k_star)
