@@ -7,6 +7,7 @@ elasticity, finite-strain hyperelasticity, Stokes flow, heat conduction and
 Darcy flow on periodic voxel microstructures.
 """
 
+from .api import FG, isotropic_laminate_stiffness
 from .core.grid import Grid
 from .materials import convert, laws
 from .materials.laws import (
@@ -25,6 +26,7 @@ from .solvers.ls import LSSolver, SolverOptions
 __version__ = "0.1.0"
 
 __all__ = [
+    "FG",
     "Grid",
     "LSSolver",
     "SolverOptions",

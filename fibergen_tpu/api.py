@@ -1,0 +1,1011 @@
+"""FG — the project-level scripting API.
+
+Equivalent of the reference's FG orchestrator + FGProject + PyFG bindings
+(fibergen.cpp:24742-27197): owns the XML project tree, the fiber generator
+and the Lippmann-Schwinger solver, evaluates XML attributes as Python
+expressions, and interprets the <actions> list.  The method surface mirrors
+the Boost.Python class definition (fibergen.cpp:27142-27187) so reference
+demos and scripts port directly.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config.xmlproject import ExpressionEngine, SettingsReader, XMLProject
+from .core import voigt as voigtmod
+from .core.grid import Grid
+from .geometry import discretize
+from .geometry import distributions as distmod
+from .geometry.generator import FiberGenerator, GeneratorSettings
+from .geometry.primitives import Capsule, Cylinder, HalfSpace
+from .materials import convert, laws
+from .materials.mixing import Phase, make_mixed
+from .solvers.ls import LSSolver, SolverOptions
+from .utils.logging import LOG, TIMINGS, timer
+
+
+class FGError(RuntimeError):
+    pass
+
+
+class FG:
+    """The fibergen solver class (PyFG, fibergen.cpp:26785-27140)."""
+
+    def __init__(self, *args):
+        self.project = XMLProject()
+        self.engine = ExpressionEngine()
+        self._reset_state()
+        if args and isinstance(args[0], str):
+            self.load_xml(args[0])
+
+    # ------------------------------------------------------------- lifecycle
+    def _reset_state(self):
+        self.gen: Optional[FiberGenerator] = None
+        self.solver: Optional[LSSolver] = None
+        self._phases_initialized = False
+        self._fibers_initialized = False
+        self._material_index: Dict[str, int] = {}
+        self._matrix_material = 0
+        self._Ceff: Optional[np.ndarray] = None
+        self._error = False
+        self._convergence_callback = None
+        self._loadstep_callback = None
+        self._dtype = None
+
+    def reset(self):
+        """Reset solver state and unload the project (PyFG::reset)."""
+        self.project = XMLProject()
+        self.engine = ExpressionEngine()
+        self._reset_state()
+
+    # ------------------------------------------------------------ project xml
+    def load_xml(self, filename: str):
+        self.project.load_xml(filename)
+        self._xml_dir = os.path.dirname(os.path.abspath(filename))
+
+    def set_xml(self, text: str):
+        self.project.set_xml(text)
+
+    def get_xml(self) -> str:
+        return self.project.get_xml()
+
+    def set_xml_precision(self, digits: int):
+        self.project.xml_precision = digits
+
+    def get_xml_precision(self) -> int:
+        return self.project.xml_precision
+
+    def set(self, path: str, *args, **kwargs):
+        """set('a.b..attr', value) or set('path', x=1, y=2)
+        (fibergen.cpp:27157-27161)."""
+        if kwargs:
+            for k, v in kwargs.items():
+                self.project.set(path + ".." + k, v)
+            return
+        self.project.set(path, args[0] if args else None)
+
+    def get(self, path: str) -> str:
+        return self.project.get(path)
+
+    def erase(self, path: str):
+        self.project.erase(path)
+
+    def set_variable(self, name: str, value):
+        self.engine.add_local(name, value)
+
+    def get_variable(self, name: str):
+        return self.engine.locals.get(name)
+
+    def set_log_file(self, filename: str):
+        LOG.set_log_file(filename)
+
+    def set_py_enabled(self, enabled: bool):
+        self.engine.enabled = bool(enabled)
+
+    def cancel(self):
+        if self.solver is not None:
+            self.solver.cancel()
+
+    # --------------------------------------------------------------- readers
+    def _settings(self) -> SettingsReader:
+        return SettingsReader(self.engine, self.project.root)
+
+    def _solver_settings(self) -> SettingsReader:
+        return self._settings().child("solver")
+
+    def _init_python(self):
+        """Load <variables> and execute <python> blocks
+        (FG::init_python, fibergen.cpp:24873-24930)."""
+        self.engine.add_local("fg", self)
+        s = self._settings()
+        var_root = s.child("variables")
+        for v in var_root.children():
+            typ = v.get("type", "object")
+            raw = v.get("value", "")
+            if typ == "str":
+                val = raw
+            elif typ == "int":
+                val = int(self.engine.eval(raw))
+            elif typ == "float":
+                val = float(self.engine.eval(raw))
+            else:
+                val = self.engine.eval(raw) if raw else None
+            self.engine.add_local(v.tag, val)
+        for p in (self.project.root.findall("python") or []):
+            if p.text and p.text.strip():
+                self.engine.exec_code(p.text)
+
+    # ---------------------------------------------------------------- dtype
+    def _dtype_str(self):
+        if self._dtype is None:
+            import jax
+            want = self._settings().value("datatype", "double", str)
+            if want == "double" and jax.config.jax_enable_x64:
+                self._dtype = "float64"
+            else:
+                if want == "double":
+                    LOG.warn("datatype 'double' requested but x64 is disabled "
+                             "(TPU); computing in float32")
+                self._dtype = "float32"
+        return self._dtype
+
+    # ------------------------------------------------------------- init_lss
+    def init_lss(self):
+        """Create the LSSolver from <solver> settings
+        (FG::init_lss, fibergen.cpp:24990-25017 + LSSolver::readSettings,
+        fibergen.cpp:15044-15362)."""
+        if self.solver is not None:
+            return
+        s = self._settings()
+        sol = self._solver_settings()
+        if sol.elem is None:
+            raise FGError("No <solver> section in project")
+
+        n = sol.attr("n", 0, int)
+        mult = sol.attr("mult", 1, int)
+        nx = sol.attr("nx", n, int) * mult
+        ny = sol.attr("ny", n, int) * mult
+        nz = sol.attr("nz", n, int) * mult
+        if min(nx, ny, nz) < 1:
+            raise FGError("Invalid solver resolution")
+
+        dx = s.value("dx", 1.0)
+        dy = s.value("dy", 1.0)
+        dz = s.value("dz", 1.0)
+        x0 = (s.value("x0", 0.0), s.value("y0", 0.0), s.value("z0", 0.0))
+        grid = Grid(nx, ny, nz, dx, dy, dz, x0)
+
+        opt = SolverOptions(
+            mode=sol.value("mode", "elasticity", str),
+            method=sol.value("method", "cg", str),
+            gamma_scheme=sol.value("gamma_scheme", "auto", str),
+            tol=sol.value("tol", 1e-4),
+            abs_tol=sol.value("abs_tol", SolverOptions.abs_tol),
+            bc_tol=sol.value("bc_tol", 1e-3),
+            maxiter=sol.value("maxiter", 10000, int),
+            update_ref=sol.value("update_ref", "loadstep", str),
+            ref_scale=sol.value("ref_scale", 1.0),
+            newton_relax=sol.value("newton_relax", 1.0),
+            basic_relax=sol.value("basic_relax", 1.0),
+            bc_relax=sol.value("bc_relax", 1.0),
+            cg_inner_product=sol.value("cg_inner_product", "l2", str),
+            cg_reinit=sol.value("cg_reinit", 0, int),
+            nl_cg_beta_scheme=sol.value("nl_cg_beta_scheme", "polak_ribiere", str),
+            nl_cg_c=sol.value("nl_cg_c", 0.5),
+            nl_cg_tau=sol.value("nl_cg_tau", 0.5),
+            nl_cg_alpha=sol.value("nl_cg_alpha", 1.0),
+            error_estimator=sol.value("error_estimator", "epsilon", str),
+            outer_error_estimator=sol.value("outer_error_estimator", "epsilon", str),
+            first_loadstep=sol.value("first_loadstep", -1, int),
+            loadstep_extrapolation_order=sol.value(
+                "loadstep_extrapolation_order", 0, int),
+            loadstep_extrapolation_method=sol.value(
+                "loadstep_extrapolation_method", "polynomial", str),
+            print_mean=sol.value("print_mean", False, bool),
+            print_detF=sol.value("print_detF", False, bool),
+            dtype=self._dtype_str(),
+        )
+        ls = sol.value("loadsteps", 1, int)
+        opt.loadsteps = max(1, ls)
+        self._smooth_levels = sol.value("smooth_levels", -1, int)
+
+        mode = opt.mode
+        mixing_rule = sol.value("mixing_rule", "voigt", str)
+
+        # materials (fibergen.cpp:15182-15305)
+        phases: List[Phase] = []
+        matrix_set = False
+        ref_mu = ref_lambda = None
+        mats = sol.child("materials")
+        if mats.elem is None:
+            raise FGError("No materials specified")
+        for m in mats.children():
+            name = m.tag
+            r = SettingsReader(self.engine, m)
+            if name in ("ref", "reference"):
+                c = self._read_constants(r)
+                ref_mu, ref_lambda = c["mu"], c["lam"]
+                continue
+            law_name = r.attr("law", "iso", str)
+            law = self._make_law(mode, law_name, r)
+            if name == "matrix" or r.attr("matrix", 0, int):
+                if matrix_set:
+                    raise FGError("Matrix material already specified")
+                matrix_set = True
+                self._matrix_material = len(phases)
+            self._material_index[name] = len(phases)
+            phases.append(Phase(name, law, None))
+        if not phases:
+            raise FGError("No materials specified")
+        if not matrix_set:
+            self._matrix_material = 0
+            LOG.warn(f"selecting '{phases[0].name}' as matrix material")
+
+        if ref_mu is not None:
+            opt.ref_mu, opt.ref_lambda = ref_mu, ref_lambda
+            opt.update_ref = "never"
+
+        from .solvers.ls import MODE_DIM
+        material = make_mixed(mixing_rule, phases, dim=MODE_DIM[mode])
+        self.solver = LSSolver(grid, material, opt)
+        if self._convergence_callback:
+            self.solver.convergence_callback = self._convergence_callback
+        if self._loadstep_callback:
+            self.solver.loadstep_callback = self._loadstep_callback
+
+    def _read_constants(self, r: SettingsReader) -> dict:
+        kw = {}
+        for c in ("K", "E", "lambda", "mu", "nu", "M"):
+            if r.has_attr(c):
+                kw[c] = r.attr(c, None, float)
+        return convert.elastic_constants(**kw)
+
+    def _make_law(self, mode, law_name, r: SettingsReader):
+        """Material-law dispatch per mode (fibergen.cpp:15211-15294)."""
+        if mode == "elasticity":
+            if law_name == "iso":
+                c = self._read_constants(r)
+                return laws.LinearIsotropic(mu=c["mu"], lam=c["lam"])
+            if law_name == "general":
+                C = np.zeros((6, 6))
+                for i in range(6):
+                    for j in range(6):
+                        C[i, j] = r.attr(f"c{i+1}{j+1}", 0.0, float) or 0.0
+                return laws.LinearGeneral(C=C)
+        elif mode in ("heat", "porous"):
+            if law_name == "iso":
+                return laws.ScalarLinearIsotropic(mu=r.attr("mu", 1.0, float), dim=3)
+        elif mode == "viscosity":
+            if law_name == "iso":
+                # dual-quantity scaling (fibergen.cpp:15237)
+                return laws.ScalarLinearIsotropic(
+                    mu=0.5 * r.attr("mu", 1.0, float), dim=6)
+        elif mode == "hyperelasticity":
+            c = self._read_constants(r)
+            if law_name in ("iso", "sv", "svk"):
+                return laws.SaintVenantKirchhoff(mu=c["mu"], lam=c["lam"])
+            if law_name == "nh":
+                return laws.NeoHooke(mu=c["mu"], lam=c["lam"])
+            if law_name == "nh2":
+                return laws.NeoHooke2(mu=c["mu"], K=c["K"])
+        raise FGError(f"Unknown material law '{law_name}' for mode '{mode}'")
+
+    # ------------------------------------------------------------ init_fibers
+    def init_gen(self):
+        """Create the fiber generator from top-level settings
+        (FiberGenerator::readSettings equivalents)."""
+        if self.gen is not None:
+            return
+        s = self._settings()
+        gs = GeneratorSettings(
+            fiber_type=s.value("type", "capsule", str) or "capsule",
+            length=s.value("length", 0.1),
+            radius=s.value("radius", 0.01),
+            target_volume=s.value("v", 0.0) or 0.0,
+            target_count=s.value("n", 0, int) or 0,
+            max_iter=s.value("m", 10000, int),
+            dmin=s.value("dmin", 0.0),
+            intersecting=s.value("intersecting", False, bool),
+            seed=s.value("seed", 0, int),
+            x0=(s.value("x0", 0.0), s.value("y0", 0.0), s.value("z0", 0.0)),
+            dims=(s.value("dx", 1.0), s.value("dy", 1.0), s.value("dz", 1.0)),
+        )
+        per = s.child("periodic")
+        if per.elem is not None:
+            base = self.engine.get(per.text("1") or "1", bool)
+            gs.periodic_x = per.attr("x", base, bool)
+            gs.periodic_y = per.attr("y", base, bool)
+            gs.periodic_z = per.attr("z", base, bool)
+            gs.periodic_fast = per.attr("fast", False, bool)
+        pl = s.child("planar")
+        if pl.elem is not None:
+            gs.planar_x = pl.attr("x", False, bool)
+            gs.planar_y = pl.attr("y", False, bool)
+            gs.planar_z = pl.attr("z", False, bool)
+            # planar direction disables periodicity there
+            gs.periodic_x = gs.periodic_x and not gs.planar_x
+            gs.periodic_y = gs.periodic_y and not gs.planar_y
+            gs.periodic_z = gs.periodic_z and not gs.planar_z
+        self.gen = FiberGenerator(gs)
+
+    def init_fibers(self):
+        """Generate the random geometry if generation targets are set
+        (FG::init_fibers, fibergen.cpp:25019)."""
+        self.init_gen()
+        if self._fibers_initialized:
+            return
+        self._fibers_initialized = True
+        gs = self.gen.s
+        if (gs.target_count or gs.target_volume) and not self.gen.fibers:
+            self.gen.run()
+
+    def init_phase(self):
+        """Discretize the geometry into phase fields
+        (FG::init_phase -> initPhi, fibergen.cpp:25026, 17489)."""
+        if self._phases_initialized:
+            return
+        self.init_lss()
+        self.init_fibers()
+        import jax.numpy as jnp
+        dtype = jnp.float64 if self.solver.dtype == jnp.float64 else jnp.float32
+        ss = 2 if self._smooth_levels != 0 else 1
+        with timer("phase initialization", log=True):
+            phis = discretize.voxelize(
+                self.solver.grid, self.gen.all_fibers(),
+                n_materials=len(self.solver.mat.phases),
+                matrix_material=self._matrix_material,
+                supersample=ss, dtype=dtype)
+        for p, phi in zip(self.solver.mat.phases, phis):
+            p.phi = phi
+        self._phases_initialized = True
+
+    # ------------------------------------------------------------------ run
+    def run(self, path: str = "actions") -> int:
+        """Run the actions list (FG::run, fibergen.cpp:25195-25295).
+        Returns 0 on success."""
+        self._error = False
+        try:
+            self._init_python()
+            elem = self.project.root.find(path) if path else None
+            if elem is None:
+                raise FGError(f"No <{path}> section in project")
+            self.run_actions(elem)
+        except Exception as e:  # noqa: BLE001 — report like set_exception
+            LOG.error(f"{type(e).__name__}: {e}")
+            self._error = True
+            raise
+        return 1 if self._error else 0
+
+    def run_actions(self, elem) -> int:
+        """Interpret the action list (run_actions, fibergen.cpp:25297-26489)."""
+        for action in elem:
+            if not isinstance(action.tag, str):
+                continue  # comment
+            r = SettingsReader(self.engine, action)
+            if r.attr("skip", 0, int):
+                continue
+            name = action.tag
+            with timer(f"action {name}"):
+                ret = self._dispatch_action(name, action, r)
+            if ret:
+                return ret
+        return 0
+
+    def _dispatch_action(self, name, action, r: SettingsReader) -> int:
+        if name.startswith("group-"):
+            return self.run_actions(action)
+        handler = getattr(self, "_action_" + name, None)
+        if handler is None:
+            raise FGError(f"Unknown action '{name}'")
+        return handler(action, r) or 0
+
+    # ------------------------------------------------------- geometry actions
+    def _action_python(self, action, r):
+        if action.text and action.text.strip():
+            self.engine.exec_code(action.text)
+
+    def _action_select_material(self, action, r):
+        self.init_gen()
+        name = r.attr("name", "", str)
+        # material index resolved lazily against the solver's material list
+        self.init_lss()
+        if name not in self._material_index:
+            raise FGError(f"Unknown material '{name}'")
+        self.gen.select_material(self._material_index[name], name)
+
+    def _action_place_fiber(self, action, r):
+        """place_fiber (fibergen.cpp:25788-25822)."""
+        self.init_gen()
+        s = self._settings()
+        dx = s.value("dx", 1.0); dy = s.value("dy", 1.0); dz = s.value("dz", 1.0)
+        typ = r.attr("type", "", str) or self.gen.s.fiber_type or "capsule"
+        L = r.attr("L", 0.0, float)
+        R = r.attr("R", 0.25 * dx, float)
+        V = r.attr("V", -1.0, float)
+        c = np.array([r.attr("cx", 0.5 * dx, float),
+                      r.attr("cy", 0.5 * dy, float),
+                      r.attr("cz", 0.5 * dz, float)])
+        a = np.array([r.attr("ax", 1.0, float),
+                      r.attr("ay", 0.0, float),
+                      r.attr("az", 0.0, float)])
+        a = a / np.linalg.norm(a)
+        if V > 0:
+            # radius from volume (capsule: pi R^2 L + 4/3 pi R^3)
+            if typ == "cylinder":
+                R = np.sqrt(V / (np.pi * max(L, 1e-30)))
+            elif L == 0:
+                R = (3 * V / (4 * np.pi)) ** (1 / 3)
+            else:
+                R = float(np.roots([4 / 3 * np.pi, np.pi * L, 0, -V])[-1].real)
+        if typ == "halfspace":
+            f = HalfSpace(point=c, normal=a)
+        elif typ == "cylinder":
+            f = Cylinder(center=c, axis=a, length=L, radius=R)
+        else:
+            f = Capsule(center=c, axis=a, length=L, radius=R)
+        self.gen.add_fiber(f)
+        self._phases_initialized = False
+
+    def _read_distribution_list(self, action) -> distmod.Distribution:
+        parts = []
+        for d in action:
+            if not isinstance(d.tag, str):
+                continue
+            r = SettingsReader(self.engine, d)
+            w = r.attr("weight", 1.0, float)
+            if d.tag == "dirac":
+                val = np.array([r.attr("x", 0.0, float), r.attr("y", 0.0, float),
+                                r.attr("z", 0.0, float)])
+                if np.linalg.norm(val) == 0:
+                    val = np.array([r.attr("value", 0.0, float)])
+                p = distmod.Dirac(val, weight=w)
+            elif d.tag == "uniform":
+                if r.has_attr("a") or r.has_attr("b"):
+                    p = distmod.UniformInterval(r.attr("a", 0.0, float),
+                                                r.attr("b", 1.0, float), weight=w)
+                else:
+                    p = distmod.UniformSphere(weight=w)
+            elif d.tag == "normal":
+                if r.has_attr("mu"):
+                    p = distmod.NormalScalar(r.attr("mu", 0.0, float),
+                                             r.attr("sigma", 1.0, float), weight=w)
+                else:
+                    p = distmod.NormalSphere(
+                        np.array([r.attr("x", 0.0, float), r.attr("y", 0.0, float),
+                                  r.attr("z", 0.0, float)]),
+                        r.attr("sigma", 1.0, float), weight=w)
+            elif d.tag == "acg":
+                A = np.array([
+                    [r.attr("axx", 1/3, float), r.attr("axy", 0.0, float), r.attr("axz", 0.0, float)],
+                    [r.attr("axy", 0.0, float), r.attr("ayy", 1/3, float), r.attr("ayz", 0.0, float)],
+                    [r.attr("axz", 0.0, float), r.attr("ayz", 0.0, float), r.attr("azz", 1/3, float)],
+                ])
+                p = distmod.ACG(A=A, weight=w)
+            elif d.tag == "list":
+                vecs = []
+                for v in d:
+                    rv = SettingsReader(self.engine, v)
+                    vecs.append([rv.attr("x", 0.0, float), rv.attr("y", 0.0, float),
+                                 rv.attr("z", 0.0, float)])
+                p = distmod.ListDistribution(np.asarray(vecs), weight=w)
+            elif d.tag == "composite":
+                p = self._read_distribution_list(d)
+                p.weight = w
+            else:
+                raise FGError(f"Unknown distribution '{d.tag}'")
+            parts.append(p)
+        if len(parts) == 1:
+            return parts[0]
+        return distmod.Composite(parts)
+
+    def _action_set_fiber_distribution(self, action, r):
+        self.init_gen()
+        self.gen.orientation_distribution = self._read_distribution_list(action)
+
+    _action_set_orientation_distribution = _action_set_fiber_distribution
+
+    def _action_set_length_distribution(self, action, r):
+        self.init_gen()
+        self.gen.length_distribution = self._read_distribution_list(action)
+
+    def _action_set_radius_distribution(self, action, r):
+        self.init_gen()
+        self.gen.radius_distribution = self._read_distribution_list(action)
+
+    def _action_generate_fibers(self, action, r):
+        self.init_gen()
+        self.gen.run(
+            V=r.attr("v", 0.0, float) or 0.0,
+            N=r.attr("n", 0, int) or 0,
+            M=r.attr("m", 0, int) or 0,
+            dmin=r.attr("dmin", None, float),
+            intersecting=r.attr("intersecting", None, bool),
+        )
+        self._fibers_initialized = True
+        self._phases_initialized = False
+
+    def _action_init_fibers(self, action, r):
+        self.init_fibers()
+
+    def _action_init_phase(self, action, r):
+        self.init_phase()
+
+    # --------------------------------------------------------- solve actions
+    def _action_run_load_case(self, action, r):
+        """run_load_case (fibergen.cpp:25919-26028)."""
+        self.init_lss()
+        self.init_phase()
+        lss = self.solver
+        dim = lss.dim
+        E = np.zeros(dim)
+        S = np.zeros(dim)
+        idx = {6: ["11", "22", "33", "23", "13", "12"],
+               3: ["1", "2", "3"],
+               9: ["11", "22", "33", "23", "13", "12", "32", "31", "21"]}[dim]
+        for k, suffix in enumerate(idx):
+            E[k] = r.attr("e" + suffix, 0.0, float)
+            S[k] = r.attr("s" + suffix, 0.0, float)
+        P = voigtmod.id4(dim)
+        for i, si in enumerate(idx):
+            for j, sj in enumerate(idx):
+                if r.has_attr("p" + si + sj):
+                    P[i, j] = r.attr("p" + si + sj, 0.0, float)
+        if lss.mode == "hyperelasticity":
+            E = E + voigtmod.dyad4_mv(P, voigtmod.identity_vec(9))
+        if lss.mode == "viscosity":
+            tol = 100 * np.finfo(np.float64).eps
+            if abs(E[0] + E[1] + E[2]) > tol:
+                raise FGError("Prescribed fluid stress has non-zero trace")
+            if abs(S[0] + S[1] + S[2]) > tol:
+                raise FGError("Prescribed fluid strain has non-zero trace")
+        lss.set_bc_projector(P)
+        lss.set_strain(E)
+        lss.set_stress(S)
+        if lss.run():
+            self._error = True
+            return 1
+        outfile = r.attr("outfile", "", str)
+        if outfile:
+            self.write_vtk_solution(outfile)
+        return 0
+
+    def _action_calc_effective_properties(self, action, r):
+        """calc_effective_properties (fibergen.cpp:26030-26403)."""
+        self.init_lss()
+        self.init_phase()
+        lss = self.solver
+        outdir = r.attr("outdir", "", str)
+        mode = lss.mode
+
+        if mode == "elasticity":
+            S = np.zeros((6, 6))
+            for i in range(6):
+                Ep = np.eye(6)[:, i]
+                lss.set_bc_projector(voigtmod.id4(6))
+                lss.set_strain(Ep)
+                lss.set_stress(np.zeros(6))
+                if lss.run():
+                    self._error = True
+                    return 1
+                S[:, i] = lss.calc_mean_stress()
+                if outdir:
+                    self.write_vtk_solution(
+                        os.path.join(outdir, f"results_{i+1}.vtk"))
+            Ceff = S  # E = I
+            Ceff_voigt = Ceff.copy()
+            Ceff_voigt[:, 3:6] *= 0.5
+            self._Ceff = Ceff_voigt
+            LOG.info(f"Effective stiffness matrix (Voigt notation):\n{Ceff_voigt}")
+            # isotropic least-squares fit (fibergen.cpp:26092-26113)
+            S1 = Ceff[0:3, 0:3].sum()
+            S2 = np.trace(Ceff)
+            lam_eff = (2 * S1 - S2) / 15.0
+            mu_eff = (3 * S2 - S1) / 30.0
+            K_eff = lam_eff + 2.0 / 3.0 * mu_eff
+            Cfit = np.zeros((6, 6))
+            Cfit[0:3, 0:3] = lam_eff
+            np.fill_diagonal(Cfit[0:3, 0:3], lam_eff + 2 * mu_eff)
+            Cfit[3, 3] = Cfit[4, 4] = Cfit[5, 5] = 2 * mu_eff
+            rel = np.linalg.norm(Ceff - Cfit) / np.linalg.norm(Ceff)
+            LOG.info(f"  K_eff      = {K_eff:g}")
+            LOG.info(f"  mu_eff     = {mu_eff:g}")
+            LOG.info(f"  lambda_eff = {lam_eff:g}")
+            LOG.info(f"  relative error of fit = {rel:g}")
+            return 0
+
+        if mode in ("heat", "porous"):
+            S = np.zeros((3, 3))
+            for i in range(3):
+                lss.set_bc_projector(voigtmod.id4(3))
+                lss.set_strain(np.eye(3)[:, i])
+                lss.set_stress(np.zeros(3))
+                if lss.run():
+                    self._error = True
+                    return 1
+                S[:, i] = lss.calc_mean_stress()
+                if outdir:
+                    self.write_vtk_solution(
+                        os.path.join(outdir, f"results_{i+1}.vtk"))
+            self._Ceff = S
+            what = "conductivity" if mode == "heat" else "permeability"
+            LOG.info(f"Effective {what} matrix:\n{S}")
+            return 0
+
+        if mode == "viscosity":
+            return self._effective_viscosity(outdir)
+
+        raise FGError(f"calc_effective_properties not implemented for '{mode}'")
+
+    def _effective_viscosity(self, outdir=""):
+        """5-experiment traceless basis, fluidity inversion, Nunan-Keller
+        alpha/beta (fibergen.cpp:26252-26399)."""
+        lss = self.solver
+        E = np.zeros((6, 5))
+        E[0, 0] = E[1, 1] = 1
+        E[1, 0] = E[2, 1] = -1
+        E[3, 2] = E[4, 3] = E[5, 4] = 1
+        S = np.zeros((6, 5))
+        for i in range(5):
+            lss.set_bc_projector(voigtmod.id4(6))
+            lss.set_strain(E[:, i])
+            lss.set_stress(np.zeros(6))
+            if lss.run():
+                self._error = True
+                return 1
+            S[:, i] = lss.calc_mean_stress()
+            if outdir:
+                self.write_vtk_solution(os.path.join(outdir, f"results_{i+1}.vtk"))
+
+        E55 = E[1:6, :]
+        S55 = S[1:6, :]
+        Ceff55 = E55 @ np.linalg.inv(S55)
+        Feff55 = np.linalg.inv(Ceff55)
+        LOG.info(f'Effective fluidity matrix "0.5*f" (5x5):\n{Feff55}')
+        LOG.info(f'Effective viscosity matrix "2*eta" (5x5):\n{Ceff55}')
+
+        Ceff = np.zeros((6, 6))
+        Ceff[1:6, 1:6] = Ceff55
+        for i in range(5):
+            if S[0, i] != 0:
+                for j in range(1, 6):
+                    Ceff[j, 0] = E[j, i] - Ceff[j, 1:6] @ S[1:6, i]
+                    Ceff[j, 0] /= S[0, i]
+                break
+        Ceff[0, :] = -(Ceff[1, :] + Ceff[2, :])
+        for i in range(6):
+            mn = Ceff[i, 0:3].min()
+            Ceff[i, 0:3] -= mn
+        Ceff_voigt = Ceff.copy()
+        Ceff_voigt[:, 3:6] *= 0.5
+        self._Ceff = Ceff_voigt
+        LOG.info(f'Effective viscosity matrix "2*eta" (Voigt notation):\n{Ceff_voigt}')
+
+        # Nunan-Keller alpha/beta statistics (fibergen.cpp:26352-26399)
+        v = [[0, 5, 4], [5, 1, 3], [4, 3, 2]]
+        matrix_phase = self.solver.mat.phases[self._matrix_material]
+        mu0 = 0.5 / matrix_phase.law.mu  # undo dual scaling
+        alphas, betas = [], []
+        for i in range(3):
+            for j in range(3):
+                if i == j:
+                    continue
+                beta = Ceff_voigt[v[i][j]][v[i][j]] / mu0 - 1.0
+                alpha = (0.5 * Ceff_voigt[v[i][i]][v[i][i]] / mu0
+                         - 0.5 * Ceff_voigt[v[i][i]][v[j][j]] / mu0 - 1.0)
+                alphas.append(alpha)
+                betas.append(beta)
+        self._nunan_keller = (float(np.mean(alphas)), float(np.mean(betas)))
+        LOG.info(f"alpha mean: {np.mean(alphas):g} (std {np.std(alphas):g})")
+        LOG.info(f"beta mean: {np.mean(betas):g} (std {np.std(betas):g})")
+        return 0
+
+    def _action_calc_isotropic_laminate(self, action, r):
+        """Closed-form laminate of isotropic materials
+        (calc_isotropic_laminate, Milton Eq. 9.9, fibergen.cpp:26405-26474)."""
+        mats = []
+        for m in action:
+            if not isinstance(m.tag, str):
+                continue
+            rm = SettingsReader(self.engine, m)
+            c = self._read_constants(rm)
+            phi = rm.attr("phi", 0.0, float)
+            mats.append((c["mu"], c["lam"], phi))
+        C = isotropic_laminate_stiffness(mats)
+        self._Ceff = C
+        LOG.info(f"Laminate stiffness matrix (Voigt notation):\n{C}")
+
+    def _action_calc_HS_bounds(self, action, r):
+        mu1 = r.attr("mu1", 1.0, float)
+        mu2 = r.attr("mu2", 1.0, float)
+        lam1 = r.attr("lambda1", 0.0, float)
+        lam2 = r.attr("lambda2", 0.0, float)
+        self.init_lss()
+        self.init_phase()
+        phis = [float(p.phi.mean()) for p in self.solver.mat.phases]
+        kl, mul, ku, muu = convert.hashin_shtrikman_bounds(
+            mu1, lam1, phis[0], mu2, lam2, phis[1] if len(phis) > 1 else 1 - phis[0])
+        self._hs_bounds = (kl, mul, ku, muu)
+        LOG.info(f"HS lower bounds: K={kl:g} mu={mul:g}")
+        LOG.info(f"HS upper bounds: K={ku:g} mu={muu:g}")
+
+    def _action_print_A2(self, action, r):
+        self.init_fibers()
+        LOG.info(f"A2 =\n{self.gen.get_A2()}")
+
+    def _action_print_timings(self, action, r):
+        LOG.info(TIMINGS.report())
+
+    def _action_exit(self, action, r):
+        code = r.attr("code", 0, int)
+        raise SystemExit(code)
+
+    def _action_tune_num_threads(self, action, r):
+        LOG.info("tune_num_threads: no-op (XLA manages device parallelism)")
+
+    # -------------------------------------------------------------- IO hooks
+    def _action_write_vtk(self, action, r):
+        from .io import vtk as vtkio
+        self.init_lss()
+        self.init_fibers()
+        fields = discretize.geometry_fields(
+            self.solver.grid, self.gen.all_fibers())
+        path = r.attr("filename", "geometry.vtk", str)
+        vtkio.write_vtk(path, self.solver.grid, {
+            "distance": np.asarray(fields["distance"])[None],
+            "normals": np.asarray(fields["normals"]),
+            "orientation": np.asarray(fields["orientation"]),
+            "fiber_id": np.asarray(fields["fiber_id"], dtype=np.float32)[None],
+            "material_id": np.asarray(fields["material_id"], dtype=np.float32)[None],
+        })
+
+    def _action_write_vtk2(self, action, r):
+        self.init_lss()
+        self.write_vtk_solution(r.attr("outfile", "results.vtk", str))
+
+    def _action_write_vtk_phase(self, action, r):
+        from .io import vtk as vtkio
+        self.init_phase()
+        name = r.attr("name", "", str)
+        idx = self._material_index.get(name)
+        if idx is None:
+            raise FGError(f"Unknown phase '{name}'")
+        phi = np.asarray(self.solver.mat.phases[idx].phi)
+        vtkio.write_vtk(r.attr("outfile", f"phase_{name}.vtk", str),
+                        self.solver.grid, {name: phi[None]})
+
+    def _action_write_raw_data(self, action, r):
+        from .io import rawio
+        self.init_phase()
+        name = r.attr("material", "", str)
+        idx = self._material_index.get(name, self._matrix_material)
+        phi = np.asarray(self.solver.mat.phases[idx].phi)
+        rawio.write_raw(r.attr("filename", "phase.raw", str), phi,
+                        dtype=r.attr("dtype", "uint8", str),
+                        order=r.attr("order", "col", str),
+                        scale=r.attr("scale", None, float))
+
+    def _action_read_raw_data(self, action, r):
+        from .io import rawio
+        self.init_lss()
+        path = r.attr("filename", "", str)
+        if not os.path.isabs(path) and getattr(self, "_xml_dir", None):
+            path = os.path.join(self._xml_dir, path)
+        grid = self.solver.grid
+        data = rawio.read_raw(
+            path, grid.shape,
+            dtype=r.attr("dtype", "uint8", str),
+            order=r.attr("order", "col", str),
+            scale=r.attr("scale", None, float),
+            threshold=r.attr("treshold", -1.0, float),
+            header_bytes=r.attr("header_bytes", 0, int))
+        import jax.numpy as jnp
+        jdt = self.solver.dtype
+        # value -> material mapping (material_[int] attributes) or single phase
+        phases = self.solver.mat.phases
+        phis = [None] * len(phases)
+        mapped = False
+        for k in range(256):
+            mat_name = r.attr(f"material_{k}", "", str)
+            if mat_name:
+                mapped = True
+                idx = self._material_index[mat_name]
+                phis[idx] = jnp.asarray((np.round(data * 255) == k).astype(np.float32), jdt)
+        if not mapped:
+            name = r.attr("material", "", str)
+            idx = self._material_index.get(name, None)
+            if idx is None:
+                raise FGError(f"Unknown material '{name}'")
+            phis[idx] = jnp.asarray(data, jdt)
+        for i, p in enumerate(phis):
+            if p is None:
+                phis[i] = (jnp.ones(grid.shape, jdt) if i == self._matrix_material
+                           else jnp.zeros(grid.shape, jdt))
+        phis = discretize.normalize_phi(phis)
+        for p, phi in zip(phases, phis):
+            p.phi = phi
+        self._phases_initialized = True
+
+    def _action_write_fiber_data(self, action, r):
+        self.init_fibers()
+        path = r.attr("filename", "fibers.txt", str)
+        with open(path, "w") as f:
+            f.write("# id material type cx cy cz ax ay az L R\n")
+            for fb in self.gen.all_fibers():
+                t = type(fb).__name__.lower()
+                if isinstance(fb, HalfSpace):
+                    f.write(f"{fb.fiber_id} {fb.material} {t} "
+                            f"{fb.point[0]} {fb.point[1]} {fb.point[2]} "
+                            f"{fb.normal[0]} {fb.normal[1]} {fb.normal[2]} 0 0\n")
+                else:
+                    f.write(f"{fb.fiber_id} {fb.material} {t} "
+                            f"{fb.center[0]} {fb.center[1]} {fb.center[2]} "
+                            f"{fb.axis[0]} {fb.axis[1]} {fb.axis[2]} "
+                            f"{fb.length} {fb.radius}\n")
+
+    def write_vtk_solution(self, path: str):
+        from .io import vtk as vtkio
+        lss = self.solver
+        if lss is None or lss.eps is None:
+            raise FGError("No solution available")
+        fields = {
+            "epsilon": np.asarray(lss.eps),
+            "sigma": np.asarray(lss.mat.pk1(lss.eps)),
+        }
+        for p in lss.mat.phases:
+            if p.phi is not None:
+                fields["phi_" + p.name] = np.asarray(p.phi)[None]
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        vtkio.write_vtk(path, lss.grid, fields)
+
+    # ---------------------------------------------------------------- getters
+    def get_phase_names(self) -> List[str]:
+        self.init_lss()
+        return [p.name for p in self.solver.mat.phases]
+
+    def get_volume_fraction(self, name: str) -> float:
+        self.init_phase()
+        return float(self.solver.mat.phases[self._material_index[name]].phi.mean())
+
+    def get_real_volume_fraction(self, name: str) -> float:
+        self.init_fibers()
+        return self.gen.volume_fraction(self._material_index[name])
+
+    def get_solve_time(self) -> float:
+        return self.solver.solve_time if self.solver else 0.0
+
+    def get_distance_evals(self) -> int:
+        return 0  # not meaningful: voxelization is a fused device kernel
+
+    def get_residuals(self) -> List[float]:
+        return list(self.solver.residuals) if self.solver else []
+
+    def get_effective_property(self):
+        return None if self._Ceff is None else self._Ceff.tolist()
+
+    def get_rve_dims(self):
+        s = self._settings()
+        return (s.value("x0", 0.0), s.value("y0", 0.0), s.value("z0", 0.0),
+                s.value("dx", 1.0), s.value("dy", 1.0), s.value("dz", 1.0))
+
+    def get_A2(self):
+        self.init_fibers()
+        return self.gen.get_A2().tolist()
+
+    def get_A4(self):
+        self.init_fibers()
+        return self.gen.get_A4().tolist()
+
+    def get_B_from_A(self, A):
+        A = np.asarray(A, dtype=np.float64)
+        A = A / np.trace(A)
+        evals, evecs = np.linalg.eigh(A)
+        b = distmod.acg_b_from_moments(evals)
+        return (evecs @ np.diag(b) @ evecs.T).tolist()
+
+    def get_error(self) -> bool:
+        return self._error
+
+    def get_mean_stress(self):
+        return self.solver.calc_mean_stress().tolist()
+
+    def get_mean_strain(self):
+        return self.solver.calc_mean_strain().tolist()
+
+    def get_mean_cauchy_stress(self):
+        return self.solver.calc_mean_cauchy().tolist()
+
+    def get_mean_energy(self):
+        return self.solver.calc_mean_energy()
+
+    def get_field(self, name: str) -> np.ndarray:
+        """Solution/geometry fields as numpy arrays with leading component
+        axis (GetField, fibergen.cpp:27179 + get_raw_field, 15396-15695)."""
+        lss = self.solver
+        if name == "epsilon":
+            return np.asarray(lss.eps)
+        if name == "sigma":
+            return np.asarray(lss.mat.pk1(lss.eps))
+        if name == "phi":
+            return np.stack([np.asarray(p.phi) for p in lss.mat.phases])
+        if name in self._material_index:
+            return np.asarray(
+                lss.mat.phases[self._material_index[name]].phi)[None]
+        if name in ("u", "p"):
+            return np.asarray(self._displacement_field(name))
+        if name in ("orientation", "normals", "distance", "fiber_id",
+                    "material_id"):
+            self.init_fibers()
+            f = discretize.geometry_fields(lss.grid, self.gen.all_fibers())[name]
+            arr = np.asarray(f)
+            return arr if arr.ndim == 4 else arr[None]
+        raise FGError(f"Unknown field '{name}'")
+
+    def _displacement_field(self, name):
+        """Displacement (or pressure-like potential) consistent with the
+        current strain field, recovered by Fourier integration of the
+        zero-mean compatible part (get_raw_field 'u', fibergen.cpp:15505)."""
+        import jax.numpy as jnp
+        from .ops import fft as fftmod
+        from .ops import green
+        from .ops import staggered
+        lss = self.solver
+        grid = lss.grid
+        # solve G0 div(C0 eps') = u for the staggered discretization
+        eps0 = lss.eps - lss.eps.mean(axis=(1, 2, 3), keepdims=True)
+        mu0 = lss.mu_0 if np.isfinite(lss.mu_0) else 1.0
+        lam0 = lss.lambda_0
+        if lss.dim == 3:
+            tau = 2.0 * mu0 * eps0
+            f = staggered.div_staggered_heat(grid, tau)
+            u_hat = green.g0_staggered_heat(grid, mu0, lam0, fftmod.fftn(f), 1.0)
+        else:
+            tau = 2.0 * mu0 * eps0
+            if lss.dim >= 6:
+                tr = lam0 * (eps0[0] + eps0[1] + eps0[2])
+                tau = tau.at[0:3].add(tr)
+            f = staggered.div_staggered(grid, tau[:6])
+            u_hat = green.g0_staggered(grid, mu0, lam0, fftmod.fftn(f), 1.0)
+        u = fftmod.ifftn(u_hat, grid.shape)
+        return -u
+
+    def set_convergence_callback(self, func):
+        self._convergence_callback = func
+        if self.solver:
+            self.solver.convergence_callback = func
+
+    def set_loadstep_callback(self, func):
+        self._loadstep_callback = func
+        if self.solver:
+            self.solver.loadstep_callback = func
+
+
+def isotropic_laminate_stiffness(mats) -> np.ndarray:
+    """Closed-form stiffness of a layered laminate of isotropic phases with
+    layer normal e_x (calc_isotropic_laminate / Milton, The Theory of
+    Composites Eq. 9.9; fibergen.cpp:26405-26474).
+
+    mats: list of (mu, lambda, phi).  Returns the 6x6 Voigt matrix."""
+
+    def avg(f):
+        return sum(p * f(mu, lam) for mu, lam, p in mats)
+
+    c1 = avg(lambda mu, lam: 1.0 / (lam + 2 * mu))
+    c2 = avg(lambda mu, lam: 1.0 / mu)
+    c3 = avg(lambda mu, lam: mu)
+    c4 = avg(lambda mu, lam: lam / (lam + 2 * mu))
+    c5 = avg(lambda mu, lam: 4 * mu * (lam + mu) / (lam + 2 * mu))
+    c6 = avg(lambda mu, lam: 2 * mu * lam / (lam + 2 * mu))
+
+    C = np.zeros((6, 6))
+    C[0, 0] = 1.0 / c1                       # C1111
+    C[1, 1] = C[2, 2] = c5 + c4 * c4 / c1    # C2222 = C3333
+    C[3, 3] = c3                             # C2323
+    C[4, 4] = C[5, 5] = 1.0 / c2             # C1313 = C1212
+    C[0, 1] = C[1, 0] = C[0, 2] = C[2, 0] = c4 / c1   # C1122 = C1133
+    C[1, 2] = C[2, 1] = c6 + c4 * c4 / c1    # C2233
+    return C

@@ -1,0 +1,251 @@
+"""FG API and XML-project tests: path addressing, expression evaluation,
+and end-to-end XML-driven solves against the reference demos' oracles."""
+import os
+
+import numpy as np
+import pytest
+
+import fibergen_tpu as fg
+from fibergen_tpu.config.xmlproject import ExpressionEngine, XMLProject
+from fibergen_tpu.io import rawio
+from fibergen_tpu.utils.logging import LOG
+
+LOG.enabled = False
+
+
+def test_xml_path_addressing():
+    p = XMLProject()
+    p.set_xml("<settings><solver nx='8'><tol>1e-6</tol></solver></settings>")
+    assert p.get("solver..nx") == "8"
+    assert p.get("solver.tol") == "1e-6"
+    p.set("solver..ny", 16)
+    assert p.get("solver..ny") == "16"
+    p.set("actions.run_load_case..e11", 1.0)
+    assert p.get("actions.run_load_case..e11") == "1.0"
+    p.erase("solver.tol")
+    assert p.get("solver.tol") == ""
+    # indexing
+    p.set("list.item[0]..a", 1)
+    p.set("list.item[1]..a", 2)
+    assert p.get("list.item[1]..a") == "2"
+
+
+def test_expression_evaluation():
+    e = ExpressionEngine()
+    e.add_local("res", 64)
+    assert e.get("0.5/res", float) == 0.5 / 64
+    assert e.get("res", int) == 64
+    assert e.get("sqrt(4)", float) == 2.0
+    assert e.get("1e-6", float) == 1e-6
+    assert e.get("plain text", str) == "plain text"
+
+
+HASHIN_XML = """
+<settings>
+  <variables>
+    <res type="int" value="32" />
+  </variables>
+  <solver n="res">
+    <tol>1e-10</tol>
+    <materials>
+      <matrix mu="1" lambda="3.63867684478" />
+      <mat2 mu="3" lambda="2" />
+      <mat1 mu="5" lambda="4" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="mat1" />
+    <place_fiber R="0.2" />
+    <select_material name="mat2" />
+    <place_fiber R="0.4" />
+    <run_load_case e11="1" e22="1" e33="1" />
+  </actions>
+</settings>
+"""
+
+
+def test_hashin_project_xml():
+    """The Hashin coated-sphere demo, driven through XML exactly like the
+    reference (demo/elasticity/hashin/project.xml)."""
+    f = fg.FG()
+    f.set_xml(HASHIN_XML)
+    assert f.run() == 0
+    sig = np.array(f.get_mean_stress())
+    k_eff = sig[:3].sum() / 9.0
+    k_star = 3.63867684478 + 2.0 / 3.0
+    assert abs(k_eff - k_star) / k_star < 2e-3
+    # API surface checks
+    assert f.get_phase_names() == ["matrix", "mat2", "mat1"]
+    assert 0.03 < f.get_volume_fraction("mat1") < 0.04  # 4/3 pi 0.2^3 = .0335
+    assert len(f.get_residuals()) > 0
+    assert not f.get_error()
+    eps = f.get_field("epsilon")
+    assert eps.shape == (6, 32, 32, 32)
+    phi = f.get_field("mat1")
+    assert phi.shape == (1, 32, 32, 32)
+
+
+HEAT_LAMINATE_XML = """
+<settings>
+  <solver nx="16" ny="4" nz="4">
+    <mode>heat</mode>
+    <tol>1e-10</tol>
+    <materials>
+      <matrix mu="1" />
+      <fiber mu="10" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="fiber" />
+    <place_fiber type="halfspace" cx="0.5" cy="0.5" cz="0.5"
+                 ax="-1" ay="0" az="0" />
+    <calc_effective_properties />
+  </actions>
+</settings>
+"""
+
+
+def test_heat_laminate_effective_properties():
+    f = fg.FG()
+    f.set_xml(HEAT_LAMINATE_XML)
+    assert f.run() == 0
+    K = np.array(f.get_effective_property())
+    assert K.shape == (3, 3)
+    series = 2 * 1 * 10 / 11
+    parallel = 5.5
+    np.testing.assert_allclose(K[0, 0], series, rtol=1e-6)
+    np.testing.assert_allclose(K[1, 1], parallel, rtol=1e-6)
+    np.testing.assert_allclose(K[2, 2], parallel, rtol=1e-6)
+
+
+LAMINATE_XML = """
+<settings>
+  <solver nx="16" ny="4" nz="4">
+    <tol>1e-11</tol>
+    <materials>
+      <matrix mu="1" lambda="1" />
+      <mat2 mu="5" lambda="2" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="mat2" />
+    <place_fiber type="halfspace" cx="0.5" cy="0.5" cz="0.5"
+                 ax="-1" ay="0" az="0" />
+    <calc_effective_properties />
+    <calc_isotropic_laminate>
+      <mat1 mu="1" lambda="1" phi="0.5" />
+      <mat2 mu="5" lambda="2" phi="0.5" />
+    </calc_isotropic_laminate>
+  </actions>
+</settings>
+"""
+
+
+def test_laminate_closed_form_vs_fft():
+    """calc_isotropic_laminate (Milton Eq. 9.9) must match the FFT solve of
+    the layered geometry — the reference's own cross-validation
+    (demo/elasticity/laminate)."""
+    f = fg.FG()
+    f.set_xml(LAMINATE_XML)
+    assert f.run() == 0
+    # run() leaves _Ceff at the closed form; recompute the FFT one first
+    C_closed = np.array(f.get_effective_property())
+    C_exact = fg.isotropic_laminate_stiffness([(1, 1, 0.5), (5, 2, 0.5)])
+    np.testing.assert_allclose(C_closed, C_exact, atol=1e-12)
+
+    f2 = fg.FG()
+    f2.set_xml(LAMINATE_XML.replace(
+        "<calc_isotropic_laminate>", "<calc_isotropic_laminate skip='1'>"))
+    assert f2.run() == 0
+    C_fft = np.array(f2.get_effective_property())
+    np.testing.assert_allclose(C_fft, C_exact, atol=2e-6)
+
+
+def test_generate_fibers_project(tmp_path):
+    xml = """
+    <settings>
+      <length>0.2</length>
+      <radius>0.05</radius>
+      <n>8</n>
+      <m>2000</m>
+      <seed>1</seed>
+      <solver n="16">
+        <mode>heat</mode>
+        <tol>1e-6</tol>
+        <materials>
+          <matrix mu="1" />
+          <fiber mu="10" />
+        </materials>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <set_fiber_distribution><uniform /></set_fiber_distribution>
+        <init_phase />
+      </actions>
+    </settings>
+    """
+    f = fg.FG()
+    f.set_xml(xml)
+    assert f.run() == 0
+    vf = f.get_volume_fraction("fiber")
+    assert 0.001 < vf < 0.5
+    A2 = np.array(f.get_A2())
+    assert abs(np.trace(A2) - 1.0) < 1e-12
+
+
+def test_run_load_case_outfile(tmp_path):
+    xml = HASHIN_XML.replace('e33="1" />', f'e33="1" outfile="{tmp_path}/out.vtk" />')
+    f = fg.FG()
+    f.set_xml(xml)
+    assert f.run() == 0
+    data = open(tmp_path / "out.vtk", "rb").read(200)
+    assert data.startswith(b"# vtk DataFile")
+    assert b"STRUCTURED_POINTS" in data
+
+
+def test_raw_io_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.uniform(size=(8, 6, 4))
+    path = str(tmp_path / "test.raw.gz")
+    rawio.write_raw(path, data, dtype="uint16")
+    back = rawio.read_raw(path, (8, 6, 4), dtype="uint16")
+    np.testing.assert_allclose(back, data, atol=1.0 / 65535)
+
+
+def test_read_raw_data_project(tmp_path):
+    """CT-style raw ingestion through the XML action (read_raw_data,
+    fibergen.cpp:25494-25572)."""
+    n = 8
+    x = (np.arange(n) + 0.5) / n
+    phi = np.broadcast_to((x < 0.5)[:, None, None], (n, n, n)).astype(np.float64)
+    raw = str(tmp_path / "phase.raw.gz")
+    rawio.write_raw(raw, phi, dtype="uint8")
+    xml = f"""
+    <settings>
+      <solver n="{n}">
+        <mode>heat</mode>
+        <tol>1e-9</tol>
+        <materials>
+          <matrix mu="1" />
+          <fiber mu="10" />
+        </materials>
+      </solver>
+      <actions>
+        <read_raw_data material="fiber" filename="{raw}" dtype="uint8"
+                       treshold="0.5" />
+        <calc_effective_properties />
+      </actions>
+    </settings>
+    """
+    f = fg.FG()
+    f.set_xml(xml)
+    assert f.run() == 0
+    K = np.array(f.get_effective_property())
+    np.testing.assert_allclose(K[0, 0], 2 * 10 / 11, rtol=1e-5)
+
+
+def test_cli(tmp_path):
+    from fibergen_tpu.cli import main
+    proj = tmp_path / "project.xml"
+    proj.write_text(HEAT_LAMINATE_XML)
+    assert main([str(proj)]) == 0
