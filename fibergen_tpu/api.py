@@ -360,6 +360,11 @@ class FG:
                 supersample=ss, dtype=dtype)
         for p, phi in zip(self.solver.mat.phases, phis):
             p.phi = phi
+        if hasattr(self.solver.mat, "normals"):
+            # interface-aware mixing needs the normal field
+            gfields = discretize.geometry_fields(
+                self.solver.grid, self.gen.all_fibers(), dtype=dtype)
+            self.solver.mat.normals = gfields["normals"]
         self._phases_initialized = True
 
     # ------------------------------------------------------------------ run

@@ -289,8 +289,11 @@ MIXING_RULES = {
 
 
 def make_mixed(rule: str, phases: List[Phase], dim: int = 6) -> MixedMaterial:
-    """Mixing-rule factory (create_mixed_material_law equivalent,
-    fibergen.cpp:15120-15180)."""
+    """Mixing-rule factory (create_mixing_rule equivalent,
+    fibergen.cpp:14975-15030)."""
+    if rule in ("laminate", "fluidity"):
+        from .laminate import LaminateMixed
+        return LaminateMixed(phases, dim=dim)
     try:
         cls = MIXING_RULES[rule]
     except KeyError:

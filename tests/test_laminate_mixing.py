@@ -1,0 +1,155 @@
+"""Laminate (interface) mixing tests: with the exact rank-1 laminate rule a
+voxel-cutting planar interface must yield the exact effective property even
+though the interface falls inside voxels — the accuracy multiplier the
+reference claims over Voigt mixing (joss/paper.md:52)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fibergen_tpu as fg
+from fibergen_tpu.materials.laminate import LaminateMixed
+from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+from fibergen_tpu.solvers.ls import LSSolver, SolverOptions
+from fibergen_tpu.utils.logging import LOG
+
+LOG.enabled = False
+
+
+def cut_voxel_laminate(grid, frac):
+    """Layered phi along x where the interface cuts the middle voxel at an
+    off-grid position (frac of the RVE in phase 2).  Returns phi1, phi2,
+    normals."""
+    nx = grid.nx
+    x_lo = np.arange(nx) / nx
+    x_hi = (np.arange(nx) + 1) / nx
+    # fraction of each voxel with x < frac (phase 2)
+    f2 = np.clip((frac - x_lo) / (x_hi - x_lo), 0.0, 1.0)
+    phi2 = jnp.asarray(np.broadcast_to(f2[:, None, None], grid.shape))
+    phi1 = 1.0 - phi2
+    n = jnp.zeros((3,) + grid.shape, phi1.dtype).at[0].set(1.0)
+    return phi1, phi2, n
+
+
+@pytest.mark.parametrize("frac", [0.5 + 0.3 / 16, 0.4 + 0.7 / 16])
+def test_heat_series_exact_with_laminate_mixing(frac):
+    grid = Grid = fg.Grid(16, 2, 2)
+    phi1, phi2, n = cut_voxel_laminate(grid, frac)
+    k1, k2 = 1.0, 10.0
+
+    def solve(mat):
+        s = LSSolver(grid, mat, SolverOptions(mode="heat", tol=1e-12,
+                                              maxiter=3000))
+        s.set_strain([1.0, 0, 0])
+        assert not s.run()
+        return float(s.calc_mean_stress()[0])
+
+    from fibergen_tpu.materials import laws
+    mk = lambda: [Phase("m1", laws.ScalarLinearIsotropic(mu=k1, dim=3), phi1),
+                  Phase("m2", laws.ScalarLinearIsotropic(mu=k2, dim=3), phi2)]
+    lam = LaminateMixed(mk(), dim=3, normals=n)
+    voi = VoigtMixed(mk(), dim=3)
+
+    exact = 1.0 / ((1 - frac) / k1 + frac / k2)
+    k_lam = solve(lam)
+    k_voi = solve(voi)
+    # laminate mixing is exact for a planar interface, voigt is not
+    assert abs(k_lam - exact) / exact < 1e-9, (k_lam, exact)
+    assert abs(k_voi - exact) > 100 * abs(k_lam - exact)
+
+
+@pytest.mark.parametrize("frac", [0.5 + 0.3 / 16])
+def test_elastic_series_exact_with_laminate_mixing(frac):
+    grid = fg.Grid(16, 2, 2)
+    phi1, phi2, n = cut_voxel_laminate(grid, frac)
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=5.0, lam=2.0)
+
+    from fibergen_tpu.materials import laws
+    phases = [Phase("m1", laws.LinearIsotropic(**m1), phi1),
+              Phase("m2", laws.LinearIsotropic(**m2), phi2)]
+    lam = LaminateMixed(phases, dim=6, normals=n)
+    s = LSSolver(grid, lam, SolverOptions(mode="elasticity", tol=1e-12,
+                                          maxiter=3000))
+    s.set_strain([1.0, 0, 0, 0, 0, 0])
+    assert not s.run()
+    sig = s.calc_mean_stress()
+    M1 = m1["lam"] + 2 * m1["mu"]
+    M2 = m2["lam"] + 2 * m2["mu"]
+    exact = 1.0 / ((1 - frac) / M1 + frac / M2)
+    assert abs(sig[0] - exact) / exact < 1e-9, (float(sig[0]), exact)
+
+
+def test_laminate_pure_voxels_match_voigt():
+    """On sharp (0/1) phase fields the laminate rule must reduce to the pure
+    per-voxel laws (identical to voigt)."""
+    grid = fg.Grid(8, 4, 4)
+    x = (np.arange(grid.nx) + 0.5) / grid.nx
+    phi2 = jnp.asarray(np.broadcast_to((x < 0.5)[:, None, None],
+                                       grid.shape).astype(np.float64))
+    phi1 = 1.0 - phi2
+    n = jnp.zeros((3,) + grid.shape).at[0].set(1.0)
+    from fibergen_tpu.materials import laws
+    mk = lambda: [Phase("m1", laws.LinearIsotropic(mu=1, lam=1), phi1),
+                  Phase("m2", laws.LinearIsotropic(mu=5, lam=2), phi2)]
+    lam = LaminateMixed(mk(), dim=6, normals=n)
+    voi = VoigtMixed(mk(), dim=6)
+    rng = np.random.default_rng(0)
+    F = jnp.asarray(rng.standard_normal((6,) + grid.shape))
+    np.testing.assert_allclose(np.asarray(lam.pk1(F)), np.asarray(voi.pk1(F)),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_laminate_tangent_consistency():
+    """dpk1 must be the exact derivative of pk1 (jvp through the solve)."""
+    grid = fg.Grid(4, 2, 2)
+    rng = np.random.default_rng(1)
+    phi2 = jnp.asarray(rng.uniform(0.2, 0.8, grid.shape))
+    phi1 = 1.0 - phi2
+    nv = rng.standard_normal((3,) + grid.shape)
+    nv /= np.linalg.norm(nv, axis=0, keepdims=True)
+    from fibergen_tpu.materials import laws
+    lam = LaminateMixed(
+        [Phase("m1", laws.LinearIsotropic(mu=1, lam=1), phi1),
+         Phase("m2", laws.LinearIsotropic(mu=5, lam=2), phi2)],
+        dim=6, normals=jnp.asarray(nv))
+    F = jnp.asarray(rng.standard_normal((6,) + grid.shape))
+    W = jnp.asarray(rng.standard_normal((6,) + grid.shape))
+    dP = lam.dpk1(F, W)
+    h = 1e-6
+    fd = (lam.pk1(F + h * W) - lam.pk1(F - h * W)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(dP), np.asarray(fd),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_heat_demo_xml_with_laminate_mixing():
+    """The heat demo uses mixing_rule=laminate with generated fibers
+    (demo/heat/heat/project.xml)."""
+    xml = """
+    <settings>
+      <length>0.4</length>
+      <radius>0.08</radius>
+      <n>6</n>
+      <m>2000</m>
+      <seed>2</seed>
+      <solver n="16">
+        <mode>heat</mode>
+        <tol>1e-8</tol>
+        <mixing_rule>laminate</mixing_rule>
+        <materials>
+          <matrix mu="1" />
+          <fiber mu="10" />
+        </materials>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <calc_effective_properties />
+      </actions>
+    </settings>
+    """
+    f = fg.FG()
+    f.set_xml(xml)
+    assert f.run() == 0
+    K = np.array(f.get_effective_property())
+    # sanity: conductivity between phase values, matrix-dominated
+    assert 1.0 < K[0, 0] < 10.0
+    assert 1.0 < K[1, 1] < 10.0
