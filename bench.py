@@ -45,7 +45,7 @@ def main():
     ], dim=6)
     solver = fg.LSSolver(grid, mat, fg.SolverOptions(
         mode="elasticity", method="cg", gamma_scheme="staggered",
-        dtype="float32"))
+        dtype="float32", check_every=8))
     solver.set_strain([1.0, 0, 0, 0, 0, 0])
 
     solver.eps = fields.const_field(grid, np.zeros(6), solver.dtype)
@@ -56,20 +56,22 @@ def main():
     eps, r, p, gamma, _ = solver._k_cg_init(E, None, mu0=mu0, lam0=lam0)
     gamma = float(gamma)
 
-    # warmup (compile)
-    eps, r, p, delta, met = solver._k_cg_step(eps, r, p, gamma, None,
-                                              mu0=mu0, lam0=lam0)
+    # warmup (compile); K iterations fused per host sync (check_every)
+    K = solver.opt.check_every
+    eps, r, p, delta, gammas, mets = solver._k_cg_multi(
+        eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
     jax.block_until_ready(eps)
     gamma = float(delta)
 
-    iters = 20
+    chunks = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
-        eps, r, p, delta, met = solver._k_cg_step(eps, r, p, gamma, None,
-                                                  mu0=mu0, lam0=lam0)
-        gamma = float(delta)  # host sync each iteration, like the real loop
+    for _ in range(chunks):
+        eps, r, p, delta, gammas, mets = solver._k_cg_multi(
+            eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
+        gamma = float(delta)  # host sync per chunk, like the real loop
     jax.block_until_ready(eps)
     dt = time.perf_counter() - t0
+    iters = chunks * K
 
     ips = iters / dt
     print(json.dumps({

@@ -522,12 +522,19 @@ class FG:
 
     def _action_generate_fibers(self, action, r):
         self.init_gen()
+        im = r.attr("intersecting_materials", "", str)
+        im_ids = None
+        if im:
+            self.init_lss()
+            im_ids = {self._material_index[name.strip()]
+                      for name in im.split(",") if name.strip()}
         self.gen.run(
             V=r.attr("v", 0.0, float) or 0.0,
             N=r.attr("n", 0, int) or 0,
             M=r.attr("m", 0, int) or 0,
             dmin=r.attr("dmin", None, float),
             intersecting=r.attr("intersecting", None, bool),
+            intersecting_materials=im_ids,
         )
         self._fibers_initialized = True
         self._phases_initialized = False
@@ -547,17 +554,26 @@ class FG:
         dim = lss.dim
         E = np.zeros(dim)
         S = np.zeros(dim)
-        idx = {6: ["11", "22", "33", "23", "13", "12"],
-               3: ["1", "2", "3"],
-               9: ["11", "22", "33", "23", "13", "12", "32", "31", "21"]}[dim]
-        for k, suffix in enumerate(idx):
-            E[k] = r.attr("e" + suffix, 0.0, float)
-            S[k] = r.attr("s" + suffix, 0.0, float)
+        # vector components accept both e1..e3 and Voigt names e11, e23, ...
+        # (read_voigt_vector, fibergen.cpp:1126-1137)
+        names = ["11", "22", "33", "23", "13", "12", "32", "31", "21"][:dim]
+        for k in range(min(3, dim)):
+            if r.has_attr(f"e{k+1}"):
+                E[k] = r.attr(f"e{k+1}", 0.0, float)
+            if r.has_attr(f"s{k+1}"):
+                S[k] = r.attr(f"s{k+1}", 0.0, float)
+        for k, nm in enumerate(names):
+            if r.has_attr("e" + nm):
+                E[k] = r.attr("e" + nm, 0.0, float)
+            if r.has_attr("s" + nm):
+                S[k] = r.attr("s" + nm, 0.0, float)
+        # projector: 1-based matrix indices p{i}{j}, symmetric
+        # (read_matrix, fibergen.cpp:1101-1119)
         P = voigtmod.id4(dim)
-        for i, si in enumerate(idx):
-            for j, sj in enumerate(idx):
-                if r.has_attr("p" + si + sj):
-                    P[i, j] = r.attr("p" + si + sj, 0.0, float)
+        for i in range(dim):
+            for j in range(dim):
+                if r.has_attr(f"p{i+1}{j+1}"):
+                    P[i, j] = P[j, i] = r.attr(f"p{i+1}{j+1}", 0.0, float)
         if lss.mode == "hyperelasticity":
             E = E + voigtmod.dyad4_mv(P, voigtmod.identity_vec(9))
         if lss.mode == "viscosity":

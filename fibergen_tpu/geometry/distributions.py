@@ -147,13 +147,14 @@ def acg_b_from_moments(a: np.ndarray, tol: float = 1e-12,
     ~1e-12."""
     a = np.asarray(a, dtype=np.float64)
     a = a / a.sum()
-    if np.any(a <= 0):
-        # degenerate moments: clamp slightly inside the simplex
-        a = np.maximum(a, 1e-8)
-        a = a / a.sum()
+    # degenerate (planar/axial) moments: clamp slightly inside the simplex;
+    # b-eigenvalues grow like a^-1.65 so 1e-5 keeps exp() in range while the
+    # sampled distribution is indistinguishable from the degenerate limit
+    a = np.maximum(a, 1e-5)
+    a = a / a.sum()
 
     # parameterize b = exp(t) / geometric-mean(exp(t)) => det B = 1
-    t = np.log(np.maximum(a, 1e-12) ** 1.65)
+    t = np.log(a ** 1.65)
 
     def residual(t):
         b = np.exp(t - t.mean())

@@ -114,8 +114,12 @@ class FiberGenerator:
         return self._A4 / (tr if tr != 0 else 1.0)
 
     # ----------------------------------------------------------- generation
-    def run(self, V=0.0, N=0, M=0, dmin=None, intersecting=None):
-        """RSA generation loop (FiberGenerator::run, fibergen.cpp:6278-6530)."""
+    def run(self, V=0.0, N=0, M=0, dmin=None, intersecting=None,
+            intersecting_materials=None):
+        """RSA generation loop (FiberGenerator::run, fibergen.cpp:6278-6530).
+
+        intersecting_materials: optional set of material indices to test
+        collisions against (others may be intersected freely)."""
         s = self.s
         V = V or s.target_volume
         N = N or s.target_count
@@ -124,6 +128,13 @@ class FiberGenerator:
             dmin = s.dmin
         if intersecting is None:
             intersecting = s.intersecting
+
+        def pool_of(extra):
+            base = self.all_fibers() + extra
+            if intersecting_materials is None:
+                return base
+            return [f for f in base if f.material in intersecting_materials]
+
         rng = np.random.default_rng(s.seed)
 
         V_rve = self._v_rve()
@@ -140,17 +151,19 @@ class FiberGenerator:
             fiber.material = self.material
             i += 1
 
-            if not intersecting and self.all_fibers():
-                d = fiber_fiber_distance(fiber, self.all_fibers())
-                if d.size and d.min() < dmin:
-                    continue
+            if not intersecting:
+                pool = pool_of([])
+                if pool:
+                    d = fiber_fiber_distance(fiber, pool)
+                    if d.size and d.min() < dmin:
+                        continue
 
             clones = self._make_clones(fiber)
             if not intersecting and clones:
                 ok = True
                 placed = []
                 for c in clones:
-                    pool = self.all_fibers() + placed
+                    pool = pool_of(placed)
                     if pool:
                         d = fiber_fiber_distance(c, pool)
                         if d.size and d.min() < dmin:

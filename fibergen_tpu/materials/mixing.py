@@ -40,6 +40,9 @@ class MixedMaterial:
     fibergen.cpp:12067-12143)."""
 
     rule = "voigt"
+    # True when pk1 equals the _all_iso()-mixed isotropic law (enables the
+    # fused stress_diff fast path)
+    _iso_linear = False
 
     def __init__(self, phases: List[Phase], dim: int = 6):
         self._dim = dim
@@ -92,6 +95,30 @@ class MixedMaterial:
             out = out + p.phi[None] * p.law.polarization(mu_0, F, inv)
         return out
 
+    def stress_diff(self, F, mu_0, lambda_0):
+        """(C - C0) : F in one fused pass (calcStressDiff, fibergen.cpp:18030):
+        for all-isotropic phases the moduli shift folds into the mixed
+        coefficients so the hot kernel reads F + 2 moduli planes once.
+
+        The fast path only applies to rules whose response IS the iso-mixed
+        law (voigt/reuss); selector rules fall back to the generic form."""
+        iso = self._all_iso() if self._iso_linear else None
+        if iso is not None and self._dim != 9:
+            mu_x, lam_x = iso
+            two_dmu = 2.0 * (mu_x - mu_0)
+            if self._dim >= 6:
+                ltr = (lam_x - lambda_0) * (F[0] + F[1] + F[2])
+                return jnp.stack([
+                    two_dmu * F[0] + ltr, two_dmu * F[1] + ltr,
+                    two_dmu * F[2] + ltr]
+                    + [two_dmu * F[k] for k in range(3, self._dim)])
+            return two_dmu[None] * F
+        tau = self.pk1(F) - 2.0 * mu_0 * F
+        if self._dim >= 6 and lambda_0 != 0.0:
+            tr = lambda_0 * (F[0] + F[1] + F[2])
+            tau = tau.at[0:3].add(-tr)
+        return tau
+
     # -- reference material -------------------------------------------------
     def eig_range(self, F, zero_trace=False):
         """Per-voxel eigenvalue bounds of dPK1, reduced over the grid
@@ -143,7 +170,14 @@ class MixedMaterial:
 
     def _all_iso(self):
         """If every phase law exposes iso_moduli, return per-voxel
-        (mu(x), lam(x)) fields, else None."""
+        (mu(x), lam(x)) fields, else None.  The fields are cached (keyed on
+        the phi arrays) so the hot stress kernel reads 2 moduli planes
+        instead of re-mixing n_phases phi fields every iteration."""
+        phis = [p.phi for p in self.phases]
+        cached = getattr(self, "_iso_cache", None)
+        if cached is not None and len(cached[0]) == len(phis) and all(
+                a is b for a, b in zip(cached[0], phis)):
+            return cached[1]
         mus, lams = [], []
         for p in self.phases:
             f = getattr(p.law, "iso_moduli", None)
@@ -153,6 +187,11 @@ class MixedMaterial:
             mus.append(mu); lams.append(lam)
         mu_x = sum(p.phi * m for p, m in zip(self.phases, mus))
         lam_x = sum(p.phi * l for p, l in zip(self.phases, lams))
+        # only cache values computed OUTSIDE a jit trace (omnistaging makes
+        # in-trace results tracers, which must not escape)
+        from jax._src import core as _jax_core
+        if _jax_core.trace_state_clean():
+            self._iso_cache = (phis, (mu_x, lam_x))
         return mu_x, lam_x
 
     def __str__(self):
@@ -167,16 +206,21 @@ class VoigtMixed(MixedMaterial):
     with effective per-voxel moduli."""
 
     rule = "voigt"
+    _iso_linear = True
 
     def pk1(self, F):
         iso = self._all_iso()
         if iso is not None and self._dim != 9:
             mu_x, lam_x = iso
-            out = 2.0 * mu_x[None] * F
+            two_mu = 2.0 * mu_x
             if self._dim >= 6:
-                tr = lam_x * (F[0] + F[1] + F[2])
-                out = out.at[0:3].add(tr[None])
-            return out
+                # single fused kernel (stack, no .at update pass)
+                ltr = lam_x * (F[0] + F[1] + F[2])
+                return jnp.stack([
+                    two_mu * F[0] + ltr, two_mu * F[1] + ltr,
+                    two_mu * F[2] + ltr]
+                    + [two_mu * F[k] for k in range(3, self._dim)])
+            return two_mu[None] * F
         out = None
         for p in self.phases:
             t = p.phi[None] * p.law.pk1(F)
@@ -208,6 +252,7 @@ class ReussMixed(MixedMaterial):
     supported."""
 
     rule = "reuss"
+    _iso_linear = True
 
     def _iso_harmonic(self):
         mus, lams = [], []

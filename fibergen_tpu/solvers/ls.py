@@ -69,6 +69,11 @@ class SolverOptions:
     nl_cg_alpha: float = 1.0
     error_estimator: str = "epsilon"
     outer_error_estimator: str = "epsilon"
+    # device-side iteration batching: run this many solver iterations per
+    # host round-trip (lax.scan); metrics for every iteration are still
+    # recorded, convergence is only *acted on* at chunk granularity.
+    # 1 reproduces the reference's per-iteration loop exactly.
+    check_every: int = 1
     loadsteps: int = 1
     first_loadstep: int = -1
     loadstep_extrapolation_order: int = 0
@@ -97,10 +102,15 @@ class SolverOptions:
 class LSSolver:
     """FFT-homogenization solver on a periodic voxel grid."""
 
-    def __init__(self, grid: Grid, material: MixedMaterial, options: SolverOptions = None):
+    def __init__(self, grid: Grid, material: MixedMaterial,
+                 options: SolverOptions = None, sharding=None):
         self.grid = grid
         self.mat = material
         self.opt = options or SolverOptions()
+        # jax.sharding.Sharding for the (ncomp, nx, ny, nz) fields; x-slab
+        # NamedSharding over a device mesh distributes the FFTs via GSPMD
+        # collectives (the reference is single-node OpenMP only)
+        self.sharding = sharding
         self.mode = self.opt.mode
         self.dim = MODE_DIM[self.mode]
         if material.dim != self.dim:
@@ -184,19 +194,20 @@ class LSSolver:
 
         def stress_diff(eps, mu0, lam0):
             """tau = (C - C0) : eps (calcStressDiff, fibergen.cpp:18030)."""
-            tau = mat.pk1(eps) - 2.0 * mu0 * eps
-            if self.dim >= 6 and lam0 != 0.0:
-                tr = lam0 * (eps[0] + eps[1] + eps[2])
-                tau = tau.at[0:3].add(-tr)
-            return tau
+            return mat.stress_diff(eps, mu0, lam0)
 
         def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0):
             return gammamod.gamma_operator(
                 grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta)
 
+        def shard(x):
+            if self.sharding is not None:
+                return jax.lax.with_sharding_constraint(x, self.sharding)
+            return x
+
         def basic_step(eps, E, bca, mu0, lam0):
             tau = stress_diff(eps, mu0, lam0)
-            eta = gamma_op(E, tau, mu0, lam0, bca)
+            eta = shard(gamma_op(E, tau, mu0, lam0, bca))
             return eta, metric(eta)
 
         def krylov(eps, bca, mu0, lam0):
@@ -207,9 +218,9 @@ class LSSolver:
             return gamma_op(zero, tau, mu0, lam0, bca)
 
         def cg_init(E, bca, mu0, lam0):
-            eps = fields.const_field(grid, E, dt)
+            eps = shard(fields.const_field(grid, E, dt))
             r = krylov(eps, bca, mu0, lam0)
-            r = r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps)
+            r = shard(r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps))
             gamma0 = fields.inner_l2(r, r) + tiny
             return eps, r, r, gamma0, metric(eps)
 
@@ -217,13 +228,27 @@ class LSSolver:
             w = krylov(p, bca, mu0, lam0)
             denom = fields.inner_l2_diff(p, p, w) + tiny
             alpha = gamma / denom
-            eps2 = eps + alpha * p
+            eps2 = shard(eps + alpha * p)
             met = metric(eps2)
-            r2 = r - alpha * (p - w)
+            r2 = shard(r - alpha * (p - w))
             delta = fields.inner_l2(r2, r2) + tiny
             beta = delta / gamma
-            p2 = r2 + beta * p
+            p2 = shard(r2 + beta * p)
             return eps2, r2, p2, delta, met
+
+        def cg_multi(eps, r, p, gamma, bca, mu0, lam0):
+            """check_every CG iterations fused into one device program;
+            returns per-iteration (gamma, metric) stacks."""
+            def body(carry, _):
+                eps, r, p, gamma = carry
+                eps2, r2, p2, delta, met = cg_step(eps, r, p, gamma, bca,
+                                                   mu0, lam0)
+                return (eps2, r2, p2, delta), (gamma, met)
+
+            (eps, r, p, gamma), (gammas, mets) = jax.lax.scan(
+                body, (eps, r, p, gamma), None,
+                length=max(1, self.opt.check_every))
+            return eps, r, p, gamma, gammas, mets
 
         def cg_recompute_residual(eps, p, gamma, E, bca, mu0, lam0):
             """Exact residual + conjugate update (cg_reinit path,
@@ -273,6 +298,8 @@ class LSSolver:
         self._k_krylov = jit(krylov)
         self._k_cg_init = jit(cg_init)
         self._k_cg_step = jit(cg_step)
+        self._k_cg_multi = jax.jit(cg_multi, static_argnames=("mu0", "lam0"),
+                                   donate_argnums=(0, 1, 2))
         self._k_cg_reinit = jit(cg_recompute_residual)
         self._k_means = jax.jit(mean_values)
         self._k_eig = jax.jit(eig_range)
@@ -329,6 +356,14 @@ class LSSolver:
         if voigt.norm_2(voigt.dyad4_mv(Q, self.E)) > eps_m * (voigt.norm_2(self.E) or 1):
             if voigt.norm_2(self.E) > 0:
                 raise SolverError("Incompatible strain boundary condition specified")
+
+        # precompute the mixed-moduli cache eagerly (device constants reused
+        # across all jitted kernels instead of re-mixed per compilation)
+        if all(p.phi is not None for p in self.mat.phases):
+            try:
+                self.mat._all_iso()
+            except (AttributeError, NotImplementedError):
+                pass
 
         # initial field (fibergen.cpp:21368-21380)
         if self.mode == "hyperelasticity":
@@ -461,8 +496,30 @@ class LSSolver:
         gamma = float(gamma)
         gamma0 = gamma
 
+        K = max(1, int(self.opt.check_every))
         it = 0
         while True:
+            if K > 1:
+                # K fused iterations per host round-trip
+                eps, r, p, delta, gammas, mets = self._k_cg_multi(
+                    eps, r, p, gamma, bca, mu0=mu0, lam0=lam0)
+                self.eps = eps
+                gammas = np.asarray(gammas)
+                mets = np.asarray(mets)
+                done = False
+                for k in range(K):
+                    if ee.metric_kind == "residual":
+                        ee.update_cg(float(gammas[k]), gamma0)
+                    else:
+                        ee.update(mets[k])
+                    it, done = self._converged(it, ee.abs_error(),
+                                               ee.rel_error())
+                    if done:
+                        break
+                if done:
+                    break
+                gamma = float(delta)
+                continue
             eps, r, p, delta, met = self._k_cg_step(
                 eps, r, p, gamma, bca, mu0=mu0, lam0=lam0)
             self.eps = eps  # keep live state visible to bc_error/callbacks

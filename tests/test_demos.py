@@ -1,0 +1,112 @@
+"""Demo-project regression tests: every demo must run end-to-end at reduced
+resolution; demos with published oracle values are checked against them
+(the reference's 'demos as integration tests' strategy, SURVEY.md section 4)."""
+import os
+
+import numpy as np
+import pytest
+
+import fibergen_tpu as fg
+from fibergen_tpu.utils.logging import LOG
+
+LOG.enabled = False
+
+DEMO_DIR = os.path.join(os.path.dirname(__file__), "..", "demo")
+
+
+def run_demo(rel_path, res=None, tol=None, extra=None):
+    f = fg.FG()
+    f.load_xml(os.path.join(DEMO_DIR, rel_path))
+    if res is not None and f.project.has("variables.res"):
+        f.set("variables.res..value", res)
+    if res is not None and f.project.get("solver..n"):
+        try:
+            int(f.project.get("solver..n"))
+            f.set("solver..n", res)
+        except ValueError:
+            pass  # expression like 'res': already handled via variables
+    if tol is not None:
+        f.set("solver.tol", tol)
+    if extra:
+        extra(f)
+    assert f.run() == 0, rel_path
+    return f
+
+
+def test_demo_hashin():
+    f = run_demo("elasticity/hashin/project.xml", res=32)
+    sig = np.array(f.get_mean_stress())
+    k_eff = sig[:3].sum() / 9.0
+    k_star = 3.63867684478 + 2.0 / 3.0
+    assert abs(k_eff - k_star) / k_star < 2e-3
+
+
+def test_demo_laminate():
+    f = run_demo("elasticity/laminate/project.xml")
+    C = np.array(f.get_effective_property())
+    C_exact = fg.isotropic_laminate_stiffness([(1, 1, 0.5), (5, 2, 0.5)])
+    # run() leaves _Ceff at the closed form; equality with Milton Eq. 9.9
+    np.testing.assert_allclose(C, C_exact, atol=1e-12)
+
+
+def test_demo_2d():
+    f = run_demo("elasticity/2d/project.xml", res=32, tol=1e-5)
+    sig = np.array(f.get_mean_stress())
+    assert np.all(np.isfinite(sig))
+    assert sig[0] > 0
+    A2 = np.array(f.get_A2())
+    assert A2[2, 2] < 1e-9  # planar orientations
+
+
+def test_demo_heat():
+    def shrink(f):
+        f.set("n", 10)
+    f = run_demo("heat/heat/project.xml", res=32, extra=shrink)
+    K = np.array(f.get_effective_property())
+    assert np.all(np.diag(K)[:2] > 1.0)
+    assert np.all(np.diag(K) < 10.0)
+
+
+def test_demo_nunan_keller():
+    def shrink(f):
+        f.set("solver..n", 16)
+        f.set("solver.tol", 1e-4)
+    f = run_demo("viscosity/nunan_keller/project.xml", extra=shrink)
+    alpha, beta = f._nunan_keller
+    # paper: alpha=1.0666, beta=0.49665 at V=0.20 (n=64); coarse grid ~10%
+    assert abs(alpha - 1.0666) / 1.0666 < 0.1
+    assert abs(beta - 0.49665) / 0.49665 < 0.1
+
+
+def test_demo_porous():
+    def shrink(f):
+        f.set("actions.generate_fibers[1]..n", 20)
+    f = run_demo("porous/porosity/project.xml", res=32, extra=shrink)
+    K = np.array(f.get_effective_property())
+    assert np.all(np.diag(K)[:2] > 0)
+    assert np.all(np.diag(K)[:2] < 1.0)
+
+
+def test_demo_hyper_mixed_bc():
+    f = run_demo("hyperelasticity/mixed_bc/project.xml", res=8, tol=1e-8)
+    F = np.array(f.get_mean_strain())
+    P = np.array(f.get_mean_stress())
+    assert abs(F[1] - 1.1) < 1e-6       # prescribed F22 = 1.1
+    assert abs(P[0] - 1.0) < 1e-3       # prescribed P11 = 1.0
+
+
+def test_demo_primitives(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_demo("geometry/primitives/project.xml", res=16)
+    assert (tmp_path / "primitives.vtk").exists()
+
+
+def test_demo_pure_python(tmp_path, monkeypatch, capsys):
+    # run in-process (runpy) so the conftest's CPU/x64 config applies;
+    # a subprocess would re-enter the TPU tunnel and pay remote compiles
+    import runpy
+    monkeypatch.chdir(tmp_path)
+    script = os.path.join(DEMO_DIR, "python", "pure_python", "project.py")
+    runpy.run_path(script, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "mean stress" in out

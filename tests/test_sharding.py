@@ -1,0 +1,69 @@
+"""Multi-device sharding equivalence: the solver on an 8-device x-slab mesh
+must produce the same solution as single-device execution (within roundoff)
+— the distributed capability the reference lacks (SURVEY.md section 4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import fibergen_tpu as fg
+from fibergen_tpu.materials import laws
+from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+from fibergen_tpu.solvers.ls import LSSolver, SolverOptions
+from fibergen_tpu.utils.logging import LOG
+
+LOG.enabled = False
+
+
+def make_problem(grid, dim, sharding=None):
+    x = (np.arange(grid.nx) + 0.5) / grid.nx
+    phi1 = jnp.asarray(np.broadcast_to(
+        ((x % 0.5) < 0.25)[:, None, None], grid.shape).astype(np.float64))
+    if sharding is not None:
+        phi1 = jax.device_put(phi1, sharding_field(sharding, 3))
+    if dim == 3:
+        phases = [Phase("a", laws.ScalarLinearIsotropic(mu=1.0, dim=3), phi1),
+                  Phase("b", laws.ScalarLinearIsotropic(mu=7.0, dim=3), 1 - phi1)]
+        mode = "heat"
+    else:
+        phases = [Phase("a", laws.LinearIsotropic(mu=1, lam=1), phi1),
+                  Phase("b", laws.LinearIsotropic(mu=5, lam=2), 1 - phi1)]
+        mode = "elasticity"
+    mat = VoigtMixed(phases, dim=dim)
+    opt = SolverOptions(mode=mode, method="cg", tol=1e-11, maxiter=500)
+    return LSSolver(grid, mat, opt, sharding=sharding)
+
+
+def sharding_field(s, ncomp):
+    # phi fields are (nx, ny, nz): shard the x axis
+    mesh = s.mesh
+    return NamedSharding(mesh, P("x", None, None))
+
+
+@pytest.mark.parametrize("dim", [3, 6])
+def test_sharded_solve_matches_single_device(dim):
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 virtual CPU devices"
+    grid = fg.Grid(16, 8, 8)
+
+    s_ref = make_problem(grid, dim)
+    E = np.zeros(dim)
+    E[0] = 1.0
+    s_ref.set_strain(E)
+    assert not s_ref.run()
+    sig_ref = s_ref.calc_mean_stress()
+
+    mesh = Mesh(np.array(devs[:8]), axis_names=("x",))
+    sharding = NamedSharding(mesh, P(None, "x", None, None))
+    s_sh = make_problem(grid, dim, sharding=sharding)
+    s_sh.set_strain(E)
+    assert not s_sh.run()
+    sig_sh = s_sh.calc_mean_stress()
+
+    np.testing.assert_allclose(sig_sh, sig_ref, rtol=1e-10, atol=1e-12)
+    assert len(s_sh.residuals) == len(s_ref.residuals)
+    # the final field itself must match, and actually be sharded
+    np.testing.assert_allclose(np.asarray(s_sh.eps), np.asarray(s_ref.eps),
+                               atol=1e-10)
+    assert not s_sh.eps.sharding.is_fully_replicated
