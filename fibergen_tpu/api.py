@@ -275,15 +275,38 @@ class FG:
                     for j in range(6):
                         C[i, j] = r.attr(f"c{i+1}{j+1}", 0.0, float) or 0.0
                 return laws.LinearGeneral(C=C)
+            if law_name == "tiso":
+                a = np.array([r.attr("ax", 0.0, float), r.attr("ay", 0.0, float),
+                              r.attr("az", 0.0, float)])
+                return laws.LinearTransverselyIsotropic(
+                    E=r.attr("E", None, float), nu=r.attr("nu", None, float),
+                    E_a=r.attr("E_a", None, float), G_a=r.attr("G_a", None, float),
+                    nu_a=r.attr("nu_a", None, float),
+                    a=a if np.linalg.norm(a) != 0 else None)
         elif mode in ("heat", "porous"):
             if law_name == "iso":
                 return laws.ScalarLinearIsotropic(mu=r.attr("mu", 1.0, float), dim=3)
+            if law_name == "aniso":
+                K = np.zeros((3, 3))
+                for i in range(3):
+                    for j in range(3):
+                        K[i, j] = r.attr(f"c{i+1}{j+1}", 1.0 if i == j else 0.0,
+                                         float)
+                return laws.MatrixLinearAnisotropic(K=K)
         elif mode == "viscosity":
             if law_name == "iso":
                 # dual-quantity scaling (fibergen.cpp:15237)
                 return laws.ScalarLinearIsotropic(
                     mu=0.5 * r.attr("mu", 1.0, float), dim=6)
         elif mode == "hyperelasticity":
+            if law_name in laws.GOLDBERG_LAWS:
+                cls = laws.GOLDBERG_LAWS[law_name]
+                import dataclasses as _dc
+                kw = {}
+                for f in _dc.fields(cls):
+                    if r.has_attr(f.name):
+                        kw[f.name] = r.attr(f.name, None, float)
+                return cls(**kw)
             c = self._read_constants(r)
             if law_name in ("iso", "sv", "svk"):
                 return laws.SaintVenantKirchhoff(mu=c["mu"], lam=c["lam"])
@@ -360,11 +383,19 @@ class FG:
                 supersample=ss, dtype=dtype)
         for p, phi in zip(self.solver.mat.phases, phis):
             p.phi = phi
-        if hasattr(self.solver.mat, "normals"):
-            # interface-aware mixing needs the normal field
+        needs_orientation = any(
+            isinstance(p.law, laws.LinearTransverselyIsotropic)
+            and p.law.a is None for p in self.solver.mat.phases)
+        if hasattr(self.solver.mat, "normals") or needs_orientation:
+            # interface-aware mixing / orientation-dependent laws need fields
             gfields = discretize.geometry_fields(
                 self.solver.grid, self.gen.all_fibers(), dtype=dtype)
-            self.solver.mat.normals = gfields["normals"]
+            if hasattr(self.solver.mat, "normals"):
+                self.solver.mat.normals = gfields["normals"]
+            for p in self.solver.mat.phases:
+                if (isinstance(p.law, laws.LinearTransverselyIsotropic)
+                        and p.law.a is None):
+                    p.law.orientation = gfields["orientation"]
         self._phases_initialized = True
 
     # ------------------------------------------------------------------ run

@@ -323,3 +323,301 @@ def make_law(kind: str, dim_hint: int = 6, **params) -> MaterialLaw:
         c = convert.elastic_constants(**params)
         return NeoHooke2(mu=c["mu"], K=c["K"])
     raise ValueError(f"Unknown material law '{kind}'")
+
+
+# ---------------------------------------------------------------------------
+# Goldberg invariant-based hyperelastic family
+# ---------------------------------------------------------------------------
+
+class GoldbergLaw(HyperelasticLaw):
+    """Isochoric-invariant energies W(J1, J2, J3) with
+        J1 = J3^{-2/3} tr C,  J2 = J3^{-4/3} (trC^2 - tr C^2)/2,  J3 = det F
+    (GeneralGoldbergMaterialLaw, fibergen.cpp:10455-10665).  PK1/dPK1 come
+    from autodiff of the energy instead of the reference's hand-derived
+    dev/inv tensor chains."""
+
+    def w_inv(self, J1, J2, J3):
+        raise NotImplementedError
+
+    def energy(self, Fm):
+        C = jnp.einsum("...ji,...jk->...ik", Fm, Fm)
+        trC = jnp.trace(C, axis1=-2, axis2=-1)
+        trCC = (C * jnp.swapaxes(C, -1, -2)).sum((-2, -1))
+        J3 = jnp.maximum(det3(Fm), jnp.finfo(Fm.dtype).tiny)
+        J1 = J3 ** (-2.0 / 3.0) * trC
+        J2 = 0.5 * J3 ** (-4.0 / 3.0) * (trC * trC - trCC)
+        return self.w_inv(J1, J2, J3)
+
+
+@dataclasses.dataclass
+class GoldbergMatrix1(GoldbergLaw):
+    """W = m1 (J1-3) + m2 (J3 + 1/J3 - 2) (fibergen.cpp:10669-10717)."""
+    m1: float = 1.0
+    m2: float = 10.0
+
+    def w_inv(self, J1, J2, J3):
+        return self.m1 * (J1 - 3.0) + self.m2 * (J3 + 1.0 / J3 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergMatrix2(GoldbergLaw):
+    """Cubic in (J1-3) + volumetric (fibergen.cpp:10719-10770)."""
+    m1: float = 0.5
+    m2: float = 0.1
+    m3: float = 1.0
+    m4: float = 5.0
+
+    def w_inv(self, J1, J2, J3):
+        x = J1 - 3.0
+        return (self.m1 + (self.m2 + self.m3 * x) * x) * x \
+            + self.m4 * (J3 + 1.0 / J3 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergMatrix3(GoldbergLaw):
+    """W = m1 (J1-3) + m2/50 (J3^5 + J3^-5 - 2) (fibergen.cpp:10772-10820)."""
+    m1: float = 1.0
+    m2: float = 10.0
+
+    def w_inv(self, J1, J2, J3):
+        J5 = J3 ** 5
+        return self.m1 * (J1 - 3.0) + (self.m2 / 50.0) * (J5 + 1.0 / J5 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergMatrix4(GoldbergLaw):
+    """Cubic isochoric + stiff J3^5 volumetric (fibergen.cpp:10822-10876)."""
+    m1: float = 0.5
+    m2: float = 1.0
+    m3: float = 3.0
+    m4: float = 50.0
+
+    def w_inv(self, J1, J2, J3):
+        x = J1 - 3.0
+        J5 = J3 ** 5
+        return self.m1 * x + self.m2 * x * x + self.m3 * x ** 3 \
+            + (self.m4 / 50.0) * (J5 + 1.0 / J5 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergFiber1(GoldbergLaw):
+    """W = f1 (J1-3) + f2 (J3 + 1/J3 - 2) (fibergen.cpp:10878-10904ff)."""
+    f1: float = 10.0
+    f2: float = 100.0
+
+    def w_inv(self, J1, J2, J3):
+        return self.f1 * (J1 - 3.0) + self.f2 * (J3 + 1.0 / J3 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergFiber2(GoldbergLaw):
+    """Logarithmic locking law W = -f1 f2/2 ln((f1 + 3 - J1)/f1) + vol
+    (fibergen.cpp:10858-10904)."""
+    f1: float = 10.0
+    f2: float = 2.0
+    f3: float = 500.0
+
+    def w_inv(self, J1, J2, J3):
+        c = (self.f1 + (3.0 - J1)) / self.f1
+        c = jnp.maximum(c, jnp.finfo(J1.dtype).tiny)
+        return -0.5 * self.f1 * self.f2 * jnp.log(c) \
+            + self.f3 * (J3 + 1.0 / J3 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergFiber3(GoldbergLaw):
+    """W = f1 J1 + f2 J1^4 + f3 sqrt(J2) + f4 vol (fibergen.cpp:10906-10942)."""
+    f1: float = 1.0
+    f2: float = 0.02
+    f3: float = 100.0
+    f4: float = 500.0
+
+    def w_inv(self, J1, J2, J3):
+        return self.f1 * J1 + self.f2 * J1 ** 4 \
+            + self.f3 * jnp.sqrt(jnp.maximum(J2, jnp.finfo(J1.dtype).tiny)) \
+            + self.f4 * (J3 + 1.0 / J3 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergFiber4(GoldbergLaw):
+    """W = f1 (J1-3) + f2/50 (J3^5 + J3^-5 - 2) (fibergen.cpp:10944-10981)."""
+    f1: float = 20.0
+    f2: float = 200.0
+
+    def w_inv(self, J1, J2, J3):
+        J5 = J3 ** 5
+        return self.f1 * (J1 - 3.0) + (self.f2 / 50.0) * (J5 + 1.0 / J5 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergFiber5(GoldbergLaw):
+    """Exponential stiffening W = f1 (e^{f2 (J1-3)} - 1) + f3 vol
+    (fibergen.cpp:10983-11018)."""
+    f1: float = 3.5
+    f2: float = 2.0
+    f3: float = 500.0
+
+    def w_inv(self, J1, J2, J3):
+        return self.f1 * (jnp.exp(self.f2 * (J1 - 3.0)) - 1.0) \
+            + self.f3 * (J3 + 1.0 / J3 - 2.0)
+
+
+@dataclasses.dataclass
+class GoldbergFiber6(GoldbergLaw):
+    """Exponential isochoric + J3^5 volumetric (fibergen.cpp:11020-11087)."""
+    f1: float = 3.5
+    f2: float = 4.0
+    f3: float = 500.0
+
+    def w_inv(self, J1, J2, J3):
+        J5 = J3 ** 5
+        return self.f1 * (jnp.exp(self.f2 * (J1 - 3.0)) - 1.0) \
+            + (self.f3 / 50.0) * (J5 + 1.0 / J5 - 2.0)
+
+
+GOLDBERG_LAWS = {
+    "gb_matrix1": GoldbergMatrix1,
+    "gb_matrix2": GoldbergMatrix2,
+    "gb_matrix3": GoldbergMatrix3,
+    "gb_matrix4": GoldbergMatrix4,
+    "gb_fiber1": GoldbergFiber1,
+    "gb_fiber2": GoldbergFiber2,
+    "gb_fiber3": GoldbergFiber3,
+    "gb_fiber4": GoldbergFiber4,
+    "gb_fiber5": GoldbergFiber5,
+    "gb_fiber6": GoldbergFiber6,
+}
+
+
+# ---------------------------------------------------------------------------
+# Anisotropic linear laws
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MatrixLinearAnisotropic(MaterialLaw):
+    """Anisotropic conduction/permeability: S = K : E with a full 3x3 matrix
+    (MatrixLinearAnisotropicMaterialLaw, fibergen.cpp:11089-11160)."""
+
+    K: np.ndarray  # (3, 3)
+    dim: int = 3
+    is_linear: bool = True
+
+    def pk1(self, F):
+        Kj = jnp.asarray(self.K, F.dtype)
+        return jnp.einsum("ij,j...->i...", Kj, F)
+
+    def w(self, F):
+        s = self.pk1(F)
+        return 0.5 * sum(s[i] * F[i] for i in range(3))
+
+    def dpk1(self, F, W):
+        return self.pk1(W)
+
+    def eig_range_const(self):
+        e = np.linalg.eigvalsh(0.5 * (self.K + self.K.T))
+        return (float(e.min()), float(e.max()))
+
+    def __str__(self):
+        return "matrix linear anisotropic"
+
+
+@dataclasses.dataclass
+class LinearTransverselyIsotropic(MaterialLaw):
+    """Transversely isotropic elasticity with 5 engineering constants and an
+    anisotropy direction (fixed vector a or a per-voxel orientation field)
+    (LinearTransverselyIsotropicMaterialLaw, fibergen.cpp:11479-11593):
+
+        S = 2 mu E + lambda tr(E) I + alpha_t (a.E.a) I
+            + (alpha_t tr(E) + beta_t (a.E.a)) A + 2 dmu sym(AE + EA),
+        A = a x a
+    """
+
+    E: float = 1.0
+    nu: float = 0.3
+    E_a: float = 1.0
+    G_a: float = 1.0
+    nu_a: float = 0.3
+    a: Optional[np.ndarray] = None          # fixed direction, else field
+    orientation: object = None              # (3, nx, ny, nz) unit field
+    dim: int = 6
+    is_linear: bool = True
+
+    def __post_init__(self):
+        E, nu, E_a, G_a, nu_ab = self.E, self.nu, self.E_a, self.G_a, self.nu_a
+        G = E / (2 * (nu + 1))
+        nu_ba = E / E_a * nu_ab
+        D = (1 + nu) * (1 - nu - 2 * nu_ab * nu_ba)
+        self._alpha = E * (nu_ab * (1 + nu - nu_ba) - nu) / D
+        self._beta = (E_a * (1 - nu * nu) - E * (nu + nu_ab * nu_ba)
+                      - 2 * E * (nu_ab * (1 + nu - nu_ba) - nu)) / D \
+            - 4 * G_a + 2 * G
+        self._lam = E * (nu + nu_ab * nu_ba) / D
+        self._two_mu = 2 * G
+        self._two_dmu = 2 * (G_a - G)
+
+    def _direction(self, F):
+        if self.a is not None and np.linalg.norm(self.a) != 0:
+            av = np.asarray(self.a, dtype=np.float64)
+            av = av / np.linalg.norm(av)
+            return [jnp.asarray(av[k], F.dtype) for k in range(3)]
+        if self.orientation is None:
+            raise ValueError("tiso law needs a direction or orientation field")
+        return [self.orientation[k] for k in range(3)]
+
+    def pk1(self, F):
+        a0, a1, a2 = self._direction(F)
+        # A = a x a in Voigt [xx, yy, zz, yz, xz, xy]
+        A = [a0 * a0, a1 * a1, a2 * a2, a1 * a2, a0 * a2, a0 * a1]
+        trE = F[0] + F[1] + F[2]
+        w = voigt.weights(6)
+        aEa = sum(w[i] * A[i] * F[i] for i in range(6))
+        # sym(A E + E A) in Voigt via matrix product of symmetric tensors
+        # (AE+EA)_ij = sum_k A_ik E_kj + E_ik A_kj
+        Am = [[A[0], A[5], A[4]], [A[5], A[1], A[3]], [A[4], A[3], A[2]]]
+        Em = [[F[0], F[5], F[4]], [F[5], F[1], F[3]], [F[4], F[3], F[2]]]
+
+        def prod(i, j):
+            return sum(Am[i][k] * Em[k][j] + Em[i][k] * Am[k][j]
+                       for k in range(3))
+
+        AE = [prod(0, 0), prod(1, 1), prod(2, 2),
+              0.5 * (prod(1, 2) + prod(2, 1)),
+              0.5 * (prod(0, 2) + prod(2, 0)),
+              0.5 * (prod(0, 1) + prod(1, 0))]
+
+        c_I = self._lam * trE + self._alpha * aEa
+        c_A = self._alpha * trE + self._beta * aEa
+        out = []
+        for i in range(6):
+            t = self._two_mu * F[i] + c_A * A[i] + 0.5 * self._two_dmu * AE[i]
+            if i < 3:
+                t = t + c_I
+            out.append(t)
+        return jnp.stack(out)
+
+    def w(self, F):
+        s = self.pk1(F)
+        w = voigt.weights(6)
+        return 0.5 * sum(w[i] * s[i] * F[i] for i in range(6))
+
+    def dpk1(self, F, W):
+        return self.pk1(W)
+
+    def eig_range_const(self):
+        # conservative: eigenvalues of the 6x6 Voigt matrix for a = e_z
+        C = np.zeros((6, 6))
+        eye = np.eye(6)
+        save_a, save_o = self.a, self.orientation
+        self.a = np.array([0.0, 0.0, 1.0])
+        try:
+            for j in range(6):
+                col = self.pk1(jnp.asarray(eye[j].reshape(6, 1, 1, 1)))
+                C[:, j] = np.asarray(col).reshape(6)
+        finally:
+            self.a, self.orientation = save_a, save_o
+        e = np.linalg.eigvalsh(0.5 * (C + C.T))
+        return (float(e.min()), float(e.max()))
+
+    def __str__(self):
+        return (f"linear transversely isotropic lambda={self._lam:g} "
+                f"mu={0.5*self._two_mu:g}")

@@ -108,3 +108,53 @@ def test_polarization_transform_inverse():
     C0F = 2 * mu0 * Finv
     np.testing.assert_allclose(np.asarray(Q), np.asarray(CF - C0F),
                                rtol=1e-10, atol=1e-12)
+
+
+GOLDBERG = [cls() for cls in laws.GOLDBERG_LAWS.values()]
+
+
+@pytest.mark.parametrize("law", GOLDBERG, ids=lambda l: type(l).__name__)
+def test_goldberg_pk1_is_gradient_of_w(law):
+    F = rand_F9(seed=6)
+    P = law.pk1(F)
+    h = 1e-6
+    for k in range(9):
+        fd = (law.w(F.at[k].add(h)) - law.w(F.at[k].add(-h))) / (2 * h)
+        np.testing.assert_allclose(np.asarray(P[k]), np.asarray(fd),
+                                   rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("law", GOLDBERG, ids=lambda l: type(l).__name__)
+def test_goldberg_energy_zero_at_identity(law):
+    # Fiber3's energy is intentionally not normalized at F = I
+    # (W = f1 J1 + f2 J1^4 + f3 sqrt(J2) + ..., fibergen.cpp:10915)
+    if isinstance(law, laws.GoldbergFiber3):
+        pytest.skip("Fiber3 energy not normalized at identity (as in reference)")
+    Fid = jnp.asarray(np.array([1., 1, 1, 0, 0, 0, 0, 0, 0]).reshape(9, 1, 1, 1))
+    w = float(law.w(Fid).squeeze())
+    assert abs(w) < 1e-12
+
+
+def test_tiso_reduces_to_isotropic():
+    """With E_a = E, G_a = G, nu_a = nu the tiso law must equal the
+    isotropic law for any direction."""
+    E, nu = 2.0, 0.3
+    G = E / (2 * (1 + nu))
+    c = convert.elastic_constants(E=E, nu=nu)
+    iso = laws.LinearIsotropic(mu=c["mu"], lam=c["lam"])
+    tiso = laws.LinearTransverselyIsotropic(
+        E=E, nu=nu, E_a=E, G_a=G, nu_a=nu, a=np.array([0.3, -0.5, 0.8]))
+    rng = np.random.default_rng(7)
+    F = jnp.asarray(rng.standard_normal((6, 2, 1, 1)))
+    np.testing.assert_allclose(np.asarray(tiso.pk1(F)), np.asarray(iso.pk1(F)),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_aniso_heat_diagonal_matches_scalar():
+    k = 3.0
+    aniso = laws.MatrixLinearAnisotropic(K=np.diag([k, k, k]))
+    scalar = laws.ScalarLinearIsotropic(mu=k, dim=3)
+    rng = np.random.default_rng(8)
+    F = jnp.asarray(rng.standard_normal((3, 2, 1, 1)))
+    np.testing.assert_allclose(np.asarray(aniso.pk1(F)),
+                               np.asarray(scalar.pk1(F)), rtol=1e-12)
