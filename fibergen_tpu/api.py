@@ -485,6 +485,59 @@ class FG:
         self.gen.add_fiber(f)
         self._phases_initialized = False
 
+    def _resolve_path(self, path):
+        if not os.path.isabs(path) and getattr(self, "_xml_dir", None):
+            return os.path.join(self._xml_dir, path)
+        return path
+
+    def _action_place_triangle(self, action, r):
+        """place_triangle (fibergen.cpp:25823)."""
+        from .geometry.primitives import Triangle
+        self.init_gen()
+        pts = [np.array([r.attr(f"p{k}x", 0.0, float),
+                         r.attr(f"p{k}y", 0.0, float),
+                         r.attr(f"p{k}z", 0.0, float)]) for k in (1, 2, 3)]
+        self.gen.add_fiber(Triangle(v0=pts[0], v1=pts[1], v2=pts[2]))
+        self._phases_initialized = False
+
+    def _action_place_tetrahedron(self, action, r):
+        """place_tetrahedron (fibergen.cpp:25839)."""
+        from .geometry.primitives import Tetrahedron
+        self.init_gen()
+        pts = [np.array([r.attr(f"p{k}x", 0.0, float),
+                         r.attr(f"p{k}y", 0.0, float),
+                         r.attr(f"p{k}z", 0.0, float)]) for k in (1, 2, 3, 4)]
+        self.gen.add_fiber(Tetrahedron(verts=np.stack(pts)))
+        self._phases_initialized = False
+
+    def _action_place_stl(self, action, r):
+        """place_stl (fibergen.cpp:25898)."""
+        from .geometry import mesh as meshmod
+        from .geometry.primitives import TriangleSurface
+        self.init_gen()
+        V0, V1, V2 = meshmod.read_stl(self._resolve_path(r.attr("filename", "", str)))
+        self.gen.add_fiber(TriangleSurface(
+            V0=V0, V1=V1, V2=V2, fill=r.attr("fill", True, bool)))
+        self._phases_initialized = False
+
+    def _action_place_tetvtk(self, action, r):
+        """place_tetvtk (fibergen.cpp:25856)."""
+        from .geometry import mesh as meshmod
+        from .geometry.primitives import TetMesh
+        self.init_gen()
+        pts, tets = meshmod.read_tet_vtk(self._resolve_path(r.attr("filename", "", str)))
+        self.gen.add_fiber(TetMesh(points=pts, tets=tets))
+        self._phases_initialized = False
+
+    def _action_place_tetdolfin(self, action, r):
+        """place_tetdolfin (fibergen.cpp:25877)."""
+        from .geometry import mesh as meshmod
+        from .geometry.primitives import TetMesh
+        self.init_gen()
+        pts, tets = meshmod.read_tet_dolfin(self._resolve_path(r.attr("filename", "", str)))
+        self.gen.add_fiber(TetMesh(points=pts, tets=tets))
+        self._phases_initialized = False
+
     def _read_distribution_list(self, action) -> distmod.Distribution:
         parts = []
         for d in action:

@@ -158,6 +158,10 @@ def phi_field(grid: Grid, fibers: List[Fiber], supersample: int = 1,
                 d, jnp.full_like(d, nv[0]), jnp.full_like(d, nv[1]),
                 jnp.full_like(d, nv[2]), h)
 
+    mesh_phi = mesh_phi_contributions(grid, fibers, x, y, z, h, dtype)
+    if mesh_phi is not None:
+        phi = phi + mesh_phi
+
     phi = jnp.clip(phi, 0.0, 1.0)
     if ss > 1:
         phi = phi.reshape(grid.nx, ss, grid.ny, ss, grid.nz, ss).mean(
@@ -262,3 +266,179 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
         "fiber_id": fid,
         "material_id": mid,
     }
+
+
+# ---------------------------------------------------------------------------
+# mesh primitives: device kernels
+# ---------------------------------------------------------------------------
+
+def _tri_closest(x, y, z, v0, v1, v2):
+    """Closest point on a triangle for broadcast coordinates (Ericson's
+    region algorithm, branchless).  Returns (cx, cy, cz)."""
+    abx, aby, abz = v1[0] - v0[0], v1[1] - v0[1], v1[2] - v0[2]
+    acx, acy, acz = v2[0] - v0[0], v2[1] - v0[1], v2[2] - v0[2]
+    apx, apy, apz = x - v0[0], y - v0[1], z - v0[2]
+    d1 = abx * apx + aby * apy + abz * apz
+    d2 = acx * apx + acy * apy + acz * apz
+    bpx, bpy, bpz = x - v1[0], y - v1[1], z - v1[2]
+    d3 = abx * bpx + aby * bpy + abz * bpz
+    d4 = acx * bpx + acy * bpy + acz * bpz
+    cpx, cpy, cpz = x - v2[0], y - v2[1], z - v2[2]
+    d5 = abx * cpx + aby * cpy + abz * cpz
+    d6 = acx * cpx + acy * cpy + acz * cpz
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+    eps = 1e-30
+
+    # interior barycentric
+    denom = va + vb + vc
+    denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
+    v_in = vb / denom
+    w_in = vc / denom
+    # edge parameters
+    t_ab = d1 / jnp.where(jnp.abs(d1 - d3) < eps, eps, d1 - d3)
+    t_ac = d2 / jnp.where(jnp.abs(d2 - d6) < eps, eps, d2 - d6)
+    t_bc = (d4 - d3) / jnp.where(
+        jnp.abs((d4 - d3) + (d5 - d6)) < eps, eps, (d4 - d3) + (d5 - d6))
+    t_ab = jnp.clip(t_ab, 0.0, 1.0)
+    t_ac = jnp.clip(t_ac, 0.0, 1.0)
+    t_bc = jnp.clip(t_bc, 0.0, 1.0)
+
+    r1 = (d1 <= 0) & (d2 <= 0)                      # vertex v0
+    r2 = (d3 >= 0) & (d4 <= d3)                     # vertex v1
+    r3 = (d6 >= 0) & (d5 <= d6)                     # vertex v2
+    r4 = (vc <= 0) & (d1 >= 0) & (d3 <= 0)          # edge ab
+    r5 = (vb <= 0) & (d2 >= 0) & (d6 <= 0)          # edge ac
+    r6 = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)  # edge bc
+
+    def pick(comp_v0, comp_ab, comp_ac, comp_bc_a, comp_bc_d):
+        interior = comp_v0 + comp_ab * v_in + comp_ac * w_in
+        c = interior
+        c = jnp.where(r6, comp_bc_a + t_bc * comp_bc_d, c)
+        c = jnp.where(r5, comp_v0 + t_ac * comp_ac, c)
+        c = jnp.where(r4, comp_v0 + t_ab * comp_ab, c)
+        c = jnp.where(r3, comp_v0 + comp_ac, c)
+        c = jnp.where(r2, comp_v0 + comp_ab, c)
+        c = jnp.where(r1, comp_v0, c)
+        return c
+
+    bcx, bcy, bcz = v2[0] - v1[0], v2[1] - v1[1], v2[2] - v1[2]
+    cx = pick(v0[0], abx, acx, v1[0], bcx)
+    cy = pick(v0[1], aby, acy, v1[1], bcy)
+    cz = pick(v0[2], abz, acz, v1[2], bcz)
+    return cx, cy, cz
+
+
+def _tri_dn(x, y, z, v0, v1, v2):
+    """Signed distance (sign from the triangle plane normal) and unit normal."""
+    cx, cy, cz = _tri_closest(x, y, z, v0, v1, v2)
+    dx_, dy_, dz_ = x - cx, y - cy, z - cz
+    d = jnp.sqrt(dx_ * dx_ + dy_ * dy_ + dz_ * dz_)
+    nx = (v1[1] - v0[1]) * (v2[2] - v0[2]) - (v1[2] - v0[2]) * (v2[1] - v0[1])
+    ny = (v1[2] - v0[2]) * (v2[0] - v0[0]) - (v1[0] - v0[0]) * (v2[2] - v0[2])
+    nz = (v1[0] - v0[0]) * (v2[1] - v0[1]) - (v1[1] - v0[1]) * (v2[0] - v0[0])
+    nn = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    nn = jnp.where(nn < 1e-30, 1e-30, nn)
+    nx, ny, nz = nx / nn, ny / nn, nz / nn
+    s = jnp.sign((x - v0[0]) * nx + (y - v0[1]) * ny + (z - v0[2]) * nz)
+    s = jnp.where(s == 0, 1.0, s)
+    return d, s, (nx, ny, nz)
+
+
+def _tet_dn(x, y, z, normals, offsets):
+    """Signed distance of a tetrahedron as max over 4 outward face planes
+    (exact inside, conservative outside edges).  normals (4,3), offsets (4,)."""
+    ds = [normals[k, 0] * x + normals[k, 1] * y + normals[k, 2] * z
+          - offsets[k] for k in range(4)]
+    d = ds[0]
+    arg = jnp.zeros_like(d, dtype=jnp.int32)
+    for k in range(1, 4):
+        take = ds[k] > d
+        d = jnp.where(take, ds[k], d)
+        arg = jnp.where(take, k, arg)
+    n = tuple(jnp.take(normals[:, c], arg) for c in range(3))
+    return d, n
+
+
+def mesh_phi_contributions(grid, fibers, x, y, z, h, dtype):
+    """phi contributions from triangle/tet/surface primitives (added to the
+    capsule/halfspace contributions in phi_field)."""
+    from .primitives import Tetrahedron, TetMesh, Triangle, TriangleSurface
+
+    phi = None
+
+    def add(p):
+        nonlocal phi
+        phi = p if phi is None else phi + p
+
+    # solid tetrahedra (including expanded TetMesh)
+    tets = [f for f in fibers if isinstance(f, Tetrahedron)]
+    for f in fibers:
+        if isinstance(f, TetMesh):
+            tets.extend(Tetrahedron(verts=f.points[t], material=f.material,
+                                    fiber_id=f.fiber_id) for t in f.tets)
+    if tets:
+        normals = jnp.asarray(np.stack(
+            [np.stack([pl[0] for pl in t._faces]) for t in tets]), dtype)
+        offsets = jnp.asarray(np.stack(
+            [np.array([pl[0] @ pl[1] for pl in t._faces]) for t in tets]), dtype)
+
+        def body(carry, p):
+            nrm, off = p
+            d, n = _tet_dn(x, y, z, nrm, off)
+            return carry + plane_cut_fraction(d, n[0], n[1], n[2], h), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(x.shape[:1] + y.shape[:1] + z.shape, dtype
+                            ).reshape(x.shape[0], y.shape[0], z.shape[0]),
+            (normals, offsets))
+        add(acc)
+
+    # thin triangles: slab of one (supersampled) voxel thickness
+    tris = [f for f in fibers if isinstance(f, Triangle)]
+    if tris:
+        V = jnp.asarray(np.stack([np.stack([t.v0, t.v1, t.v2]) for t in tris]),
+                        dtype)
+        hmin = min(h)
+
+        def body(carry, v):
+            d, s, n = _tri_dn(x, y, z, v[0], v[1], v[2])
+            frac = jnp.clip(1.0 - d / hmin, 0.0, 1.0)
+            return carry + frac, None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((x.shape[0], y.shape[0], z.shape[0]), dtype), V)
+        add(acc)
+
+    # closed triangle surfaces (STL): signed distance to the closest triangle
+    for f in fibers:
+        if not isinstance(f, TriangleSurface):
+            continue
+        V0 = jnp.asarray(f.V0, dtype)
+        V1 = jnp.asarray(f.V1, dtype)
+        V2 = jnp.asarray(f.V2, dtype)
+        big = jnp.asarray(np.finfo(np.dtype(dtype)).max / 4, dtype)
+        shape = (x.shape[0], y.shape[0], z.shape[0])
+        init = (jnp.full(shape, big, dtype), jnp.ones(shape, dtype),
+                jnp.zeros((3,) + shape, dtype))
+
+        def body(carry, v):
+            dmin, sign, nrm = carry
+            d, s, n = _tri_dn(x, y, z, v[0], v[1], v[2])
+            take = d < dmin
+            dmin = jnp.where(take, d, dmin)
+            sign = jnp.where(take, s, sign)
+            # triangle normals are per-triangle scalars -> broadcast to field
+            nstack = jnp.stack(n).reshape(3, 1, 1, 1)
+            nrm = jnp.where(take[None], nstack, nrm)
+            return (dmin, sign, nrm), None
+
+        (dmin, sign, nrm), _ = jax.lax.scan(
+            body, init, jnp.stack([V0, V1, V2], axis=1))
+        if f.fill:
+            add(plane_cut_fraction(dmin * sign, nrm[0], nrm[1], nrm[2], h))
+        else:
+            add(jnp.clip(1.0 - dmin / min(h), 0.0, 1.0))
+
+    return phi
