@@ -220,7 +220,10 @@ def fiber_fiber_distance(f, others: List[Fiber]) -> np.ndarray:
     P2 = np.stack([_segment_points(o)[0] for o in others])
     Q2 = np.stack([_segment_points(o)[1] for o in others])
     R2 = np.array([o.radius for o in others])
-    d = segment_segment_distance(p1, q1, P2, Q2)
+    from .. import native
+    d = native.segseg_distance_batch(p1, q1, P2, Q2)
+    if d is None:
+        d = segment_segment_distance(p1, q1, P2, Q2)
     return d - f.radius - R2
 
 
