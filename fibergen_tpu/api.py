@@ -933,6 +933,96 @@ class FG:
             p.phi = phi
         self._phases_initialized = True
 
+    def _action_write_png(self, action, r):
+        """Distance-map plane sample as PNG image (write_png,
+        fibergen.cpp:25352): p(u, v) = a0 + u*a1 + v*a2."""
+        from .io.png import write_png
+        self.init_lss()
+        self.init_fibers()
+        grid = self.solver.grid
+        a0 = np.array([r.attr("a0x", 0.0, float), r.attr("a0y", 0.0, float),
+                       r.attr("a0z", 0.0, float)])
+        a1 = np.array([r.attr("a1x", 1.0, float), r.attr("a1y", 0.0, float),
+                       r.attr("a1z", 0.0, float)])
+        a2 = np.array([r.attr("a2x", 0.0, float), r.attr("a2y", 1.0, float),
+                       r.attr("a2z", 0.0, float)])
+        exponent = r.attr("exponent", 1.0, float)
+        scale = r.attr("scale", 1.0, float)
+        offset = r.attr("offset", 0.0, float)
+        nu, nv = grid.nx, grid.ny
+        us = (np.arange(nu) + 0.5) / nu
+        vs = (np.arange(nv) + 0.5) / nv
+        pts = (a0[None, None] + us[:, None, None] * a1[None, None]
+               + vs[None, :, None] * a2[None, None]).reshape(-1, 3)
+        d = np.full(pts.shape[0], np.inf)
+        for f in self.gen.all_fibers():
+            d = np.minimum(d, np.atleast_1d(f.distance(pts)))
+        img = scale * np.sign(d) * np.abs(d) ** exponent + offset
+        img = img.reshape(nu, nv)
+        lo, hi = img.min(), img.max()
+        img = (img - lo) / (hi - lo if hi > lo else 1.0)
+        write_png(r.attr("filename", "distance.png", str), img.T[::-1])
+
+    def _action_write_pvpy(self, action, r):
+        """ParaView python script of the geometry (PVPyWriter,
+        fibergen.cpp:5643)."""
+        self.init_fibers()
+        path = r.attr("filename", "geometry.py", str)
+        lines = ["from paraview.simple import *", ""]
+        for f in self.gen.all_fibers():
+            t = type(f).__name__
+            if t == "Capsule" and f.length == 0:
+                lines.append(
+                    f"s = Sphere(Center={list(f.center)}, Radius={f.radius})")
+                lines.append(f"RenameSource('fiber_{f.fiber_id}', s)")
+                lines.append("Show(s)")
+            elif t in ("Capsule", "Cylinder"):
+                c = list(f.center)
+                lines.append(
+                    f"s = Cylinder(Center={c}, Radius={f.radius}, "
+                    f"Height={f.length})")
+                lines.append(f"RenameSource('fiber_{f.fiber_id}', s)")
+                lines.append("Show(s)")
+        lines.append("Render()")
+        with open(path, "w") as fp:
+            fp.write("\n".join(lines) + "\n")
+
+    def _action_write_voxel_data(self, action, r):
+        """Plain-text voxel dump: phases + normals + orientation
+        (writeData, fibergen.cpp:17076)."""
+        self.init_phase()
+        grid = self.solver.grid
+        gfields = discretize.geometry_fields(grid, self.gen.all_fibers())
+        normals = np.asarray(gfields["normals"])
+        orient = np.asarray(gfields["orientation"])
+        phis = [np.asarray(p.phi) for p in self.solver.mat.phases]
+        path = r.attr("filename", "voxels.txt", str)
+        with open(path, "w") as fp:
+            names = " ".join("phi_" + p.name for p in self.solver.mat.phases)
+            fp.write(f"# i j k {names} nx ny nz ox oy oz\n")
+            for i in range(grid.nx):
+                for j in range(grid.ny):
+                    for k in range(grid.nz):
+                        ph = " ".join(f"{p[i, j, k]:g}" for p in phis)
+                        nr = " ".join(f"{normals[c, i, j, k]:g}" for c in range(3))
+                        orr = " ".join(f"{orient[c, i, j, k]:g}" for c in range(3))
+                        fp.write(f"{i} {j} {k} {ph} {nr} {orr}\n")
+
+    def _action_write_lss_vtk(self, action, r):
+        self._action_write_vtk(action, r)
+
+    def _action_save_state(self, action, r):
+        """Checkpoint the solver state (new capability; the reference's
+        nearest equivalent is per-loadstep VTK dumps)."""
+        self.init_lss()
+        self.solver.save_state(self._resolve_path(
+            r.attr("filename", "checkpoint.npz", str)))
+
+    def _action_load_state(self, action, r):
+        self.init_lss()
+        self.solver.load_state(self._resolve_path(
+            r.attr("filename", "checkpoint.npz", str)))
+
     def _action_write_fiber_data(self, action, r):
         self.init_fibers()
         path = r.attr("filename", "fibers.txt", str)

@@ -677,6 +677,37 @@ class LSSolver:
             1.0 if norm_S < self.opt.bc_tol else norm_S)
         return float(max(err_F, err_S))
 
+    # ---------------------------------------------------------- checkpoint
+    def save_state(self, path: str):
+        """Checkpoint the solver state (field + BCs + reference material) —
+        a capability the reference lacks (SURVEY.md section 5)."""
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            eps=np.asarray(self.eps) if self.eps is not None else np.zeros(0),
+            E=self.E, S=self.S, P=self.P,
+            mu_0=self.mu_0, lambda_0=self.lambda_0,
+            residuals=np.asarray(self.residuals, dtype=np.float64),
+            mode=np.array(self.mode), scheme=np.array(self.scheme))
+
+    def load_state(self, path: str):
+        import jax.numpy as jnp_
+        d = np.load(path if path.endswith(".npz") else path + ".npz",
+                    allow_pickle=False)
+        if str(d["mode"]) != self.mode:
+            raise SolverError(
+                f"checkpoint mode '{d['mode']}' != solver mode '{self.mode}'")
+        if d["eps"].size:
+            self.eps = jnp_.asarray(d["eps"], self.dtype)
+        self.E = d["E"]
+        self.S = d["S"]
+        self.P = d["P"]
+        self.mu_0 = float(d["mu_0"])
+        self.lambda_0 = float(d["lambda_0"])
+        self.residuals = list(d["residuals"])
+        if np.isfinite(self.mu_0):
+            self._bc = bcmod.make_bc_projector(
+                self.P, self.mu_0, self.lambda_0, self.opt.bc_relax)
+
     # --------------------------------------------------------------- stats
     def calc_mean_strain(self):
         return np.asarray(fields.mean(self.eps))
