@@ -250,6 +250,10 @@ class FG:
 
         from .solvers.ls import MODE_DIM
         material = make_mixed(mixing_rule, phases, dim=MODE_DIM[mode])
+        if opt.resolved_scheme() in ("half_staggered", "full_staggered"):
+            # doubly-fine-grid constitutive evaluation (use_dfg)
+            from .materials.dfg import DfgMaterial
+            material = DfgMaterial(material)
         self.solver = LSSolver(grid, material, opt)
         if self._convergence_callback:
             self.solver.convergence_callback = self._convergence_callback
@@ -375,9 +379,14 @@ class FG:
         import jax.numpy as jnp
         dtype = jnp.float64 if self.solver.dtype == jnp.float64 else jnp.float32
         ss = 2 if self._smooth_levels != 0 else 1
+        from .materials.dfg import DfgMaterial, fine_grid
+        phase_grid = self.solver.grid
+        if isinstance(self.solver.mat, DfgMaterial):
+            # phases live on the doubly-fine grid (initFullStageredRawPhases)
+            phase_grid = fine_grid(phase_grid)
         with timer("phase initialization", log=True):
             phis = discretize.voxelize(
-                self.solver.grid, self.gen.all_fibers(),
+                phase_grid, self.gen.all_fibers(),
                 n_materials=len(self.solver.mat.phases),
                 matrix_material=self._matrix_material,
                 supersample=ss, dtype=dtype)
@@ -389,7 +398,7 @@ class FG:
         if hasattr(self.solver.mat, "normals") or needs_orientation:
             # interface-aware mixing / orientation-dependent laws need fields
             gfields = discretize.geometry_fields(
-                self.solver.grid, self.gen.all_fibers(), dtype=dtype)
+                phase_grid, self.gen.all_fibers(), dtype=dtype)
             if hasattr(self.solver.mat, "normals"):
                 self.solver.mat.normals = gfields["normals"]
             for p in self.solver.mat.phases:
