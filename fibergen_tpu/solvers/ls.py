@@ -74,6 +74,9 @@ class SolverOptions:
     # recorded, convergence is only *acted on* at chunk granularity.
     # 1 reproduces the reference's per-iteration loop exactly.
     check_every: int = 1
+    # fused Pallas stencil kernels for the staggered elasticity hot path:
+    # "auto" enables them on TPU when the problem shape/mixing qualifies
+    use_pallas: str = "auto"
     loadsteps: int = 1
     first_loadstep: int = -1
     loadstep_extrapolation_order: int = 0
@@ -205,14 +208,47 @@ class LSSolver:
                 return jax.lax.with_sharding_constraint(x, self.sharding)
             return x
 
+        def _pallas_enabled():
+            if self.opt.use_pallas == "off" or self.sharding is not None:
+                return False
+            from ..ops import pallas_kernels as pk
+            if not (mode == "elasticity" and scheme == "staggered"
+                    and getattr(mat, "_iso_linear", False)
+                    and pk.supported(grid, self.dim, dt)):
+                return False
+            if self.opt.use_pallas == "on":
+                return True
+            return jax.default_backend() not in ("cpu",)
+
+        self._pallas_active = _pallas_enabled()
+
+        def fused_basic(eps, E, mu0, lam0):
+            """stress_diff + div fused (Pallas), then G0 in Fourier, then the
+            fused staggered gradient.  Only the trivial-BC path is fused;
+            mixed BCs need the tau mean and use the jnp path."""
+            from ..ops import fft as fftmod
+            from ..ops import green
+            from ..ops import pallas_kernels as pk
+            mu_x, lam_x = mat._all_iso()
+            f = pk.stress_div_staggered(grid, eps, mu_x, lam_x, mu0, lam0)
+            f_hat = fftmod.fftn(f)
+            u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
+            u = fftmod.ifftn(u_hat, grid.shape)
+            return pk.eps_from_u_staggered(grid, jnp.asarray(E, dt), u)
+
         def basic_step(eps, E, bca, mu0, lam0):
-            tau = stress_diff(eps, mu0, lam0)
-            eta = shard(gamma_op(E, tau, mu0, lam0, bca))
+            if self._pallas_active and bca is None:
+                eta = shard(fused_basic(eps, E, mu0, lam0))
+            else:
+                tau = stress_diff(eps, mu0, lam0)
+                eta = shard(gamma_op(E, tau, mu0, lam0, bca))
             return eta, metric(eta)
 
         def krylov(eps, bca, mu0, lam0):
             """-Gamma (C-C0) eps with zero mean (krylovOperator,
             fibergen.cpp:20583-20587)."""
+            if self._pallas_active and bca is None:
+                return fused_basic(eps, jnp.zeros(self.dim, dt), mu0, lam0)
             zero = jnp.zeros(self.dim, dt)
             tau = stress_diff(eps, mu0, lam0)
             return gamma_op(zero, tau, mu0, lam0, bca)
