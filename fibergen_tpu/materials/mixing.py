@@ -344,3 +344,178 @@ def make_mixed(rule: str, phases: List[Phase], dim: int = 6) -> MixedMaterial:
     except KeyError:
         raise ValueError(f"Unknown mixing rule '{rule}'") from None
     return cls(phases, dim=dim)
+
+
+class RandomMixed(MixedMaterial):
+    """Interface voxels resolve to a single pseudo-random phase, pure voxels
+    to their phase (RandomMixedMaterialLaw, fibergen.cpp:12782-12867).
+    Uses the reference's LCG hash of the flat voxel index."""
+
+    rule = "random"
+
+    def _weights(self):
+        nph = len(self.phases)
+        phis = jnp.stack([p.phi for p in self.phases])
+        interface = ((phis > _RTHR) & (phis < 1.0 - _RTHR)).any(axis=0)
+        shape = phis.shape[1:]
+        idx = (np.arange(np.prod(shape)).reshape(shape))
+        rnd = (((idx * 1103515245 + 12345) >> 16) & 0x7FFFFFFF) % nph
+        rnd = jnp.asarray(rnd)
+        sel = jnp.stack([(rnd == p).astype(phis.dtype) for p in range(nph)])
+        return jnp.where(interface[None], sel, phis)
+
+    def pk1(self, F):
+        w = self._weights()
+        out = None
+        for wp, p in zip(w, self.phases):
+            t = wp[None] * p.law.pk1(F)
+            out = t if out is None else out + t
+        return out
+
+    def dpk1(self, F, W):
+        w = self._weights()
+        out = None
+        for wp, p in zip(w, self.phases):
+            t = wp[None] * p.law.dpk1(F, W)
+            out = t if out is None else out + t
+        return out
+
+    def w(self, F):
+        w = self._weights()
+        out = None
+        for wp, p in zip(w, self.phases):
+            t = wp * p.law.w(F)
+            out = t if out is None else out + t
+        return out
+
+    def _all_iso(self):
+        return None
+
+
+class FiftyFiftyMixed(MixedMaterial):
+    """Interface voxels average all phases equally
+    (FiftyFiftyMixedMaterialLaw, fibergen.cpp:12870-12955)."""
+
+    rule = "fiftyfifty"
+
+    def _weights(self):
+        nph = len(self.phases)
+        phis = jnp.stack([p.phi for p in self.phases])
+        interface = ((phis > _RTHR) & (phis < 1.0 - _RTHR)).any(axis=0)
+        eq = jnp.full_like(phis, 1.0 / nph)
+        return jnp.where(interface[None], eq, phis)
+
+    pk1 = RandomMixed.pk1
+    dpk1 = RandomMixed.dpk1
+    w = RandomMixed.w
+
+    def _all_iso(self):
+        return None
+
+
+class SplitMixed(MixedMaterial):
+    """Volumetric/deviatoric split with separate sub-rules
+    (SplitMixedMaterialLaw, fibergen.cpp:12608-12650)."""
+
+    rule = "split"
+
+    def __init__(self, phases, dim=6, dev_rule="voigt", vol_rule="reuss"):
+        super().__init__(phases, dim=dim)
+        # sub-rules share the same Phase objects, so phi assignments propagate
+        self.dev = MIXING_RULES[dev_rule](self.phases, dim=dim)
+        self.vol = MIXING_RULES[vol_rule](self.phases, dim=dim)
+
+    def _split(self, F):
+        tr3 = (F[0] + F[1] + F[2]) / 3.0
+        Fvol = jnp.zeros_like(F).at[0:3].set(tr3[None])
+        return F - Fvol, Fvol
+
+    def pk1(self, F):
+        Fdev, Fvol = self._split(F)
+        return self.dev.pk1(Fdev) + self.vol.pk1(Fvol)
+
+    def dpk1(self, F, W):
+        Wdev, Wvol = self._split(W)
+        return self.dev.dpk1(F, Wdev) + self.vol.dpk1(F, Wvol)
+
+    def w(self, F):
+        Fdev, Fvol = self._split(F)
+        return self.dev.w(Fdev) + self.vol.w(Fvol)
+
+    def _all_iso(self):
+        return None
+
+
+class IsoMixed(MixedMaterial):
+    """Energy-optimal isostrain/isostress split for two isotropic phases
+    (IsoMixedMaterialLaw, fibergen.cpp:12958-13083):
+        (c2 C1 + c1 C2) F1 = C2 F,  F2 = (F - c1 F1)/c2.
+    Implemented in closed form for isotropic laws (the mixing matrix is
+    itself isotropic and inverted analytically)."""
+
+    rule = "iso"
+
+    def __init__(self, phases, dim=6):
+        super().__init__(phases, dim=dim)
+        if len(phases) != 2:
+            raise ValueError("iso mixing requires exactly 2 phases")
+
+    def _phase_strains(self, F):
+        l1, l2 = self.phases[0].law, self.phases[1].law
+        if not (hasattr(l1, "iso_moduli") and hasattr(l2, "iso_moduli")):
+            raise NotImplementedError("iso mixing needs isotropic laws")
+        mu1, la1 = l1.iso_moduli()
+        mu2, la2 = l2.iso_moduli()
+        c1 = self.phases[0].phi
+        c2 = self.phases[1].phi
+        # M = c2 C1 + c1 C2 (isotropic with per-voxel moduli)
+        m = c2 * mu1 + c1 * mu2
+        l = c2 * la1 + c1 * la2
+        # solve M F1 = C2 F analytically: inv(2m Id + l II) applied to
+        # (2 mu2 F + la2 tr(F) I)
+        trF = F[0] + F[1] + F[2]
+        rhs = 2.0 * mu2 * F
+        if self._dim >= 6:
+            rhs = rhs.at[0:3].add((la2 * trF)[None])
+        tr_rhs = rhs[0] + rhs[1] + rhs[2]
+        inv2m = 1.0 / jnp.maximum(2.0 * m, 1e-300)
+        b = l / (jnp.maximum(2.0 * m, 1e-300)
+                 * jnp.maximum(3.0 * l + 2.0 * m, 1e-300))
+        F1 = inv2m[None] * rhs
+        if self._dim >= 6:
+            F1 = F1.at[0:3].add(-(b * tr_rhs)[None])
+        # guard pure voxels: F1 = F where c2 ~ 0 or c1 ~ 0
+        pure1 = c2 <= _RTHR
+        pure2 = c1 <= _RTHR
+        F1 = jnp.where(pure1[None] | pure2[None], F, F1)
+        c2s = jnp.maximum(c2, _RTHR)
+        F2 = (F - c1[None] * F1) / c2s[None]
+        F2 = jnp.where(pure1[None] | pure2[None], F, F2)
+        return F1, F2, c1, c2, pure1, pure2
+
+    def pk1(self, F):
+        F1, F2, c1, c2, pure1, pure2 = self._phase_strains(F)
+        l1, l2 = self.phases[0].law, self.phases[1].law
+        out = c1[None] * l1.pk1(F1) + c2[None] * l2.pk1(F2)
+        return out
+
+    def dpk1(self, F, W):
+        import jax
+        return jax.jvp(self.pk1, (F,), (W,))[1]
+
+    def w(self, F):
+        F1, F2, c1, c2, _, _ = self._phase_strains(F)
+        return c1 * self.phases[0].law.w(F1) + c2 * self.phases[1].law.w(F2)
+
+    def _all_iso(self):
+        return None
+
+
+_RTHR = 1e-7
+
+MIXING_RULES.update({
+    "random": RandomMixed,
+    "fiftyfifty": FiftyFiftyMixed,
+    "split": SplitMixed,
+    "iso": IsoMixed,
+})

@@ -190,3 +190,29 @@ def test_hyper_svk_small_strain_matches_linear():
     assert not s_h.run()
     sig_h = s_h.calc_mean_stress()
     np.testing.assert_allclose(sig_h[:6], sig_lin, rtol=1e-3, atol=1e-10 * h)
+
+
+@pytest.mark.parametrize("rule", ["voigt", "maximum", "random", "fiftyfifty",
+                                  "split", "iso", "reuss"])
+def test_mixing_rules_solve(rule):
+    """Every mixing rule must solve the sharp laminate; on pure (0/1) voxel
+    fields all rules reduce to the same per-voxel laws, so the effective
+    series stiffness is identical."""
+    from fibergen_tpu.materials.mixing import make_mixed
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=5.0, lam=2.0)
+    grid = Grid = __import__("fibergen_tpu").Grid(8, 4, 4)
+    x = (np.arange(grid.nx) + 0.5) / grid.nx
+    phi1 = jnp.asarray(np.broadcast_to((x < 0.5)[:, None, None],
+                                       grid.shape).astype(np.float64))
+    phases = [
+        __import__("fibergen_tpu").Phase("m1", laws.LinearIsotropic(**m1), phi1),
+        __import__("fibergen_tpu").Phase("m2", laws.LinearIsotropic(**m2), 1 - phi1),
+    ]
+    mat = make_mixed(rule, phases, dim=6)
+    s = LSSolver(grid, mat, SolverOptions(mode="elasticity", tol=1e-10,
+                                          maxiter=1000))
+    s.set_strain([1, 0, 0, 0, 0, 0])
+    assert not s.run()
+    sig = s.calc_mean_stress()
+    np.testing.assert_allclose(sig[0], laminate_elastic_xx(m1, m2), rtol=1e-7)
