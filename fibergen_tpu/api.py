@@ -845,6 +845,48 @@ class FG:
         LOG.info(f"HS lower bounds: K={kl:g} mu={mul:g}")
         LOG.info(f"HS upper bounds: K={ku:g} mu={muu:g}")
 
+    def _action_detect_fibers(self, action, r):
+        """Experimental CT fiber detection (detect_fibers action,
+        fibergen.cpp:25619, 15776-16621)."""
+        from .geometry.detect import detect_fibers
+        self.init_phase()
+        mat_idx = self.gen.material if self.gen else 1
+        phi = np.asarray(self.solver.mat.phases[mat_idx].phi)
+        fibers = detect_fibers(
+            phi, self.solver.grid,
+            threshold=r.attr("threshold", 0.5, float),
+            material=mat_idx)
+        LOG.info(f"detected {len(fibers)} fibers")
+        self.init_gen()
+        for f in fibers:
+            self.gen.fibers.append(f)
+            self.gen._update_moments(f.orientation())
+        if r.attr("overwrite_phase", False, bool):
+            self._phases_initialized = False
+            self.init_phase()
+        fn = r.attr("filename", "", str)
+        if fn:
+            with open(fn, "w") as fp:
+                fp.write("# id cx cy cz ax ay az L R\n")
+                for f in fibers:
+                    fp.write(f"{f.fiber_id} {f.center[0]} {f.center[1]} "
+                             f"{f.center[2]} {f.axis[0]} {f.axis[1]} "
+                             f"{f.axis[2]} {f.length} {f.radius}\n")
+
+    def _action_inv_ellint_rd(self, action, r):
+        """Tabulate the Carlson R_D moment inversion along a line
+        (inv_ellint_rd action, fibergen.cpp:25659)."""
+        from .geometry.distributions import acg_b_from_moments
+        nt = r.attr("nt", 100, int)
+        fn = r.attr("filename", "rd_inversion.txt", str)
+        with open(fn, "w") as fp:
+            fp.write("# a1 a2 a3 b1 b2 b3\n")
+            for i in range(nt):
+                t = (i + 0.5) / nt
+                a = np.array([t, (1 - t) / 2, (1 - t) / 2])
+                b = acg_b_from_moments(a)
+                fp.write(" ".join(f"{v:.12g}" for v in [*a, *b]) + "\n")
+
     def _action_print_A2(self, action, r):
         self.init_fibers()
         LOG.info(f"A2 =\n{self.gen.get_A2()}")
@@ -1163,6 +1205,9 @@ class FG:
         eps0 = lss.eps - lss.eps.mean(axis=(1, 2, 3), keepdims=True)
         mu0 = lss.mu_0 if np.isfinite(lss.mu_0) else 1.0
         lam0 = lss.lambda_0
+        # identity: for a compatible eps', eps' = eps_op(0, u) with
+        # u = iFFT(G0_hat(FFT(div(C0 eps'))), alpha=+1) — the same composition
+        # the projection self-test validates (tests/test_green_identities.py)
         if lss.dim == 3:
             tau = 2.0 * mu0 * eps0
             f = staggered.div_staggered_heat(grid, tau)
@@ -1174,8 +1219,7 @@ class FG:
                 tau = tau.at[0:3].add(tr)
             f = staggered.div_staggered(grid, tau[:6])
             u_hat = green.g0_staggered(grid, mu0, lam0, fftmod.fftn(f), 1.0)
-        u = fftmod.ifftn(u_hat, grid.shape)
-        return -u
+        return fftmod.ifftn(u_hat, grid.shape)
 
     def set_convergence_callback(self, func):
         self._convergence_callback = func

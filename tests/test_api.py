@@ -249,3 +249,19 @@ def test_cli(tmp_path):
     proj = tmp_path / "project.xml"
     proj.write_text(HEAT_LAMINATE_XML)
     assert main([str(proj)]) == 0
+
+
+def test_displacement_field_reconstruction():
+    """get_field('u') must satisfy eps = <eps> + sym grad_staggered(u)
+    exactly (get_raw_field 'u', fibergen.cpp:15505)."""
+    import jax.numpy as jnp
+    from fibergen_tpu.ops import staggered
+    f = fg.FG()
+    f.set_xml(HASHIN_XML)
+    assert f.run() == 0
+    u = jnp.asarray(f.get_field("u"))
+    eps = jnp.asarray(f.get_field("epsilon"))
+    E = eps.mean(axis=(1, 2, 3))
+    rec = staggered.eps_staggered(f.solver.grid, E, u)
+    err = float(jnp.abs(rec - eps).max() / jnp.abs(eps).max())
+    assert err < 1e-10
