@@ -206,6 +206,7 @@ class FG:
                 "loadstep_extrapolation_method", "polynomial", str),
             print_mean=sol.value("print_mean", False, bool),
             print_detF=sol.value("print_detF", False, bool),
+            g0_solver=sol.value("G0_solver", "fft", str),
             dtype=self._dtype_str(),
         )
         ls = sol.value("loadsteps", 1, int)

@@ -29,11 +29,14 @@ def _apply_mean_correction(eta, R, alpha):
 
 
 def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | None",
-                   E, mu_0, lambda_0, tau, alpha=-1.0, beta=0.0, F00=None):
+                   E, mu_0, lambda_0, tau, alpha=-1.0, beta=0.0, F00=None,
+                   g0_solver: str = "fft"):
     """eta = alpha * Gamma : tau + beta * tau with mean handling.
 
     ``tau`` is the real-space polarization field; returns the real-space eta.
-    (GammaOperator dispatch, fibergen.cpp:20488-20531.)
+    (GammaOperator dispatch, fibergen.cpp:20488-20531.)  g0_solver selects
+    the staggered G0 applicator: "fft" or "multigrid"
+    (G0OperatorStaggered, fibergen.cpp:20101-20116).
     """
     if mode == "viscosity":
         return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha, F00)
@@ -53,9 +56,13 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             f = staggered.div_staggered(grid, tau)
-            f_hat = fft.fftn(f)
-            u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
-            u = fft.ifftn(u_hat, grid.shape)
+            if g0_solver == "multigrid":
+                from ..solvers.multigrid import g0_multigrid_staggered
+                u = g0_multigrid_staggered(grid, mu_0, lambda_0, f, alpha)
+            else:
+                f_hat = fft.fftn(f)
+                u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
+                u = fft.ifftn(u_hat, grid.shape)
             eta = staggered.eps_staggered(grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau

@@ -77,6 +77,8 @@ class SolverOptions:
     # fused Pallas stencil kernels for the staggered elasticity hot path:
     # "auto" enables them on TPU when the problem shape/mixing qualifies
     use_pallas: str = "auto"
+    # staggered G0 applicator: "fft" or "multigrid" (G0_solver setting)
+    g0_solver: str = "fft"
     loadsteps: int = 1
     first_loadstep: int = -1
     loadstep_extrapolation_order: int = 0
@@ -201,7 +203,8 @@ class LSSolver:
 
         def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0):
             return gammamod.gamma_operator(
-                grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta)
+                grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta,
+                g0_solver=self.opt.g0_solver)
 
         def shard(x):
             if self.sharding is not None:
@@ -213,6 +216,7 @@ class LSSolver:
                 return False
             from ..ops import pallas_kernels as pk
             if not (mode == "elasticity" and scheme == "staggered"
+                    and self.opt.g0_solver == "fft"
                     and getattr(mat, "_iso_linear", False)
                     and pk.supported(grid, self.dim, dt)):
                 return False

@@ -216,3 +216,35 @@ def test_mixing_rules_solve(rule):
     assert not s.run()
     sig = s.calc_mean_stress()
     np.testing.assert_allclose(sig[0], laminate_elastic_xx(m1, m2), rtol=1e-7)
+
+
+def test_multigrid_g0_matches_fft():
+    """G0_solver=multigrid reproduces the FFT staggered solve
+    (G0OperatorMultigridStaggered, fibergen.cpp:20007-20100)."""
+    from fibergen_tpu.solvers import multigrid as mg
+    from fibergen_tpu.ops import fft as fftmod, green
+    import fibergen_tpu as fgt
+    grid = fgt.Grid(8, 8, 8)
+    rng = np.random.default_rng(3)
+    tau = jnp.asarray(rng.standard_normal((3,) + grid.shape))
+    mu0 = 1.3
+    u_fft = fftmod.ifftn(
+        green.g0_staggered(grid, mu0, 0.0, fftmod.fftn(tau), -1.0), grid.shape)
+    u_mg = mg.g0_multigrid_staggered(grid, mu0, 0.0, tau, -1.0,
+                                     mg.MGOptions(maxiter=14))
+    np.testing.assert_allclose(np.asarray(u_mg), np.asarray(u_fft),
+                               atol=1e-12)
+
+
+def test_solver_with_multigrid_g0():
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=5.0, lam=2.0)
+    grid = Grid(8, 8, 8)
+    mat = elastic_material(grid, m1, m2)
+    s = LSSolver(grid, mat, SolverOptions(
+        mode="elasticity", method="cg", gamma_scheme="staggered",
+        g0_solver="multigrid", tol=1e-8, maxiter=200))
+    s.set_strain([1, 0, 0, 0, 0, 0])
+    assert not s.run()
+    sig = s.calc_mean_stress()
+    np.testing.assert_allclose(sig[0], laminate_elastic_xx(m1, m2), rtol=1e-5)
