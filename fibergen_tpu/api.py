@@ -169,6 +169,10 @@ class FG:
         nx = sol.attr("nx", n, int) * mult
         ny = sol.attr("ny", n, int) * mult
         nz = sol.attr("nz", n, int) * mult
+        # <dim>2</dim>: one-voxel-thick periodic cell (the reference
+        # instantiates a DIM=2 solver; here 2D is the nz=1 limit)
+        if s.value("dim", 3, int) == 2:
+            nz = 1
         if min(nx, ny, nz) < 1:
             raise FGError("Invalid solver resolution")
 
@@ -978,8 +982,14 @@ class FG:
             phis[idx] = jnp.asarray(data, jdt)
         for i, p in enumerate(phis):
             if p is None:
-                phis[i] = (jnp.ones(grid.shape, jdt) if i == self._matrix_material
-                           else jnp.zeros(grid.shape, jdt))
+                # keep phases loaded by earlier read_raw_data actions;
+                # re-normalization assigns the matrix the remainder anyway
+                if phases[i].phi is not None:
+                    phis[i] = phases[i].phi
+                elif i == self._matrix_material:
+                    phis[i] = jnp.ones(grid.shape, jdt)
+                else:
+                    phis[i] = jnp.zeros(grid.shape, jdt)
         phis = discretize.normalize_phi(phis)
         for p, phi in zip(phases, phis):
             p.phi = phi
@@ -1124,6 +1134,12 @@ class FG:
 
     def get_solve_time(self) -> float:
         return self.solver.solve_time if self.solver else 0.0
+
+    def get_fft_time(self) -> float:
+        """FFT time is not separable from the fused XLA iteration program;
+        returns 0 (the reference tracks FFTW wall time separately,
+        fibergen.cpp:15392)."""
+        return 0.0
 
     def get_distance_evals(self) -> int:
         return 0  # not meaningful: voxelization is a fused device kernel

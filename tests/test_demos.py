@@ -110,3 +110,41 @@ def test_demo_pure_python(tmp_path, monkeypatch, capsys):
     runpy.run_path(script, run_name="__main__")
     out = capsys.readouterr().out
     assert "mean stress" in out
+
+
+REF_ROCKS = "/root/reference/demo/elasticity/digital_rocks/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_ROCKS),
+                    reason="DRP benchmark data not available")
+def test_digital_rocks_raw_ingestion():
+    """Load the Grosmont CT rasters (public DRP benchmark) through the
+    read_raw_data action and check the multi-material phase fields."""
+    f = fg.FG()
+    f.load_xml(os.path.join(DEMO_DIR, "elasticity", "digital_rocks",
+                            "project.xml"))
+    f._xml_dir = os.path.dirname(REF_ROCKS)
+    f.init_lss()
+    # run only the two read_raw_data actions (skip the 6-load-case solve)
+    f._init_python()
+    for action in f.project.root.find("actions"):
+        if action.tag == "read_raw_data":
+            from fibergen_tpu.config.xmlproject import SettingsReader
+            f._dispatch_action("read_raw_data", action,
+                               SettingsReader(f.engine, action))
+    vols = [float(p.phi.mean()) for p in f.solver.mat.phases]
+    assert abs(sum(vols) - 1.0) < 1e-6
+    assert vols[1] > 0.3  # quartz-dominated carbonate sample
+    assert 0.0 < vols[2] < 0.5
+
+
+def test_demo_regular_polygon(tmp_path, monkeypatch, capsys):
+    import runpy
+    monkeypatch.chdir(tmp_path)
+    script = os.path.join(DEMO_DIR, "python", "regular_polygon", "project.py")
+    # shrink for test speed
+    src = open(script).read().replace('n="64"', 'n="16"')
+    small = tmp_path / "project.py"
+    small.write_text(src)
+    runpy.run_path(str(small), run_name="__main__")
+    assert "effective flux" in capsys.readouterr().out
