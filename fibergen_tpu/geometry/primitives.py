@@ -459,3 +459,25 @@ class TetMesh(Fiber):
 
     def bbox(self):
         return self.points.min(0), self.points.max(0)
+
+
+@dataclasses.dataclass
+class Point(Fiber):
+    """Point marker (PointFiber, fibergen.cpp:5125): zero-volume sphere used
+    for distance maps and seeding."""
+
+    center: np.ndarray = None
+
+    def volume(self):
+        return 0.0
+
+    def distance(self, p):
+        d = np.asarray(p, dtype=np.float64) - self.center
+        return np.sqrt((d * d).sum(-1))
+
+    def translated(self, t):
+        return Point(material=self.material, fiber_id=self.fiber_id,
+                     center=self.center + np.asarray(t))
+
+    def bbox(self):
+        return self.center.copy(), self.center.copy()

@@ -336,8 +336,13 @@ MIXING_RULES = {
 def make_mixed(rule: str, phases: List[Phase], dim: int = 6) -> MixedMaterial:
     """Mixing-rule factory (create_mixing_rule equivalent,
     fibergen.cpp:14975-15030)."""
-    if rule in ("laminate", "fluidity"):
+    if rule in ("laminate", "fluidity", "infinity_laminate",
+                "infinity-laminate"):
         from .laminate import LaminateMixed
+        if rule.startswith("infinity"):
+            from ..utils.logging import LOG
+            LOG.warn("infinity-laminate mixing approximated by the rank-1 "
+                     "laminate rule")
         return LaminateMixed(phases, dim=dim)
     try:
         cls = MIXING_RULES[rule]

@@ -155,6 +155,9 @@ def make_estimator(name: str) -> ErrorEstimator:
     """Factory (create_error_estimator, fibergen.cpp:14940-14972)."""
     table = {
         "none": NoneEstimator,
+        # the reference's div_sigma estimator is a stub returning 0
+        # (fibergen.cpp:14470-14509); mirrored here
+        "div_sigma": NoneEstimator,
         "epsilon": EpsilonEstimator,
         "sigma": SigmaEstimator,
         "energy": EnergyEstimator,

@@ -766,6 +766,22 @@ class LSSolver:
         Fm = lawsmod.mat_from_voigt9(self.eps)
         return float(lawsmod.det3(Fm).min())
 
+    def calc_min_eig_h(self):
+        """Max asymmetry of the per-voxel tangent dPK1 (calcMinEigH,
+        fibergen.cpp:17813-17867): Frobenius norm of dP - dP^T, reduced
+        over the grid."""
+        import jax.numpy as jnp_
+        dim = self.dim
+        eye = jnp_.eye(dim, dtype=self.dtype)
+        cols = []
+        for j in range(dim):
+            W = jnp_.broadcast_to(eye[j].reshape(dim, 1, 1, 1), self.eps.shape)
+            cols.append(self.mat.dpk1(self.eps, W))
+        C = jnp_.stack(cols, axis=1)
+        C = jnp_.moveaxis(C, (0, 1), (-2, -1))
+        R = C - jnp_.swapaxes(C, -1, -2)
+        return float(jnp_.sqrt((R * R).sum((-2, -1))).max())
+
     def _print_mean_values(self):
         names = {
             "elasticity": ("elastic strain", "average elastic stress"),
