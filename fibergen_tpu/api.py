@@ -211,6 +211,7 @@ class FG:
             print_mean=sol.value("print_mean", False, bool),
             print_detF=sol.value("print_detF", False, bool),
             g0_solver=sol.value("G0_solver", "fft", str),
+            freq_hack=sol.value("freq_hack", False, bool),
             dtype=self._dtype_str(),
         )
         ls = sol.value("loadsteps", 1, int)

@@ -30,13 +30,16 @@ def _apply_mean_correction(eta, R, alpha):
 
 def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | None",
                    E, mu_0, lambda_0, tau, alpha=-1.0, beta=0.0, F00=None,
-                   g0_solver: str = "fft"):
+                   g0_solver: str = "fft", freq_hack: bool = False):
     """eta = alpha * Gamma : tau + beta * tau with mean handling.
 
     ``tau`` is the real-space polarization field; returns the real-space eta.
     (GammaOperator dispatch, fibergen.cpp:20488-20531.)  g0_solver selects
     the staggered G0 applicator: "fft" or "multigrid"
-    (G0OperatorStaggered, fibergen.cpp:20101-20116).
+    (G0OperatorStaggered, fibergen.cpp:20101-20116).  freq_hack enables the
+    even-grid Nyquist symmetrization of the collocated elasticity Gamma —
+    the only operator where the reference's flag is active
+    (fibergen.cpp:19396; the other sites are compiled out).
     """
     if mode == "viscosity":
         return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha, F00)
@@ -47,8 +50,13 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
         if scheme == "collocated" or scheme == "willot":
             tau_hat = fft.fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
-            op = green.gamma_collocated if scheme == "collocated" else green.gamma_willot
-            eta_hat = op(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
+            if scheme == "collocated":
+                eta_hat = green.gamma_collocated(
+                    grid, E, mu_0, lambda_0, tau_hat, alpha, beta,
+                    freq_hack=freq_hack)
+            else:
+                eta_hat = green.gamma_willot(grid, E, mu_0, lambda_0, tau_hat,
+                                             alpha, beta)
             if bc_active:
                 R = bcmod.bc_correction(bc, F0, F00)
                 eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)

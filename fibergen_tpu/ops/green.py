@@ -33,7 +33,8 @@ def _xi_bcast(grid: Grid, dtype):
 # Collocated (classical Moulinec-Suquet) operators
 # ---------------------------------------------------------------------------
 
-def gamma_collocated(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.0):
+def gamma_collocated(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.0,
+                     freq_hack=False):
     """eta_hat = alpha * Gamma_hat : tau_hat + beta * tau_hat, DC bin = E.
 
     Vector form of GammaOperatorFourierCollocated (fibergen.cpp:19381-19608):
@@ -41,35 +42,79 @@ def gamma_collocated(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.
         s    = xi . t
         (Gamma tau)_ij = (xi_i t_j + xi_j t_i) / (2 mu0 |xi|^2)
                          - (lam0+mu0)/(mu0(lam0+2mu0)) xi_i xi_j s / |xi|^4
+
+    ``freq_hack`` reproduces the reference's even-grid Nyquist fix
+    (fibergen.cpp:19396-19398, 19459-19472): at a bin where one or more axes
+    sit on their (sign-ambiguous) Nyquist frequency, Gamma is replaced by its
+    average over the 2^m sign choices of those frequency components.  Entries
+    odd in a Nyquist component average to zero; this is realized here by
+    averaging the (linear-in-Gamma) vector-form application over sign-flipped
+    wavevectors, which XLA folds into a handful of extra fused passes.
     """
     rdtype = jnp.real(tau_hat).dtype
     xi0, xi1, xi2 = _xi_bcast(grid, rdtype)
-    k2 = xi0 * xi0 + xi1 * xi1 + xi2 * xi2
-    k2 = k2.at[0, 0, 0].set(1.0)  # guard DC; overwritten below
 
     A = alpha / (2.0 * mu_0)
     # robust for lambda_0 -> inf (fibergen.cpp:19388)
     B = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
 
-    t0 = tau_hat[0] * xi0 + tau_hat[5] * xi1 + tau_hat[4] * xi2
-    t1 = tau_hat[5] * xi0 + tau_hat[1] * xi1 + tau_hat[3] * xi2
-    t2 = tau_hat[4] * xi0 + tau_hat[3] * xi1 + tau_hat[2] * xi2
-    s = xi0 * t0 + xi1 * t1 + xi2 * t2
+    def apply(x0, x1, x2):
+        k2 = x0 * x0 + x1 * x1 + x2 * x2
+        k2 = k2.at[0, 0, 0].set(1.0)  # guard DC; overwritten below
+        t0 = tau_hat[0] * x0 + tau_hat[5] * x1 + tau_hat[4] * x2
+        t1 = tau_hat[5] * x0 + tau_hat[1] * x1 + tau_hat[3] * x2
+        t2 = tau_hat[4] * x0 + tau_hat[3] * x1 + tau_hat[2] * x2
+        s = x0 * t0 + x1 * t1 + x2 * t2
+        a = A / k2
+        b = (B / (k2 * k2)) * s
+        return jnp.stack([
+            a * (2.0 * x0 * t0) + b * (x0 * x0),
+            a * (2.0 * x1 * t1) + b * (x1 * x1),
+            a * (2.0 * x2 * t2) + b * (x2 * x2),
+            a * (x1 * t2 + x2 * t1) + b * (x1 * x2),
+            a * (x0 * t2 + x2 * t0) + b * (x0 * x2),
+            a * (x0 * t1 + x1 * t0) + b * (x0 * x1),
+        ])
 
-    a = A / k2
-    b = (B / (k2 * k2)) * s
-
-    eta = jnp.stack([
-        a * (2.0 * xi0 * t0) + b * (xi0 * xi0),
-        a * (2.0 * xi1 * t1) + b * (xi1 * xi1),
-        a * (2.0 * xi2 * t2) + b * (xi2 * xi2),
-        a * (xi1 * t2 + xi2 * t1) + b * (xi1 * xi2),
-        a * (xi0 * t2 + xi2 * t0) + b * (xi0 * xi2),
-        a * (xi0 * t1 + xi1 * t0) + b * (xi0 * xi1),
-    ])
+    combos = _nyquist_sign_combos(grid, (xi0, xi1, xi2), rdtype) if freq_hack else None
+    if not combos:
+        eta = apply(xi0, xi1, xi2)
+    else:
+        eta = apply(*combos[0])
+        for c in combos[1:]:
+            eta = eta + apply(*c)
+        eta = eta / float(len(combos))
     if beta != 0.0:
         eta = eta + beta * tau_hat
     return _set_dc(eta, jnp.asarray(E, eta.dtype))
+
+
+def _nyquist_sign_combos(grid: Grid, xis, rdtype):
+    """All sign-flip variants of (xi0, xi1, xi2) over even-axis Nyquist bins.
+
+    Returns [] when no axis is even (freq_hack is then a no-op).  For m even
+    axes returns 2^m tuples; at non-Nyquist bins every variant equals the
+    original, so averaging the Gamma application over them realizes exactly
+    the reference's per-bin sign symmetrization (fibergen.cpp:19459-19472).
+    """
+    import itertools
+
+    fx, fy, fz = grid.freq_index
+    ns = (grid.nx, grid.ny, grid.nz)
+    masks = []
+    for axis, (f, n) in enumerate(zip((fx, fy, fz), ns)):
+        if n % 2 == 0:
+            masks.append((axis, jnp.asarray(np.abs(f) == n // 2)))
+    if not masks:
+        return []
+    combos = []
+    for signs in itertools.product((1.0, -1.0), repeat=len(masks)):
+        var = list(xis)
+        for (axis, m), sgn in zip(masks, signs):
+            if sgn < 0:
+                var[axis] = jnp.where(m, -var[axis], var[axis])
+        combos.append(tuple(var))
+    return combos
 
 
 def gamma_collocated_heat(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, beta=0.0):

@@ -79,6 +79,9 @@ class SolverOptions:
     use_pallas: str = "auto"
     # staggered G0 applicator: "fft" or "multigrid" (G0_solver setting)
     g0_solver: str = "fft"
+    # even-grid Nyquist symmetrization of the collocated Gamma
+    # (<freq_hack>, fibergen.cpp:15081, active at fibergen.cpp:19396)
+    freq_hack: bool = False
     loadsteps: int = 1
     first_loadstep: int = -1
     loadstep_extrapolation_order: int = 0
@@ -122,7 +125,10 @@ class LSSolver:
             raise SolverError(
                 f"material dim {material.dim} incompatible with mode '{self.mode}'")
         self.scheme = self.opt.resolved_scheme()
-        self.dtype = jnp.dtype(self.opt.dtype)
+        # canonicalize so float64 maps to float32 when x64 is disabled
+        # (otherwise the CG safeguard `tiny` would be the float64 tiny,
+        # which flushes to 0 in f32 arrays and yields 0/0 on zero residuals)
+        self.dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(self.opt.dtype))
 
         # prescribed BCs (Voigt vectors of mode dim)
         self.E = np.zeros(self.dim)
@@ -204,7 +210,7 @@ class LSSolver:
         def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0):
             return gammamod.gamma_operator(
                 grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta,
-                g0_solver=self.opt.g0_solver)
+                g0_solver=self.opt.g0_solver, freq_hack=self.opt.freq_hack)
 
         def shard(x):
             if self.sharding is not None:

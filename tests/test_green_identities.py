@@ -178,3 +178,69 @@ def test_collocated_reproduces_compatible_field():
     eta = gamma_apply(grid, "elasticity", "collocated", np.zeros(6), c0_apply(eps, MU0, LAM0))
     err = float(jnp.abs(eta - eps).max()) / float(jnp.abs(eps).max())
     assert err < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# freq_hack: even-grid Nyquist sign symmetrization (fibergen.cpp:19459-19472)
+# ---------------------------------------------------------------------------
+
+def test_freq_hack_noop_on_odd_grid():
+    grid = Grid(9, 7, 5)
+    rng = np.random.default_rng(3)
+    tau_hat = jnp.asarray(rng.normal(size=(6, 9, 7, 3))
+                          + 1j * rng.normal(size=(6, 9, 7, 3)))
+    E = np.zeros(6)
+    a = green.gamma_collocated(grid, E, MU0, LAM0, tau_hat, freq_hack=False)
+    b = green.gamma_collocated(grid, E, MU0, LAM0, tau_hat, freq_hack=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_freq_hack_kills_odd_nyquist_entries():
+    """At an x-Nyquist bin, Gamma entries odd in xi_x (the xz/xy rows for an
+    xx polarization) must average to zero; even entries are unchanged."""
+    grid = Grid(8, 8, 8)
+    tau_hat = jnp.zeros((6, 8, 8, 5), dtype=jnp.complex128)
+    tau_hat = tau_hat.at[0, 4, 1, 1].set(1.0)  # xx delta at x-Nyquist bin
+    E = np.zeros(6)
+    off = np.asarray(green.gamma_collocated(grid, E, MU0, LAM0, tau_hat,
+                                            freq_hack=False))
+    on = np.asarray(green.gamma_collocated(grid, E, MU0, LAM0, tau_hat,
+                                           freq_hack=True))
+    # without the hack the odd entries are nonzero
+    assert abs(off[4, 4, 1, 1]) > 1e-12 and abs(off[5, 4, 1, 1]) > 1e-12
+    # with it they vanish ...
+    assert abs(on[4, 4, 1, 1]) < 1e-14 and abs(on[5, 4, 1, 1]) < 1e-14
+    # ... and the even-parity entries are untouched
+    np.testing.assert_allclose(on[[0, 1, 2, 3], 4, 1, 1],
+                               off[[0, 1, 2, 3], 4, 1, 1], atol=1e-14)
+    # away from Nyquist planes the operator is unchanged
+    tau2 = jnp.zeros_like(tau_hat).at[0, 2, 1, 1].set(1.0)
+    a = np.asarray(green.gamma_collocated(grid, E, MU0, LAM0, tau2, freq_hack=False))
+    b = np.asarray(green.gamma_collocated(grid, E, MU0, LAM0, tau2, freq_hack=True))
+    np.testing.assert_allclose(a[:, 2, 1, 1], b[:, 2, 1, 1], atol=1e-15)
+
+
+def test_freq_hack_solver_end_to_end():
+    """Even-grid collocated CG solve with freq_hack on: converges to the same
+    effective response as without (smooth two-phase problem)."""
+    from fibergen_tpu.solvers.ls import LSSolver, SolverOptions
+    from fibergen_tpu.materials.laws import LinearIsotropic
+    from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+
+    grid = Grid(8, 8, 8)
+    x = (np.arange(8) + 0.5) / 8.0
+    phi1 = 0.5 + 0.25 * np.sin(2 * np.pi * x)[:, None, None] * np.ones((8, 8, 8))
+    phases = [Phase("m", LinearIsotropic(1.0, 1.0), jnp.asarray(1 - phi1)),
+              Phase("f", LinearIsotropic(5.0, 2.0), jnp.asarray(phi1))]
+    E = [0.01, 0, 0, 0, 0, 0]
+    res = {}
+    for fh in (False, True):
+        opt = SolverOptions(mode="elasticity", method="cg",
+                            gamma_scheme="collocated", tol=1e-10,
+                            maxiter=200, freq_hack=fh)
+        s = LSSolver(grid, VoigtMixed(phases, dim=6), opt)
+        s.set_strain(E)
+        assert not s.run()
+        res[fh] = np.asarray(s.calc_mean_stress())
+    assert np.all(np.isfinite(res[True]))
+    np.testing.assert_allclose(res[True], res[False], rtol=2e-3)

@@ -248,3 +248,63 @@ def test_solver_with_multigrid_g0():
     assert not s.run()
     sig = s.calc_mean_stress()
     np.testing.assert_allclose(sig[0], laminate_elastic_xx(m1, m2), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Viscosity (dual fluidity) mode: discretization cross-agreement
+# ---------------------------------------------------------------------------
+
+def _viscosity_material(grid, f1, f2):
+    """Two-phase smooth fluidity field (dual-quantity scaling mu = 0.5*f,
+    fibergen.cpp:15237)."""
+    n = grid.nx
+    x = (np.arange(n) + 0.5) / n
+    w = 0.5 + 0.25 * np.sin(2 * np.pi * x)[:, None, None] * np.ones(grid.shape)
+    w = jnp.asarray(w)
+    return VoigtMixed([
+        Phase("m", laws.ScalarLinearIsotropic(mu=0.5 * f1, dim=6), 1.0 - w),
+        Phase("f", laws.ScalarLinearIsotropic(mu=0.5 * f2, dim=6), w),
+    ], dim=6)
+
+
+def test_viscosity_scheme_agreement():
+    """Collocated, staggered and Willot Delta operators must agree on a
+    smooth problem (the reference cross-checks discretizations the same way,
+    run_tests_* fibergen.cpp:23870-24181)."""
+    grid = Grid(9, 9, 9)
+    E = [0.0, 0.0, 0.0, 0.0, 0.0, 0.01]   # traceless xy shear rate
+    res = {}
+    for scheme in ("collocated", "staggered", "willot"):
+        mat = _viscosity_material(grid, 1.0, 0.2)
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="viscosity", method="cg", gamma_scheme=scheme,
+            tol=1e-9, maxiter=500))
+        s.set_strain(E)
+        assert not s.run(), scheme
+        res[scheme] = np.asarray(s.calc_mean_stress())
+        assert np.all(np.isfinite(res[scheme])), scheme
+    # smooth coefficients: discretizations agree to ~1%
+    np.testing.assert_allclose(res["staggered"], res["collocated"],
+                               rtol=0.02, atol=1e-8)
+    np.testing.assert_allclose(res["willot"], res["collocated"],
+                               rtol=0.02, atol=1e-8)
+
+
+def test_viscosity_homogeneous_exact():
+    """Homogeneous fluidity: the dual solve is trivial (eps = E) and the
+    mean dual stress is the scalar law applied to E, i.e. (0.5*f)*E
+    (dual-quantity scaling, fibergen.cpp:15237)."""
+    grid = Grid(8, 8, 8)
+    f = 2.0
+    mat = VoigtMixed([Phase("m", laws.ScalarLinearIsotropic(mu=0.5 * f, dim=6),
+                            jnp.ones(grid.shape))], dim=6)
+    E = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.01])
+    s = LSSolver(grid, mat, SolverOptions(
+        mode="viscosity", method="cg", gamma_scheme="staggered",
+        tol=1e-10, maxiter=50))
+    s.set_strain(E)
+    assert not s.run()
+    np.testing.assert_allclose(np.asarray(jnp.mean(s.eps, axis=(1, 2, 3))), E,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s.calc_mean_stress()), 0.5 * f * E,
+                               atol=1e-8)
