@@ -53,13 +53,14 @@ def main():
     mu0, lam0 = solver.mu_0, solver.lambda_0
 
     E = jnp.asarray(np.array([1.0, 0, 0, 0, 0, 0]), solver.dtype)
-    eps, r, p, gamma, _ = solver._k_cg_init(E, None, mu0=mu0, lam0=lam0)
+    mf = solver.mat.fields()
+    eps, r, p, gamma, _ = solver._k_cg_init(mf, E, None, mu0=mu0, lam0=lam0)
     gamma = float(gamma)
 
     # warmup (compile); K iterations fused per host sync (check_every)
     K = solver.opt.check_every
     eps, r, p, delta, gammas, mets = solver._k_cg_multi(
-        eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
+        mf, eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
     jax.block_until_ready(eps)
     gamma = float(delta)
 
@@ -67,7 +68,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(chunks):
         eps, r, p, delta, gammas, mets = solver._k_cg_multi(
-            eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
+            mf, eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
         gamma = float(delta)  # host sync per chunk, like the real loop
     jax.block_until_ready(eps)
     dt = time.perf_counter() - t0

@@ -51,6 +51,7 @@ class FG:
         self._matrix_material = 0
         self._Ceff: Optional[np.ndarray] = None
         self._error = False
+        self._cancel = False
         self._convergence_callback = None
         self._loadstep_callback = None
         self._dtype = None
@@ -261,10 +262,15 @@ class FG:
             from .materials.dfg import DfgMaterial
             material = DfgMaterial(material)
         self.solver = LSSolver(grid, material, opt)
-        if self._convergence_callback:
-            self.solver.convergence_callback = self._convergence_callback
-        if self._loadstep_callback:
-            self.solver.loadstep_callback = self._loadstep_callback
+        # cancel() short-circuits the solver loops between device chunks
+        # (the reference cancels via set_exception from callbacks,
+        # fibergen.cpp:25190)
+        user_conv = self._convergence_callback
+        self.solver.convergence_callback = (
+            lambda: self._cancel or bool(user_conv and user_conv()))
+        user_ls = self._loadstep_callback
+        self.solver.loadstep_callback = (
+            lambda: self._cancel or bool(user_ls and user_ls()))
 
     def _read_constants(self, r: SettingsReader) -> dict:
         kw = {}
@@ -418,12 +424,14 @@ class FG:
         """Run the actions list (FG::run, fibergen.cpp:25195-25295).
         Returns 0 on success."""
         self._error = False
+        self._cancel = False
         try:
             self._init_python()
             elem = self.project.root.find(path) if path else None
             if elem is None:
                 raise FGError(f"No <{path}> section in project")
-            self.run_actions(elem)
+            if self.run_actions(elem) and self._cancel:
+                self._error = True  # canceled mid-run
         except Exception as e:  # noqa: BLE001 — report like set_exception
             LOG.error(f"{type(e).__name__}: {e}")
             self._error = True
@@ -435,6 +443,9 @@ class FG:
         for action in elem:
             if not isinstance(action.tag, str):
                 continue  # comment
+            if self._cancel:
+                LOG.info("run canceled")
+                return 1
             r = SettingsReader(self.engine, action)
             if r.attr("skip", 0, int):
                 continue
@@ -1238,6 +1249,12 @@ class FG:
             f = staggered.div_staggered(grid, tau[:6])
             u_hat = green.g0_staggered(grid, mu0, lam0, fftmod.fftn(f), 1.0)
         return fftmod.ifftn(u_hat, grid.shape)
+
+    def cancel(self):
+        """Request cancellation: the running solve breaks at the next
+        convergence check, remaining actions are skipped and run() returns
+        nonzero (PyFG cancel via set_exception, fibergen.cpp:25190)."""
+        self._cancel = True
 
     def set_convergence_callback(self, func):
         self._convergence_callback = func

@@ -259,6 +259,74 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
             fid = jnp.where(take, f.fiber_id, fid)
             mid = jnp.where(take, f.material, mid)
 
+    # mesh primitives: tets (incl. expanded TetMesh), triangles, STL surfaces
+    # (the reference computes these through the same closest-fiber query,
+    # fibergen.cpp:15518-15584)
+    from .primitives import Tetrahedron, TetMesh, Triangle, TriangleSurface
+
+    tets = [f for f in fibers if isinstance(f, Tetrahedron)]
+    for f in fibers:
+        if isinstance(f, TetMesh):
+            tets.extend(Tetrahedron(verts=f.points[t], material=f.material,
+                                    fiber_id=f.fiber_id) for t in f.tets)
+    if tets:
+        nrm = jnp.asarray(np.stack(
+            [np.stack([pl[0] for pl in t._faces]) for t in tets]), dtype)
+        off = jnp.asarray(np.stack(
+            [np.array([pl[0] @ pl[1] for pl in t._faces]) for t in tets]), dtype)
+        ids = jnp.asarray(np.array([t.fiber_id for t in tets]), jnp.int32)
+        ms = jnp.asarray(np.array([t.material for t in tets]), jnp.int32)
+
+        def tbody(carry, p):
+            dmin, normal, orient, fid, mid = carry
+            nr, of, i, m = p
+            d, n = _tet_dn(x, y, z, nr, of)
+            take = d < dmin
+            dmin = jnp.where(take, d, dmin)
+            nf = jnp.stack(jnp.broadcast_arrays(*n)).astype(dtype)
+            normal = jnp.where(take[None], nf, normal)
+            orient = jnp.where(take[None], nf, orient)
+            fid = jnp.where(take, i, fid)
+            mid = jnp.where(take, m, mid)
+            return (dmin, normal, orient, fid, mid), None
+
+        (dmin, normal, orient, fid, mid), _ = jax.lax.scan(
+            tbody, (dmin, normal, orient, fid, mid), (nrm, off, ids, ms))
+
+    tris = [f for f in fibers if isinstance(f, Triangle)]
+    tri_groups = [(jnp.asarray(np.stack([np.stack([t.v0, t.v1, t.v2])
+                                         for t in tris]), dtype),
+                   jnp.asarray(np.array([t.fiber_id for t in tris]), jnp.int32),
+                   jnp.asarray(np.array([t.material for t in tris]), jnp.int32),
+                   False)] if tris else []
+    for f in fibers:
+        if isinstance(f, TriangleSurface):
+            V = jnp.stack([jnp.asarray(f.V0, dtype), jnp.asarray(f.V1, dtype),
+                           jnp.asarray(f.V2, dtype)], axis=1)
+            nt = V.shape[0]
+            tri_groups.append((
+                V, jnp.full(nt, f.fiber_id, jnp.int32),
+                jnp.full(nt, f.material, jnp.int32), bool(f.fill)))
+    for V, ids, ms, signed in tri_groups:
+        def tribody(carry, p):
+            dmin, normal, orient, fid, mid = carry
+            v, i, m = p
+            d, s, n = _tri_dn(x, y, z, v[0], v[1], v[2])
+            if signed:
+                d = d * s
+            take = d < dmin
+            dmin = jnp.where(take, d, dmin)
+            nf = jnp.stack(n).reshape(3, 1, 1, 1).astype(dtype)
+            nf = jnp.broadcast_to(nf, (3,) + shape)
+            normal = jnp.where(take[None], nf, normal)
+            orient = jnp.where(take[None], nf, orient)
+            fid = jnp.where(take, i, fid)
+            mid = jnp.where(take, m, mid)
+            return (dmin, normal, orient, fid, mid), None
+
+        (dmin, normal, orient, fid, mid), _ = jax.lax.scan(
+            tribody, (dmin, normal, orient, fid, mid), (V, ids, ms))
+
     return {
         "distance": dmin,
         "normals": normal,

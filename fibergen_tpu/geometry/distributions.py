@@ -134,7 +134,8 @@ def acg_moments_from_b(b: np.ndarray) -> np.ndarray:
     a1 = float(elliprd(b[0], b[2], b[1])) / 3.0
     a2 = float(elliprd(b[0], b[1], b[2])) / 3.0
     s = a0 + a1 + a2
-    return np.array([a0, a1, a2]) / s
+    with np.errstate(invalid="ignore"):  # extreme b: moments saturate to 0/1
+        return np.array([a0, a1, a2]) / s
 
 
 def acg_b_from_moments(a: np.ndarray, tol: float = 1e-12,
@@ -157,8 +158,11 @@ def acg_b_from_moments(a: np.ndarray, tol: float = 1e-12,
     t = np.log(a ** 1.65)
 
     def residual(t):
-        b = np.exp(t - t.mean())
-        return acg_moments_from_b(b) - a
+        # clamp the centered exponent: Newton trial steps on near-degenerate
+        # moments can overshoot; exp would overflow (harmlessly, but noisily)
+        with np.errstate(over="ignore", invalid="ignore"):
+            b = np.exp(np.clip(t - t.mean(), -250.0, 250.0))
+            return acg_moments_from_b(b) - a
 
     r = residual(t)
     for it in range(max_iter):
@@ -186,8 +190,12 @@ def acg_b_from_moments(a: np.ndarray, tol: float = 1e-12,
             step *= 0.5
         else:
             break
-    b = np.exp(t - t.mean())
-    return b / np.cbrt(b.prod())
+    # det-normalize in log space (exp of a centered exponent cannot overflow
+    # into inf -> nan the way exp-then-divide-by-cbrt(prod) does for
+    # near-degenerate moments)
+    lb = np.clip(t - t.mean(), -250.0, 250.0)
+    lb = lb - lb.mean()
+    return np.exp(lb)
 
 
 @dataclasses.dataclass
@@ -211,9 +219,11 @@ class ACG(Distribution):
         self._binv_sqrt = 1.0 / np.sqrt(b)
 
     def draw(self, rng, index=0):
-        while True:
+        for _ in range(1000):
             z = self._binv_sqrt * rng.standard_normal(3)
             v = self._U @ z
             n = np.linalg.norm(v)
-            if n > 0:
+            if np.isfinite(n) and n > 0:
                 return v / n
+        raise RuntimeError(
+            f"ACG sampling failed: degenerate parameters b^-1/2 = {self._binv_sqrt}")

@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..utils.logging import LOG
+from ..utils.logging import LOG, ProgressBar
 from . import distributions as dist
 from .primitives import Capsule, Cylinder, Fiber, HalfSpace, fiber_fiber_distance
 
@@ -138,13 +138,18 @@ class FiberGenerator:
         rng = np.random.default_rng(s.seed)
 
         V_rve = self._v_rve()
+        # progress against whichever target is active (count or volume)
+        bar = ProgressBar(total=1000, text="placing fibers ")
         v = 0.0
         n = 0
         i = 0
         while True:
             done = (not intersecting and M and i >= M) or \
                    (N and n >= N) or (V and v >= V)
+            frac = max(n / N if N else 0.0, v / V if V else 0.0)
+            bar.update(int(1000 * min(1.0, frac)))
             if done:
+                bar.complete()
                 break
             fiber = self._random_fiber(rng, n)
             fiber.fiber_id = self._stats_n + n + 1

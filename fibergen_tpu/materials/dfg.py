@@ -99,6 +99,9 @@ class DfgMaterial(MixedMaterial):
     def dim(self):
         return self._dim
 
+    def _constituents(self):
+        return [self] + self.inner._constituents()
+
     def pk1(self, F):
         return restrict(self.inner.pk1(prolong(F)))
 

@@ -84,6 +84,12 @@ class LaminateMixed(MixedMaterial):
         c1, c2 = self._fractions()
         mask = self._interface_mask()
         n = self.normals
+        # guard degenerate (zero) normals: substitute e_x there so the jump
+        # solve stays regular; the result is only consumed where `mask` holds,
+        # and interface voxels always carry a real normal after rasterization
+        nn2 = (n * n).sum(0, keepdims=True)
+        ex = jnp.zeros_like(n).at[0].set(1.0)
+        n = jnp.where(nn2 > 1e-12, n, ex)
         dim = self._dim
         w = jnp.asarray(voigt.weights(dim), F.dtype).reshape(-1, 1, 1, 1)
 

@@ -565,7 +565,13 @@ class LinearTransverselyIsotropic(MaterialLaw):
         return [self.orientation[k] for k in range(3)]
 
     def pk1(self, F):
-        a0, a1, a2 = self._direction(F)
+        return jnp.stack(self._stress_terms(F, self._direction(F)))
+
+    def _stress_terms(self, F, a):
+        """Namespace-agnostic stress evaluation (works on jnp tracers AND
+        plain numpy — the latter is needed by eig_range_const, which may be
+        invoked while a jit trace is active and must not stage jnp ops)."""
+        a0, a1, a2 = a
         # A = a x a in Voigt [xx, yy, zz, yz, xz, xy]
         A = [a0 * a0, a1 * a1, a2 * a2, a1 * a2, a0 * a2, a0 * a1]
         trE = F[0] + F[1] + F[2]
@@ -593,7 +599,7 @@ class LinearTransverselyIsotropic(MaterialLaw):
             if i < 3:
                 t = t + c_I
             out.append(t)
-        return jnp.stack(out)
+        return out
 
     def w(self, F):
         s = self.pk1(F)
@@ -604,17 +610,13 @@ class LinearTransverselyIsotropic(MaterialLaw):
         return self.pk1(W)
 
     def eig_range_const(self):
-        # conservative: eigenvalues of the 6x6 Voigt matrix for a = e_z
+        # conservative: eigenvalues of the 6x6 Voigt matrix for a = e_z,
+        # computed in pure numpy so this is safe inside an active jit trace
         C = np.zeros((6, 6))
         eye = np.eye(6)
-        save_a, save_o = self.a, self.orientation
-        self.a = np.array([0.0, 0.0, 1.0])
-        try:
-            for j in range(6):
-                col = self.pk1(jnp.asarray(eye[j].reshape(6, 1, 1, 1)))
-                C[:, j] = np.asarray(col).reshape(6)
-        finally:
-            self.a, self.orientation = save_a, save_o
+        for j in range(6):
+            col = self._stress_terms(eye[j], (0.0, 0.0, 1.0))
+            C[:, j] = np.asarray(col, dtype=np.float64)
         e = np.linalg.eigvalsh(0.5 * (C + C.T))
         return (float(e.min()), float(e.max()))
 

@@ -58,6 +58,51 @@ class MixedMaterial:
     def dim(self):
         return self._dim
 
+    # -- field-argument plumbing -------------------------------------------
+    # The solvers pass all array-valued material state (phi fields, cached
+    # moduli planes, normals, orientation fields) as explicit jit arguments
+    # instead of closure constants: closure constants are serialized into
+    # every compiled program (one copy PER KERNEL, fatal for 512^3 fields
+    # through a remote-compile tunnel) while arguments are passed by
+    # reference.  `fields()` snapshots the state, `bound(values)` swaps the
+    # (traced) values in for the duration of a trace.
+
+    def _constituents(self):
+        """Materials whose attributes participate in slots (overridden by
+        wrappers/composites)."""
+        return [self]
+
+    def field_slots(self):
+        """Stable list of (obj, attr) pairs holding array pytrees."""
+        slots = []
+        seen = set()
+        for m in self._constituents():
+            for p in m.phases:
+                if id(p) not in seen and p.phi is not None:
+                    seen.add(id(p))
+                    slots.append((p, "phi"))
+            for p in m.phases:
+                law = p.law
+                if (id(law) not in seen
+                        and getattr(law, "orientation", None) is not None):
+                    seen.add(id(law))
+                    slots.append((law, "orientation"))
+            if getattr(m, "normals", None) is not None and (id(m), "normals") not in seen:
+                seen.add((id(m), "normals"))
+                slots.append((m, "normals"))
+            if getattr(m, "_iso_key", None) is not None:
+                slots.append((m, "_iso_val"))
+        return slots
+
+    def fields(self):
+        """Current array state as a pytree (pass as the kernels' mf arg)."""
+        return tuple(getattr(o, a) for o, a in self.field_slots())
+
+    def bound(self, values):
+        """Context manager: substitute `values` (same structure as
+        `fields()`) into the material while tracing a kernel."""
+        return _BoundFields(self, values)
+
     # -- per-field constitutive API ---------------------------------------
     def pk1(self, F):
         raise NotImplementedError
@@ -174,10 +219,12 @@ class MixedMaterial:
         the phi arrays) so the hot stress kernel reads 2 moduli planes
         instead of re-mixing n_phases phi fields every iteration."""
         phis = [p.phi for p in self.phases]
-        cached = getattr(self, "_iso_cache", None)
-        if cached is not None and len(cached[0]) == len(phis) and all(
-                a is b for a, b in zip(cached[0], phis)):
-            return cached[1]
+        key = getattr(self, "_iso_key", None)
+        if key is not None and (
+                getattr(self, "_bound_active", False)
+                or (len(key) == len(phis)
+                    and all(a is b for a, b in zip(key, phis)))):
+            return self._iso_val
         mus, lams = [], []
         for p in self.phases:
             f = getattr(p.law, "iso_moduli", None)
@@ -191,7 +238,8 @@ class MixedMaterial:
         # in-trace results tracers, which must not escape)
         from jax._src import core as _jax_core
         if _jax_core.trace_state_clean():
-            self._iso_cache = (phis, (mu_x, lam_x))
+            self._iso_key = phis
+            self._iso_val = (mu_x, lam_x)
         return mu_x, lam_x
 
     def __str__(self):
@@ -430,6 +478,9 @@ class SplitMixed(MixedMaterial):
         self.dev = MIXING_RULES[dev_rule](self.phases, dim=dim)
         self.vol = MIXING_RULES[vol_rule](self.phases, dim=dim)
 
+    def _constituents(self):
+        return [self, self.dev, self.vol]
+
     def _split(self, F):
         tr3 = (F[0] + F[1] + F[2]) / 3.0
         Fvol = jnp.zeros_like(F).at[0:3].set(tr3[None])
@@ -524,3 +575,32 @@ MIXING_RULES.update({
     "split": SplitMixed,
     "iso": IsoMixed,
 })
+
+
+class _BoundFields:
+    """Context manager used by MixedMaterial.bound()."""
+
+    def __init__(self, mat, values):
+        self.mat = mat
+        self.values = values
+
+    def __enter__(self):
+        slots = self.mat.field_slots()
+        assert len(slots) == len(self.values), \
+            "material field state changed between fields() and bound()"
+        self._slots = slots
+        self._saved = [getattr(o, a) for o, a in slots]
+        for (o, a), v in zip(slots, self.values):
+            setattr(o, a, v)
+        self._mats = self.mat._constituents()
+        self._flags = [getattr(m, "_bound_active", False) for m in self._mats]
+        for m in self._mats:
+            m._bound_active = True
+        return self.mat
+
+    def __exit__(self, *exc):
+        for (o, a), v in zip(self._slots, self._saved):
+            setattr(o, a, v)
+        for m, f in zip(self._mats, self._flags):
+            m._bound_active = f
+        return False

@@ -47,9 +47,18 @@ def _pick_bx(grid: Grid, nfields: int):
 
 
 def supported(grid: Grid, dim: int, dtype) -> bool:
-    """Kernel applicability: staggered elasticity with lane-aligned z."""
+    """Kernel applicability: staggered elasticity with lane-aligned z.
+
+    The y/z extent must also fit VMEM: blocks keep full y/z planes resident
+    (halo only in x), so the minimal bx=1 footprint is 27 planes
+    (eps 6x3 + moduli 2x3 + out 3x1), double-buffered by the pipeline.
+    Past ~14 MB the Mosaic scoped-vmem allocator rejects the kernel
+    (16 MB/core on v5e) and the solver falls back to the jnp path."""
+    plane = grid.ny * grid.nz * 4
+    min_vmem = 2 * 27 * plane  # double-buffered bx=1 stress_div footprint
     return (dim == 6 and grid.nz % 128 == 0 and grid.ny % 8 == 0
-            and grid.nx >= 2 and jnp.dtype(dtype) == jnp.float32)
+            and grid.nx >= 2 and jnp.dtype(dtype) == jnp.float32
+            and min_vmem <= 14 * 1024 * 1024)
 
 
 def stress_div_staggered(grid: Grid, eps, mu_x, lam_x, mu0, lam0):

@@ -339,21 +339,34 @@ class LSSolver:
             s2 = (deps * w * S).sum()
             return jnp.where(s2 == 0, 0.0, -s1 / s2)
 
-        jit = partial(jax.jit, static_argnames=("mu0", "lam0"))
+        def mjit(fn, **kw):
+            """jit with the material's array state passed as the leading
+            `mf` pytree argument (bound into `mat` during tracing) instead
+            of being captured as closure constants — constants are
+            serialized into every compiled program (one copy per kernel;
+            fatal for 512^3 fields through a remote-compile tunnel),
+            arguments are passed by reference."""
+            def wrapped(mf, *args, **kwargs):
+                with mat.bound(mf):
+                    return fn(*args, **kwargs)
+            wrapped.__name__ = getattr(fn, "__name__", "kernel")
+            return jax.jit(wrapped, **kw)
+
+        jit = partial(mjit, static_argnames=("mu0", "lam0"))
         self._k_basic = jit(basic_step)
         self._k_krylov = jit(krylov)
         self._k_cg_init = jit(cg_init)
         self._k_cg_step = jit(cg_step)
-        self._k_cg_multi = jax.jit(cg_multi, static_argnames=("mu0", "lam0"),
-                                   donate_argnums=(0, 1, 2))
+        self._k_cg_multi = mjit(cg_multi, static_argnames=("mu0", "lam0"),
+                                donate_argnums=(1, 2, 3))
         self._k_cg_reinit = jit(cg_recompute_residual)
-        self._k_means = jax.jit(mean_values)
-        self._k_eig = jax.jit(eig_range)
-        self._k_metric = jax.jit(metric)
+        self._k_means = mjit(mean_values)
+        self._k_eig = mjit(eig_range)
+        self._k_metric = mjit(metric)
         self._k_polar_step = jit(polar_step)
-        self._k_polar_finish = jax.jit(polar_finish, static_argnames=("mu0",))
+        self._k_polar_finish = mjit(polar_finish, static_argnames=("mu0",))
         self._k_nesterov = jit(nesterov_step)
-        self._k_calc_step = jax.jit(calc_step_alpha)
+        self._k_calc_step = mjit(calc_step_alpha)
 
     def _bca(self):
         return bcmod.to_arrays(self._bc, self.dtype)
@@ -363,7 +376,7 @@ class LSSolver:
         """Update (mu_0, lambda_0) from per-voxel tangent eigenvalue bounds
         (calcRefMaterial, fibergen.cpp:22283-22313)."""
         with timer("calc ref material"):
-            lmin, lmax = self._k_eig(self.eps)
+            lmin, lmax = self._k_eig(self.mat.fields(), self.eps)
             lmin, lmax = float(lmin), float(lmax)
         if lmin < 0:
             LOG.warn(f"negative tangent eigenvalue ({lmin}); cutting off at 0")
@@ -509,14 +522,15 @@ class LSSolver:
         self._maybe_update_ref()
         E = self._bc_mean(E0, S0)
         ee = make_estimator(self.opt.error_estimator)
-        ee.start(self._k_metric(self.eps))
+        ee.start(self._k_metric(self.mat.fields(), self.eps))
         bca = self._bca()
         mu0, lam0 = self.mu_0, self.lambda_0
         Ej = jnp.asarray(E, self.dtype)
 
         it = 1
         while True:
-            self.eps, met = self._k_basic(self.eps, Ej, bca, mu0=mu0, lam0=lam0)
+            self.eps, met = self._k_basic(self.mat.fields(), self.eps, Ej, bca,
+                                          mu0=mu0, lam0=lam0)
             ee.update(np.asarray(met))
             it, done = self._converged(it, ee.abs_error(), ee.rel_error())
             if done:
@@ -537,7 +551,8 @@ class LSSolver:
         mu0, lam0 = self.mu_0, self.lambda_0
         Ej = jnp.asarray(E, self.dtype)
 
-        eps, r, p, gamma, met0 = self._k_cg_init(Ej, bca, mu0=mu0, lam0=lam0)
+        eps, r, p, gamma, met0 = self._k_cg_init(self.mat.fields(), Ej, bca,
+                                                 mu0=mu0, lam0=lam0)
         ee.start(np.asarray(met0))
         gamma = float(gamma)
         gamma0 = gamma
@@ -548,7 +563,8 @@ class LSSolver:
             if K > 1:
                 # K fused iterations per host round-trip
                 eps, r, p, delta, gammas, mets = self._k_cg_multi(
-                    eps, r, p, gamma, bca, mu0=mu0, lam0=lam0)
+                    self.mat.fields(), eps, r, p, gamma, bca,
+                    mu0=mu0, lam0=lam0)
                 self.eps = eps
                 gammas = np.asarray(gammas)
                 mets = np.asarray(mets)
@@ -567,7 +583,8 @@ class LSSolver:
                 gamma = float(delta)
                 continue
             eps, r, p, delta, met = self._k_cg_step(
-                eps, r, p, gamma, bca, mu0=mu0, lam0=lam0)
+                self.mat.fields(), eps, r, p, gamma, bca,
+                mu0=mu0, lam0=lam0)
             self.eps = eps  # keep live state visible to bc_error/callbacks
             if ee.metric_kind == "residual":
                 ee.update_cg(gamma, gamma0)
@@ -578,7 +595,8 @@ class LSSolver:
                 break
             if self.opt.cg_reinit > 0 and (it % self.opt.cg_reinit) == 0:
                 r, p, delta = self._k_cg_reinit(
-                    eps, p, gamma, Ej, bca, mu0=mu0, lam0=lam0)
+                    self.mat.fields(), eps, p, gamma, Ej, bca,
+                    mu0=mu0, lam0=lam0)
             gamma = float(delta)
 
     def _run_cg_hyper(self, E0, S0):
@@ -601,20 +619,21 @@ class LSSolver:
         mu0, lam0 = self.mu_0, self.lambda_0
 
         self.eps = fields.const_field(self.grid, 4.0 * mu0 * E, self.dtype)
-        ee.start(self._k_metric(self.eps))
+        ee.start(self._k_metric(self.mat.fields(), self.eps))
         P0 = jnp.asarray(4.0 * mu0 * E, self.dtype)
         Ej = jnp.zeros(self.dim, self.dtype)  # unused placeholder
 
         it = 1
         while True:
             self.eps, met = self._k_polar_step(
-                self.eps, Ej, P0, bca, mu0=mu0, lam0=lam0)
+                self.mat.fields(), self.eps, Ej, P0, bca,
+                mu0=mu0, lam0=lam0)
             ee.update(np.asarray(met))
             it, done = self._converged(it, ee.abs_error(), ee.rel_error(),
                                        check_bc=False)
             if done:
                 break
-        self.eps = self._k_polar_finish(self.eps, mu0=mu0)
+        self.eps = self._k_polar_finish(self.mat.fields(), self.eps, mu0=mu0)
 
     def _run_nesterov(self, E0, S0):
         """Nesterov-accelerated basic scheme (runNesterov,
@@ -622,7 +641,7 @@ class LSSolver:
         self._maybe_update_ref()
         E = self._bc_mean(E0, S0)
         ee = make_estimator(self.opt.error_estimator)
-        ee.start(self._k_metric(self.eps))
+        ee.start(self._k_metric(self.mat.fields(), self.eps))
         bca = self._bca()
         mu0, lam0 = self.mu_0, self.lambda_0
         Ej = jnp.asarray(E, self.dtype)
@@ -636,7 +655,8 @@ class LSSolver:
         it = 1
         while True:
             n += 1
-            tau, met = self._k_basic(tau, Ej, bca, mu0=mu0, lam0=lam0)
+            tau, met = self._k_basic(self.mat.fields(), tau, Ej, bca,
+                                     mu0=mu0, lam0=lam0)
             eps = eps - tau
             q_old = q
             q = float(fields.inner_l2(tau, tau)) * (
@@ -664,15 +684,17 @@ class LSSolver:
 
         self.eps = fields.const_field(self.grid, self._fit_vec(np.asarray(E0)),
                                       self.dtype)
-        ee.start(self._k_metric(self.eps))
-        deps, _ = self._k_basic(self.eps, zero, bca, mu0=mu0, lam0=lam0)
+        ee.start(self._k_metric(self.mat.fields(), self.eps))
+        deps, _ = self._k_basic(self.mat.fields(), self.eps, zero, bca,
+                                mu0=mu0, lam0=lam0)
 
         it = 1
         while True:
-            alpha = float(self._k_calc_step(self.eps, deps))
+            alpha = float(self._k_calc_step(self.mat.fields(), self.eps, deps))
             self.eps = self.eps + alpha * deps
-            deps, met = self._k_basic(deps, zero, bca, mu0=mu0, lam0=lam0)
-            ee.update(np.asarray(self._k_metric(self.eps)))
+            deps, met = self._k_basic(self.mat.fields(), deps, zero, bca,
+                                      mu0=mu0, lam0=lam0)
+            ee.update(np.asarray(self._k_metric(self.mat.fields(), self.eps)))
             it, done = self._converged(it, ee.abs_error(), ee.rel_error())
             if done:
                 break
@@ -706,7 +728,7 @@ class LSSolver:
     def bc_error(self) -> float:
         """Relative mixed-BC satisfaction error (bc_error,
         fibergen.cpp:21129-21161)."""
-        Emean, Smean = self._k_means(self.eps)
+        Emean, Smean = self._k_means(self.mat.fields(), self.eps)
         Emean = np.asarray(Emean, dtype=np.float64)
         Smean = np.asarray(Smean, dtype=np.float64)
         Q = voigt.id4(self.dim) - self.P

@@ -89,11 +89,21 @@ def _kernels(solver):
         n2 = fields.inner_l2(dX, dX)
         return dX, n2
 
-    jit = partial(jax.jit, static_argnames=("mu0", "lam0"))
+    def mjit(fn, **kw):
+        # material arrays ride as the leading `mf` argument (see
+        # LSSolver._build_kernels: closure constants are serialized per
+        # compiled program; arguments are passed by reference)
+        def wrapped(mf, *args, **kwargs):
+            with mat.bound(mf):
+                return fn(*args, **kwargs)
+        wrapped.__name__ = getattr(fn, "__name__", "kernel")
+        return jax.jit(wrapped, **kw)
+
+    jit = partial(mjit, static_argnames=("mu0", "lam0"))
     ks = {
         "init": jit(newton_init),
         "cg_step": jit(newton_cg_step),
-        "metric": jax.jit(metric),
+        "metric": mjit(metric),
         "grad": jit(grad_step),
         "inner": jax.jit(fields.inner_l2),
         "inner_diff": jax.jit(fields.inner_l2_diff),
@@ -112,7 +122,7 @@ def run_newton_cg(solver, E0, S0):
     solver.eps = solver.eps + jnp.asarray(dE, solver.dtype).reshape(-1, 1, 1, 1)
 
     ee_outer = make_estimator(opt.outer_error_estimator)
-    ee_outer.start(np.asarray(ks["metric"](solver.eps)))
+    ee_outer.start(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
     iter_outer = 0
     gamma0 = -1.0
 
@@ -124,18 +134,20 @@ def run_newton_cg(solver, E0, S0):
 
         F = solver.eps
         X0 = voigt.dyad4_mv(solver._bc.M, np.asarray(S0))
-        X, R, gamma = ks["init"](F, X0, mu0=mu0, lam0=lam0, bca=bca)
+        X, R, gamma = ks["init"](solver.mat.fields(), F, X0,
+                                 mu0=mu0, lam0=lam0, bca=bca)
         gamma = float(gamma)
         if gamma0 < 0:
             gamma0 = gamma
         Q = R
 
         ee = make_estimator(opt.error_estimator)
-        ee.start(np.asarray(ks["metric"](solver.eps)))
+        ee.start(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
         it = 0
         while True:
             X, eps2, R, Q, delta, denom = ks["cg_step"](
-                F, X, R, Q, gamma, opt.newton_relax, mu0=mu0, lam0=lam0, bca=bca)
+                solver.mat.fields(), F, X, R, Q, gamma, opt.newton_relax,
+                mu0=mu0, lam0=lam0, bca=bca)
             if float(denom) <= 0:
                 solver._canceled = True
                 LOG.error(f"indefinite operator (alpha={float(denom):g}) canceling CG!")
@@ -144,7 +156,7 @@ def run_newton_cg(solver, E0, S0):
             if ee.metric_kind == "residual":
                 ee.update_cg(gamma, gamma0)
             else:
-                ee.update(np.asarray(ks["metric"](solver.eps)))
+                ee.update(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
             it, done = solver._converged(it, ee.abs_error(), ee.rel_error(),
                                          check_bc=False)
             if done:
@@ -153,7 +165,7 @@ def run_newton_cg(solver, E0, S0):
         if solver._canceled:
             return
 
-        ee_outer.update(np.asarray(ks["metric"](solver.eps)))
+        ee_outer.update(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
         iter_outer, done = solver._converged(
             iter_outer, ee_outer.abs_error(), ee_outer.rel_error())
         if done:
@@ -174,7 +186,8 @@ def run_nlcg(solver, E0, S0):
     bca = bcmod.to_arrays(solver._bc, solver.dtype)
     E = solver._bc_mean(np.asarray(E0), np.asarray(S0))
     solver.eps, _ = solver._k_basic(
-        solver.eps, jnp.asarray(E, solver.dtype), bca, mu0=mu0, lam0=lam0)
+        solver.mat.fields(), solver.eps, jnp.asarray(E, solver.dtype), bca,
+        mu0=mu0, lam0=lam0)
 
     solver.calc_ref_material()
     mu0, lam0 = solver.mu_0, solver.lambda_0
@@ -196,7 +209,8 @@ def run_nlcg(solver, E0, S0):
         dX_old_norm2 = dX_norm2
         s_old = s
 
-        dX, n2 = ks["grad"](X, Emean, mu0=mu0, lam0=lam0, bca=bca)
+        dX, n2 = ks["grad"](solver.mat.fields(), X, Emean,
+                            mu0=mu0, lam0=lam0, bca=bca)
         dX_norm2 = float(n2)
         if dX_norm2_initial < 0:
             dX_norm2_initial = dX_norm2 + np.finfo(np.float64).tiny

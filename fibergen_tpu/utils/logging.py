@@ -107,3 +107,31 @@ def timer(name, log=False):
         TIMINGS.record(name, dt)
         if log:
             LOG.info(f"{name}: {dt:.3f}s")
+
+
+class ProgressBar:
+    """Console progress bar (ProgressBar, fibergen.cpp:1579-1641): renders
+    only on TTYs, throttled to visible percent changes."""
+
+    def __init__(self, total: int = 100, width: int = 40, text: str = ""):
+        self.total = max(1, int(total))
+        self.width = width
+        self.text = text
+        self._last = -1
+        self._enabled = LOG.enabled and sys.stderr.isatty()
+
+    def update(self, i: int):
+        pct = int(100 * i / self.total)
+        if not self._enabled or pct == self._last:
+            return
+        self._last = pct
+        filled = self.width * i // self.total
+        bar = "#" * filled + "-" * (self.width - filled)
+        sys.stderr.write(f"\r{self.text}[{bar}] {pct:3d}%")
+        sys.stderr.flush()
+
+    def complete(self):
+        if self._enabled:
+            self.update(self.total)
+            sys.stderr.write("\n")
+            sys.stderr.flush()

@@ -265,3 +265,30 @@ def test_displacement_field_reconstruction():
     rec = staggered.eps_staggered(f.solver.grid, E, u)
     err = float(jnp.abs(rec - eps).max() / jnp.abs(eps).max())
     assert err < 1e-10
+
+
+def test_cancel_mid_solve():
+    """FG.cancel() from a convergence callback aborts the run with rc=1
+    (PyFG cancel via set_exception, fibergen.cpp:25190)."""
+    import os
+    f = fg.FG()
+    f.load_xml(os.path.join(os.path.dirname(__file__), "..", "demo",
+                            "elasticity", "hashin", "project.xml"))
+    f.set("variables.res..value", 16)
+    calls = [0]
+
+    def cb():
+        calls[0] += 1
+        if calls[0] == 2:
+            f.cancel()
+        return False
+
+    f.set_convergence_callback(cb)
+    assert f.run() == 1
+    assert calls[0] <= 4
+    # a fresh run afterwards resets the cancel flag
+    f2 = fg.FG()
+    f2.load_xml(os.path.join(os.path.dirname(__file__), "..", "demo",
+                             "elasticity", "hashin", "project.xml"))
+    f2.set("variables.res..value", 16)
+    assert f2.run() == 0

@@ -148,3 +148,62 @@ def test_demo_regular_polygon(tmp_path, monkeypatch, capsys):
     small.write_text(src)
     runpy.run_path(str(small), run_name="__main__")
     assert "effective flux" in capsys.readouterr().out
+
+
+def test_demo_empty():
+    f = fg.FG()
+    f.load_xml(os.path.join(DEMO_DIR, "empty", "project.xml"))
+    assert f.run() == 0
+
+
+def test_demo_normals(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    f = run_demo("geometry/normals/project.xml")
+    assert (tmp_path / "normals.vtk").exists()
+    n = np.asarray(f.get_field("normals"))
+    mask = np.abs(np.asarray(f.get_field("distance"))).squeeze() < 0.1
+    ln = np.sqrt((n * n).sum(0))
+    # near the interface normals are unit vectors
+    assert abs(float(ln[mask].mean()) - 1.0) < 1e-3
+
+
+def test_demo_stl():
+    f = run_demo("geometry/stl/project.xml")
+    flux = np.array(f.get_mean_stress())
+    assert flux[0] > 1.0          # conductive blob raises effective k
+    v = f.get_volume_fraction("blob")
+    # blob of mean radius 0.3 in the unit cell: V ~ 4/3 pi 0.3^3 ~ 0.11
+    assert abs(v - 0.115) < 0.03
+
+
+def test_demo_tetmesh():
+    f = run_demo("geometry/tetmesh/project.xml")
+    sig = np.array(f.get_mean_stress())
+    assert np.all(np.isfinite(sig))
+    assert sig[0] > 0 and sig[5] > 0
+    # plus-sign occupies ~44% of area but only part of z: V in (0.1, 0.6)
+    assert 0.1 < f.get_volume_fraction("core") < 0.6
+
+
+def test_demo_transverse_isotropy():
+    f = run_demo("elasticity/transverse_isotropy/project.xml", res=16)
+    sig = np.array(f.get_mean_stress())
+    assert np.all(np.isfinite(sig)) and sig[0] > 0
+    # anisotropic fibers aligned mostly with x: sig_xx largest normal stress
+    assert sig[0] > sig[1] and sig[0] > sig[2]
+
+
+def test_demo_sfrp_hexagonal():
+    f = run_demo("elasticity/sfrp_hexagonal/project.xml", res=16)
+    sig = np.array(f.get_mean_stress())
+    assert np.all(np.isfinite(sig)) and sig[0] > 0
+    assert f.get_volume_fraction("fiber") > 0.4   # dense hexagonal packing
+
+
+def test_demo_viscosity_analytical():
+    f = run_demo("viscosity/viscosity_analytical/project.xml", res=16)
+    sig = np.array(f.get_mean_stress())
+    assert np.all(np.isfinite(sig))
+    # dual (fluidity) solve: rigid fibers REDUCE the mean dual stress below
+    # the pure-matrix value 0.5*e11 = 0.5
+    assert 0.0 < sig[0] < 0.5 and abs(sig[0] + sig[1]) < 1e-3

@@ -172,3 +172,22 @@ def test_hashin_coated_sphere():
     k_eff = (sig[0] + sig[1] + sig[2]) / 9.0
     k_star = lam_m + 2.0 / 3.0 * 1.0
     assert abs(k_eff - k_star) / k_star < 2e-3, (k_eff, k_star)
+
+
+def test_acg_degenerate_planar_moments():
+    """Planar moments (azz=0) must produce finite ACG parameters and usable
+    samples (previously overflowed exp -> nan -> infinite rejection loop)."""
+    import numpy as np
+    from fibergen_tpu.geometry.distributions import ACG, acg_b_from_moments
+
+    b = acg_b_from_moments(np.array([0.5, 0.5, 0.0]))
+    assert np.all(np.isfinite(b)) and abs(b.prod() - 1.0) < 1e-6
+
+    d = ACG(A=np.diag([0.5, 0.5, 0.0]))
+    rng = np.random.default_rng(0)
+    vs = np.array([d.draw(rng) for _ in range(200)])
+    assert np.all(np.isfinite(vs))
+    # samples live (almost) in the xy-plane with ~isotropic split
+    assert np.abs(vs[:, 2]).max() < 0.05
+    m = (vs[:, :2] ** 2).mean(0)
+    assert abs(m[0] - 0.5) < 0.1 and abs(m[1] - 0.5) < 0.1

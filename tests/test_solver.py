@@ -308,3 +308,40 @@ def test_viscosity_homogeneous_exact():
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(s.calc_mean_stress()), 0.5 * f * E,
                                atol=1e-8)
+
+
+def test_material_fields_passed_as_arguments():
+    """Kernels receive material arrays as jit args (MixedMaterial.fields/
+    bound): replacing phi in-place must change results without rebuilding
+    the solver, and must reuse the compiled kernels (no retrace needed for
+    same-structure fields)."""
+    grid = Grid(8, 8, 8)
+    E = [0.01, 0, 0, 0, 0, 0]
+
+    def solve(frac):
+        phi1, phi2 = layered_phi(grid, frac)
+        mat = VoigtMixed([
+            Phase("m1", laws.LinearIsotropic(mu=1.0, lam=1.0), phi1),
+            Phase("m2", laws.LinearIsotropic(mu=5.0, lam=2.0), phi2),
+        ], dim=6)
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="elasticity", method="cg", gamma_scheme="staggered",
+            tol=1e-10, maxiter=200))
+        s.set_strain(E)
+        assert not s.run()
+        return s, np.asarray(s.calc_mean_stress())
+
+    s, sig_a = solve(0.5)
+    # swap the phase fields of the SAME solver (same shapes)
+    phi1, phi2 = layered_phi(grid, 0.25)
+    s.mat.phases[0].phi = phi1
+    s.mat.phases[1].phi = phi2
+    s.set_strain(E)
+    assert not s.run()
+    sig_b = np.asarray(s.calc_mean_stress())
+
+    # must match a freshly-built solver at the new fraction ...
+    _, sig_ref = solve(0.25)
+    np.testing.assert_allclose(sig_b, sig_ref, rtol=1e-8)
+    # ... and differ from the old fraction (fields actually flowed through)
+    assert abs(sig_b[0] - sig_a[0]) > 1e-5
