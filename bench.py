@@ -55,21 +55,26 @@ def main():
     E = jnp.asarray(np.array([1.0, 0, 0, 0, 0, 0]), solver.dtype)
     mf = solver.mat.fields()
     eps, r, p, gamma, _ = solver._k_cg_init(mf, E, None, mu0=mu0, lam0=lam0)
-    gamma = float(gamma)
 
-    # warmup (compile); K iterations fused per host sync (check_every)
+    # warmup (compile); K iterations fused per device chunk (check_every)
     K = solver.opt.check_every
-    eps, r, p, delta, gammas, mets = solver._k_cg_multi(
+    eps, r, p, gamma, gammas, mets = solver._k_cg_multi(
         mf, eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
     jax.block_until_ready(eps)
-    gamma = float(delta)
 
-    chunks = 4
+    # pipelined like the real loop (_run_cg): the gamma carry stays a
+    # device scalar and each chunk's metrics are pulled to host one chunk
+    # behind, overlapping the tunnel round-trip with device compute
+    chunks = 6
+    pending = None
     t0 = time.perf_counter()
     for _ in range(chunks):
-        eps, r, p, delta, gammas, mets = solver._k_cg_multi(
+        eps, r, p, gamma, gammas, mets = solver._k_cg_multi(
             mf, eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
-        gamma = float(delta)  # host sync per chunk, like the real loop
+        if pending is not None:
+            np.asarray(pending[0]); np.asarray(pending[1])
+        pending = (gammas, mets)
+    np.asarray(pending[0]); np.asarray(pending[1])
     jax.block_until_ready(eps)
     dt = time.perf_counter() - t0
     iters = chunks * K

@@ -554,33 +554,42 @@ class LSSolver:
         eps, r, p, gamma, met0 = self._k_cg_init(self.mat.fields(), Ej, bca,
                                                  mu0=mu0, lam0=lam0)
         ee.start(np.asarray(met0))
-        gamma = float(gamma)
-        gamma0 = gamma
+        gamma0 = float(gamma)
+        if self.opt.check_every <= 1:
+            gamma = gamma0
 
         K = max(1, int(self.opt.check_every))
         it = 0
+        # K>1: convergence is evaluated ONE CHUNK BEHIND the device.  The
+        # gamma carry stays a device scalar, so the next chunk is dispatched
+        # before the previous chunk's metrics are pulled to host — jax's
+        # async dispatch then overlaps the ~28 ms host round-trip with
+        # device compute (the sync otherwise costs ~10% of iteration time).
+        # On convergence the state has advanced one extra chunk, i.e. it is
+        # strictly MORE converged than at the detection point.
+        pending = None
         while True:
             if K > 1:
-                # K fused iterations per host round-trip
                 eps, r, p, delta, gammas, mets = self._k_cg_multi(
                     self.mat.fields(), eps, r, p, gamma, bca,
                     mu0=mu0, lam0=lam0)
                 self.eps = eps
-                gammas = np.asarray(gammas)
-                mets = np.asarray(mets)
+                gamma = delta  # device scalar; no host sync
                 done = False
-                for k in range(K):
-                    if ee.metric_kind == "residual":
-                        ee.update_cg(float(gammas[k]), gamma0)
-                    else:
-                        ee.update(mets[k])
-                    it, done = self._converged(it, ee.abs_error(),
-                                               ee.rel_error())
-                    if done:
-                        break
+                if pending is not None:
+                    pg, pm = np.asarray(pending[0]), np.asarray(pending[1])
+                    for k in range(K):
+                        if ee.metric_kind == "residual":
+                            ee.update_cg(float(pg[k]), gamma0)
+                        else:
+                            ee.update(pm[k])
+                        it, done = self._converged(it, ee.abs_error(),
+                                                   ee.rel_error())
+                        if done:
+                            break
                 if done:
                     break
-                gamma = float(delta)
+                pending = (gammas, mets)
                 continue
             eps, r, p, delta, met = self._k_cg_step(
                 self.mat.fields(), eps, r, p, gamma, bca,

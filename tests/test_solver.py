@@ -345,3 +345,21 @@ def test_material_fields_passed_as_arguments():
     np.testing.assert_allclose(sig_b, sig_ref, rtol=1e-8)
     # ... and differ from the old fraction (fields actually flowed through)
     assert abs(sig_b[0] - sig_a[0]) > 1e-5
+
+
+def test_check_every_pipelined_matches_single_step():
+    """check_every>1 runs K fused iterations per chunk with convergence
+    evaluated one chunk behind (pipelined); the converged answer must match
+    the per-iteration loop."""
+    grid = Grid(16, 4, 4)
+    mat = elastic_material(grid, dict(mu=1.0, lam=1.0), dict(mu=5.0, lam=2.0))
+    res = {}
+    for K in (1, 4):
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="elasticity", method="cg", gamma_scheme="staggered",
+            tol=1e-10, maxiter=500, check_every=K))
+        s.set_strain([1.0, 0, 0, 0, 0, 0])
+        assert not s.run()
+        assert len(s.residuals) < s.opt.maxiter
+        res[K] = np.asarray(s.calc_mean_stress())
+    np.testing.assert_allclose(res[4], res[1], rtol=1e-9)
