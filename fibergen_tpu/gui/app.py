@@ -16,10 +16,36 @@ from .viewer import SliceViewer, list_demos
 
 
 def run_project_and_view(path: str, show: bool = True):
+    """Run a project and open the slice viewer.  Honors the project's
+    <view> block, including <record_loadstep>: per-loadstep snapshots of
+    the viewed field are captured through the loadstep callback exactly
+    like the reference GUI (lib/fibergen_gui.py runProject <view> support)."""
     fg = FG()
     fg.load_xml(path)
+    record = None
+    try:
+        view = fg.project.root.find("view")
+        e = view.find("record_loadstep") if view is not None else None
+        if e is not None and (e.text or "").strip() not in ("", "0", "false"):
+            record = (e.text or "epsilon").strip()
+            if record in ("1", "true"):
+                fld = view.find("field")
+                record = (fld.text.strip().rstrip("0123456789")
+                          if fld is not None and fld.text else "epsilon")
+    except Exception:  # noqa: BLE001 - malformed <view> is non-fatal
+        record = None
+    snapshots = []
+    if record:
+        def _snap():
+            try:
+                snapshots.append(fg.get_field(record).copy())
+            except Exception:  # noqa: BLE001
+                pass
+            return False
+        fg.set_loadstep_callback(_snap)
     fg.run()
     viewer = SliceViewer.from_fg(fg)
+    viewer.loadsteps = snapshots
     if show:
         viewer.show()
     return fg, viewer

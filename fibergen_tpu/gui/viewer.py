@@ -29,6 +29,10 @@ class SliceViewer:
 
     def __init__(self, fields: Dict[str, np.ndarray], grid=None):
         self.fields = {k: np.asarray(v) for k, v in fields.items()}
+        if not self.fields:
+            raise ValueError(
+                "no viewable fields: run a load case (or init the solver) "
+                "before opening the viewer")
         self.grid = grid
         self.field = next(iter(self.fields))
         self.component = 0
@@ -41,13 +45,59 @@ class SliceViewer:
 
     @classmethod
     def from_fg(cls, fg, names=("epsilon", "sigma", "phi")):
+        """Build a viewer from a solved FG, honoring the project's <view>
+        settings exactly like the reference GUI (lib/fibergen_gui.py:3047-
+        3246 reads field/slice_dim/slice_index/custom_bounds/vmin/vmax/
+        alpha/interpolate/extra_fields)."""
+        names = list(names)
+        view = None
+        try:
+            view = fg.project.root.find("view")
+        except Exception:  # noqa: BLE001 - no project loaded
+            view = None
+
+        def v(tag, default=None):
+            if view is None:
+                return default
+            e = view.find(tag)
+            return e.text.strip() if e is not None and e.text else default
+
+        extra = v("extra_fields")
+        if extra:
+            names += [s.strip() for s in extra.split(",") if s.strip()]
+
         fields = {}
         for n in names:
+            base = n.rstrip("0123456789")
             try:
-                fields[n] = fg.get_field(n)
+                fields.setdefault(base, fg.get_field(base))
             except Exception:  # noqa: BLE001 - optional fields
                 continue
-        return cls(fields, grid=fg.solver.grid if fg.solver else None)
+        self = cls(fields, grid=fg.solver.grid if fg.solver else None)
+
+        fld = v("field")
+        if fld:
+            base = fld.rstrip("0123456789")
+            if base in self.fields:
+                self.field = base
+                comp = fld[len(base):]
+                if comp:
+                    self.component = int(comp)
+        if v("slice_dim"):
+            self.slice_dim = v("slice_dim")
+        if v("slice_index") is not None:
+            self.slice_index = float(v("slice_index"))
+        if v("alpha") is not None:
+            self.alpha = float(v("alpha"))
+        if v("interpolate") is not None:
+            self.interpolate = v("interpolate") not in ("0", "false")
+        if v("custom_bounds") not in (None, "0", "false"):
+            lo = float(v("vmin", 0.0))
+            hi = float(v("vmax", 1.0))
+            self.custom_bounds = (lo, hi)
+        if v("colormap"):
+            self.colormap = v("colormap")
+        return self
 
     # ------------------------------------------------------------- slicing
     def current_slice(self) -> np.ndarray:

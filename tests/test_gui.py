@@ -70,3 +70,43 @@ def test_gui_main_headless(capsys):
     assert main(["app"]) == 0
     out = capsys.readouterr().out
     assert "usage" in out
+
+
+def test_viewer_honors_view_settings(tmp_path):
+    """SliceViewer.from_fg applies the project's <view> block (field,
+    slice, bounds, extra_fields) like the reference GUI."""
+    import fibergen_tpu as fg
+    from fibergen_tpu.gui.viewer import SliceViewer
+
+    xml = """<settings>
+      <solver n="8">
+        <materials><matrix mu="1" lambda="1" /><fiber mu="5" lambda="2" /></materials>
+        <mode>elasticity</mode><tol>1e-4</tol>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <place_fiber R="0.3" />
+        <run_load_case e11="0.01" />
+      </actions>
+      <view>
+        <field>sigma1</field>
+        <slice_dim>y</slice_dim>
+        <slice_index>0.25</slice_index>
+        <custom_bounds>1</custom_bounds>
+        <vmin>-1</vmin>
+        <vmax>1</vmax>
+        <extra_fields>distance,normals</extra_fields>
+      </view>
+    </settings>"""
+    p = tmp_path / "project.xml"
+    p.write_text(xml)
+    f = fg.FG()
+    f.load_xml(str(p))
+    assert f.run() == 0
+    v = SliceViewer.from_fg(f)
+    assert v.field == "sigma" and v.component == 1
+    assert v.slice_dim == "y" and abs(v.slice_index - 0.25) < 1e-12
+    assert v.custom_bounds == (-1.0, 1.0)
+    assert "distance" in v.fields and "normals" in v.fields
+    sl = v.current_slice()
+    assert sl.shape == (8, 8)
