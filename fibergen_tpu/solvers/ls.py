@@ -394,7 +394,30 @@ class LSSolver:
     # -------------------------------------------------------------- run
     def run(self) -> bool:
         """Full solve over all loadsteps (run, fibergen.cpp:21247-21398).
-        Returns True on failure/cancel like the reference."""
+        Returns True on failure/cancel like the reference.
+
+        Set FIBERGEN_TPU_PROFILE=<dir> to capture a jax profiler trace of
+        the whole solve (view with tensorboard/xprof) — the TPU-native
+        analogue of the reference's per-kernel Timer registry."""
+        import os as _os
+        pdir = _os.environ.get("FIBERGEN_TPU_PROFILE")
+        if pdir:
+            try:
+                jax.profiler.start_trace(pdir)
+            except Exception as e:  # noqa: BLE001 - profiling is best-effort
+                LOG.warn(f"profiler unavailable: {e}")
+                pdir = None
+        try:
+            return self._run_impl()
+        finally:
+            if pdir:
+                try:
+                    jax.profiler.stop_trace()
+                    LOG.info(f"profiler trace written to {pdir}")
+                except Exception as e:  # noqa: BLE001
+                    LOG.warn(f"profiler stop failed: {e}")
+
+    def _run_impl(self) -> bool:
         self.residuals = []
         self._canceled = False
 
