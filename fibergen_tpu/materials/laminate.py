@@ -105,28 +105,44 @@ class LaminateMixed(MixedMaterial):
             return F1, F2, mask
 
         B = _sym_dyad_basis(n, dim)
-
-        # rhs: g0_k = c1 c2 (P2(F) - P1(F)) : B_k
-        P1 = law1.pk1(F)
-        P2 = law2.pk1(F)
-        dP = P2 - P1
-        g0 = jnp.stack([(dP * w * Bk).sum(0) for Bk in B], axis=-1)
-
-        # K_kl = c2 * B_k : C1 : B_l + c1 * B_k : C2 : B_l   (common c1*c2
-        # factor cancelled against the rhs)
-        C1B = [law1.dpk1(F, Bk) for Bk in B]
-        C2B = [law2.dpk1(F, Bk) for Bk in B]
-        K = jnp.stack([
-            jnp.stack([
-                (B[k] * w * (c2[None] * C1B[l] + c1[None] * C2B[l])).sum(0)
-                for l in range(3)], axis=-1)
-            for k in range(3)], axis=-2)
-
-        # regularize non-interface voxels (K would be ~0 there)
         eye = jnp.eye(3, dtype=F.dtype)
-        K = jnp.where(mask[..., None, None], K, eye)
-        g0 = jnp.where(mask[..., None], g0, 0.0)
-        a = jnp.linalg.solve(K, -g0[..., None])[..., 0]   # (..., 3)
+
+        def newton_step(a):
+            """One Newton step of the traction-equilibrium energy min
+            (the reference's per-voxel Newton, fibergen.cpp:13104-13470,
+            vectorized over all voxels at once):
+                g_k = (P2(F2) - P1(F1)) : B_k
+                K_kl = c2 B_k : C1(F1) : B_l + c1 B_k : C2(F2) : B_l
+            (common c1*c2 factor cancelled)."""
+            jump = sum(a[..., k][None] * B[k] for k in range(3))
+            F1 = F - c2[None] * jump
+            F2 = F + c1[None] * jump
+            dP = law2.pk1(F2) - law1.pk1(F1)
+            g = jnp.stack([(dP * w * Bk).sum(0) for Bk in B], axis=-1)
+            C1B = [law1.dpk1(F1, Bk) for Bk in B]
+            C2B = [law2.dpk1(F2, Bk) for Bk in B]
+            K = jnp.stack([
+                jnp.stack([
+                    (B[k] * w * (c2[None] * C1B[l] + c1[None] * C2B[l])).sum(0)
+                    for l in range(3)], axis=-1)
+                for k in range(3)], axis=-2)
+            # regularize non-interface voxels (K would be ~0 there)
+            K = jnp.where(mask[..., None, None], K, eye)
+            g = jnp.where(mask[..., None], g, 0.0)
+            da = jnp.linalg.solve(K, -g[..., None])[..., 0]
+            # guard: keep the previous iterate where the local solve blew up
+            # (e.g. det F <= 0 under an aggressive trial jump)
+            ok = jnp.isfinite(da).all(axis=-1, keepdims=True)
+            return jnp.where(ok, a + da, a)
+
+        a = newton_step(jnp.zeros(mask.shape + (3,), F.dtype))
+        if not (getattr(law1, "is_linear", False)
+                and getattr(law2, "is_linear", False)):
+            # nonlinear laws: continue the Newton to convergence (for linear
+            # laws the first step is already exact).  A fixed iteration count
+            # keeps the program jit-static; quadratic convergence makes 7
+            # further steps ample at moderate strain.
+            a = jax.lax.fori_loop(0, 7, lambda i, a: newton_step(a), a)
 
         jump = sum(a[..., k][None] * B[k] for k in range(3))
         F1 = F - c2[None] * jump

@@ -153,3 +153,73 @@ def test_heat_demo_xml_with_laminate_mixing():
     # sanity: conductivity between phase values, matrix-dominated
     assert 1.0 < K[0, 0] < 10.0
     assert 1.0 < K[1, 1] < 10.0
+
+
+# ---------------------------------------------------------------------------
+# Nonlinear (hyperelastic) laminate: full Newton on the jump vector
+# ---------------------------------------------------------------------------
+
+def _hyper_laminate(grid, frac=0.5):
+    from fibergen_tpu.materials import laws
+    phi1, phi2, n = cut_voxel_laminate(grid, frac)
+    mat = LaminateMixed([
+        Phase("m1", laws.SaintVenantKirchhoff(mu=1.0, lam=1.0), phi1),
+        Phase("m2", laws.SaintVenantKirchhoff(mu=4.0, lam=2.0), phi2),
+    ], dim=9, normals=n)
+    return mat
+
+
+def test_hyper_laminate_traction_continuity():
+    """After the Newton solve, the traction-equilibrium residual
+    (P2(F2) - P1(F1)) : B_k vanishes at interface voxels (the quantity the
+    reference's per-voxel Newton drives to zero, fibergen.cpp:13104-13470)."""
+    from fibergen_tpu.core import voigt
+    from fibergen_tpu.materials.laminate import _sym_dyad_basis
+
+    grid = fg.Grid(4, 2, 2)
+    mat = _hyper_laminate(grid, frac=0.37)
+    # moderate finite strain: 8% stretch + shear
+    Fbar = np.array([1.08, 1.0, 0.97, 0.0, 0.0, 0.05, 0.0, 0.0, 0.02])
+    F = jnp.asarray(np.broadcast_to(Fbar.reshape(9, 1, 1, 1),
+                                    (9,) + grid.shape))
+    F1, F2, mask = mat._phase_strains(F)
+    law1, law2 = mat.phases[0].law, mat.phases[1].law
+    dP = law2.pk1(F2) - law1.pk1(F1)
+    B = _sym_dyad_basis(mat.normals, 9)
+    w = jnp.asarray(voigt.weights(9)).reshape(-1, 1, 1, 1)
+    res = jnp.stack([(dP * w * Bk).sum(0) for Bk in B])
+    res = np.asarray(jnp.where(mask[None], res, 0.0))
+    assert np.abs(res).max() < 1e-10
+
+    # energy consistency: mixed energy below the Voigt (Taylor) bound
+    w_lam = float(mat.w(F)[np.asarray(mask)].mean())
+    w_voigt = float((mat.phases[0].phi * law1.w(F)
+                     + mat.phases[1].phi * law2.w(F))[np.asarray(mask)].mean())
+    assert w_lam < w_voigt + 1e-12
+
+
+def test_hyper_laminate_small_strain_matches_linear():
+    """At tiny strain the SVK laminate Newton reproduces the exact linear
+    laminate mixing (which is a single exact solve)."""
+    from fibergen_tpu.materials import laws
+
+    grid = fg.Grid(4, 2, 2)
+    phi1, phi2, n = cut_voxel_laminate(grid, 0.37)
+    h = 1e-6
+    lin = LaminateMixed([
+        Phase("m1", laws.LinearIsotropic(mu=1.0, lam=1.0), phi1),
+        Phase("m2", laws.LinearIsotropic(mu=4.0, lam=2.0), phi2),
+    ], dim=6, normals=n)
+    E6 = np.array([h, 0, 0, 0, 0, 0.5 * h])
+    S_lin = np.asarray(lin.pk1(jnp.asarray(
+        np.broadcast_to(E6.reshape(6, 1, 1, 1), (6,) + grid.shape))))
+
+    hyp = _hyper_laminate(grid, 0.37)
+    F9 = np.array([1 + h, 1, 1, 0, 0, h, 0, 0, 0])  # F = I + e11 + e12(xy)
+    S_h = np.asarray(hyp.pk1(jnp.asarray(
+        np.broadcast_to(F9.reshape(9, 1, 1, 1), (9,) + grid.shape))))
+    # compare the symmetric components (PK1 ~ sigma at infinitesimal strain)
+    np.testing.assert_allclose(S_h[0], S_lin[0], rtol=2e-5, atol=1e-12)
+    np.testing.assert_allclose(S_h[1], S_lin[1], rtol=2e-5, atol=1e-12)
+    sym_xy = 0.5 * (S_h[5] + S_h[8])
+    np.testing.assert_allclose(sym_xy, S_lin[5], rtol=2e-5, atol=1e-12)
