@@ -143,3 +143,82 @@ def _jsonable(v):
     if isinstance(v, (np.floating, np.integer)):
         return v.item()
     return str(v)
+
+
+VOIGT_SUFFIX = [11, 22, 33, 23, 13, 12, 32, 31, 21]
+
+
+def voigt_index_key(key: str, i: int) -> str:
+    """sigma, 0 -> 'sigma_11' (voigt_index_keygen, demo/common.py:160)."""
+    return f"{key}_{VOIGT_SUFFIX[i]}"
+
+
+def expand_voigt(key: str, data, mode: str = "elasticity"):
+    """Expand a Voigt vector result into per-component (key_ij, value) items
+    with the mode-dependent renaming of the reference harness
+    (expand_data, demo/common.py:163-187): for viscosity the solver's
+    'stress' is the shear rate gamma and its 'strain' the fluid stress."""
+    key_map = {"elasticity": {"mean_stress": "sigma", "mean_strain": "epsilon"},
+               "hyperelasticity": {"mean_stress": "sigma", "mean_strain": "epsilon"},
+               "viscosity": {"mean_stress": "gamma", "mean_strain": "sigma"}}
+    key = key_map.get(mode, {}).get(key, key)
+    arr = np.asarray(data)
+    if arr.ndim == 0:
+        return [(key, float(arr))]
+    return [(voigt_index_key(key, i), float(v)) for i, v in enumerate(arr.ravel())]
+
+
+def write_dat(path: str, rows):
+    """Write a flat whitespace-separated table (write_dict,
+    demo/common.py:273-281): one header line, one line per run, arrays
+    expanded into indexed columns."""
+    flat_rows = []
+    keys: List[str] = []
+    for row in rows:
+        flat = {}
+        for k, v in row.items():
+            a = np.asarray(v) if not isinstance(v, (str, type(None))) else None
+            if a is not None and a.ndim > 0:
+                for i, x in enumerate(a.ravel()):
+                    flat[f"{k}_{i}"] = x
+            else:
+                flat[k] = v
+        for k in flat:
+            if k not in keys:
+                keys.append(k)
+        flat_rows.append(flat)
+    with open(path, "w") as f:
+        f.write("\t".join(keys) + "\n")
+        for flat in flat_rows:
+            f.write("\t".join(str(flat.get(k, "nan")) for k in keys) + "\n")
+
+
+def iso_sphere_points(n: int, iterations: int = 200, seed: int = 0):
+    """Approximately uniform point set on the unit sphere by electrostatic
+    repulsion (IsoSpherePointGenerator, demo/common.py:367-435) — used to
+    orientation-average effective properties.  Deterministic for a seed."""
+    rng = np.random.default_rng(seed)
+    p = rng.normal(size=(n, 3))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    if n == 1:
+        return p
+    step = 0.1
+    for _ in range(iterations):
+        d = p[:, None, :] - p[None, :, :]
+        r2 = (d * d).sum(-1) + np.eye(n)
+        f = (d / (r2 ** 1.5)[..., None]).sum(axis=1)
+        # project the force onto the tangent plane and step
+        f -= (f * p).sum(-1, keepdims=True) * p
+        p = p + step * f / n
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+    return p
+
+
+def run_experiment(build: Callable[["Experiment"], None], project_xml: str,
+                   results_dat: Optional[str] = None, cache_dir=None,
+                   cache_only: bool = False):
+    """Convenience wrapper (run_experiment, demo/common.py:437): build(ex)
+    configures the sweep, the table is run, optionally written, returned."""
+    ex = Experiment(project_xml, results_dat=results_dat, cache_dir=cache_dir)
+    build(ex)
+    return ex.run(cache_only=cache_only)

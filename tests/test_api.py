@@ -292,3 +292,59 @@ def test_cancel_mid_solve():
                              "elasticity", "hashin", "project.xml"))
     f2.set("variables.res..value", 16)
     assert f2.run() == 0
+
+
+def test_experiment_helpers(tmp_path):
+    """Harness utilities: voigt expansion, dat table writer, sphere points
+    (demo/common.py equivalents)."""
+    from fibergen_tpu.experiment import (Experiment, expand_voigt,
+                                         iso_sphere_points, write_dat)
+
+    items = expand_voigt("mean_stress", [1, 2, 3, 4, 5, 6], "viscosity")
+    assert items[0] == ("gamma_11", 1.0) and items[5] == ("gamma_12", 6.0)
+    items = expand_voigt("mean_strain", [1, 2, 3], "elasticity")
+    assert items[0][0] == "epsilon_11"
+
+    p = iso_sphere_points(12, seed=1)
+    np.testing.assert_allclose(np.linalg.norm(p, axis=1), 1.0, atol=1e-12)
+    # repulsion spreads the points: no pair closer than ~30 degrees
+    d = p @ p.T - np.eye(12)
+    assert np.degrees(np.arccos(d.max())) > 30
+
+    rows = [{"n": 16, "sigma": np.array([1.0, 2.0])},
+            {"n": 32, "sigma": np.array([3.0, 4.0])}]
+    out = tmp_path / "t.dat"
+    write_dat(str(out), rows)
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].split("\t") == ["n", "sigma_0", "sigma_1"]
+    assert lines[2].split("\t") == ["32", "3.0", "4.0"]
+
+
+def test_experiment_sweep_cache(tmp_path):
+    """Experiment sweep runs, records params/results and reuses the cache."""
+    from fibergen_tpu.experiment import Experiment
+
+    xml = """<settings>
+      <solver n="8">
+        <materials><matrix mu="1" lambda="1" /><fiber mu="5" lambda="2" /></materials>
+        <mode>elasticity</mode><tol>1e-4</tol>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <place_fiber R="0.3" />
+        <run_load_case e11="0.01" />
+      </actions>
+    </settings>"""
+    proj = tmp_path / "p.xml"
+    proj.write_text(xml)
+    ex = Experiment(str(proj), cache_dir=str(tmp_path / "cache"))
+    ex.add_param("solver.tol", [1e-3, 1e-5])
+    ex.add_result("mean_stress")
+    ex.add_result("num_iterations")
+    rows = ex.run()
+    assert len(rows) == 2
+    assert rows[1]["num_iterations"] >= rows[0]["num_iterations"]
+    # cached rerun returns identical data without solving
+    rows2 = ex.run()
+    np.testing.assert_allclose(np.asarray(rows2[0]["mean_stress"]),
+                               np.asarray(rows[0]["mean_stress"]))

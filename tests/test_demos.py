@@ -207,3 +207,21 @@ def test_demo_viscosity_analytical():
     # dual (fluidity) solve: rigid fibers REDUCE the mean dual stress below
     # the pure-matrix value 0.5*e11 = 0.5
     assert 0.0 < sig[0] < 0.5 and abs(sig[0] + sig[1]) < 1e-3
+
+
+def test_demo_orientation_average(capsys):
+    import runpy
+    script = os.path.join(DEMO_DIR, "python", "orientation_average",
+                          "project.py")
+    # shrink for test speed
+    src = open(script).read().replace('n="16"', 'n="8"').replace(
+        "iso_sphere_points(6, seed=3)", "iso_sphere_points(3, seed=3)")
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(src)
+        path = f.name
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "isotropized k" in out
+    mu = float(out.strip().split("mu = ")[-1])
+    assert mu > 0.6   # stiff fibers raise shear above the matrix mu=0.61
