@@ -271,6 +271,18 @@ class FG:
         user_ls = self._loadstep_callback
         self.solver.loadstep_callback = (
             lambda: self._cancel or bool(user_ls and user_ls()))
+        # per-loadstep VTK dumps (<write_loadsteps>/<loadstep_filename>,
+        # fibergen.cpp:14829/15089/21437)
+        if sol.value("write_loadsteps", False, bool):
+            pattern = sol.value("loadstep_filename", "loadstep_%02d.vtk", str)
+            if pattern:
+                def _ls_name(i, pattern=pattern):
+                    try:
+                        return pattern % i
+                    except TypeError:  # pattern without a %d placeholder
+                        return pattern
+                self.solver.loadstep_writer = (
+                    lambda i: self.write_vtk_solution(_ls_name(i)))
 
     def _read_constants(self, r: SettingsReader) -> dict:
         kw = {}

@@ -144,6 +144,9 @@ class LSSolver:
         self.residuals: List[float] = []
         self.convergence_callback: Optional[Callable[[], bool]] = None
         self.loadstep_callback: Optional[Callable[[], bool]] = None
+        # called with the loadstep index after each loadstep solve
+        # (write_loadsteps/loadstep_filename wiring, fibergen.cpp:21437)
+        self.loadstep_writer: Optional[Callable[[int], None]] = None
         self._canceled = False
 
         self._current_E = self.E
@@ -501,6 +504,10 @@ class LSSolver:
             if self._canceled:
                 LOG.error("loadsteps canceled")
                 return True
+            # per-loadstep VTK dump (performLoadstepActions,
+            # fibergen.cpp:21434-21439)
+            if self.loadstep_writer is not None:
+                self.loadstep_writer(istep)
             if self.loadstep_callback and self.loadstep_callback():
                 LOG.info("Loadstep callback break request.")
                 return True

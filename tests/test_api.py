@@ -348,3 +348,33 @@ def test_experiment_sweep_cache(tmp_path):
     rows2 = ex.run()
     np.testing.assert_allclose(np.asarray(rows2[0]["mean_stress"]),
                                np.asarray(rows[0]["mean_stress"]))
+
+
+def test_write_loadsteps(tmp_path, monkeypatch):
+    """<write_loadsteps> dumps a VTK per loadstep with <loadstep_filename>
+    (performLoadstepActions, fibergen.cpp:21434-21439)."""
+    monkeypatch.chdir(tmp_path)
+    xml = """<settings>
+      <solver n="8">
+        <materials><matrix law="svk" mu="1" lambda="1" />
+                   <fiber law="svk" mu="4" lambda="2" /></materials>
+        <mode>hyperelasticity</mode><tol>1e-6</tol>
+        <loadsteps>3</loadsteps>
+        <write_loadsteps>1</write_loadsteps>
+        <loadstep_filename>step_%02d.vtk</loadstep_filename>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <place_fiber R="0.3" />
+        <run_load_case e11="0.03" />
+      </actions>
+    </settings>"""
+    f = fg.FG()
+    f.set_xml(xml)
+    assert f.run() == 0
+    files = sorted(p.name for p in tmp_path.glob("step_*.vtk"))
+    # loadsteps=3 solves t = 0, 1/3, 2/3, 1 (first_loadstep default includes
+    # the t=0 step when there are >2 parameters)
+    assert files == ["step_00.vtk", "step_01.vtk", "step_02.vtk",
+                     "step_03.vtk"]
+    assert (tmp_path / "step_03.vtk").stat().st_size > 1000
