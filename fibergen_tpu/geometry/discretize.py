@@ -15,7 +15,7 @@ fibergen.cpp:1377-1578, in closed form instead of case analysis).
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ incomplete definitions raise (Material::readSettings, fibergen.cpp:7292-7455).
 """
 from __future__ import annotations
 
-import math
 
 _NAMES = ("K", "E", "lam", "mu", "nu", "M")
 

@@ -13,7 +13,6 @@ shifted 8-point average.
 """
 from __future__ import annotations
 
-from typing import List
 
 import jax.numpy as jnp
 

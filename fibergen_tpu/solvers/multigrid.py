@@ -16,7 +16,6 @@ building block for preconditioning research.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import List
 
 import jax
@@ -24,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grid import Grid
-from ..ops import fft as fftmod
 from ..ops import staggered
 
 
