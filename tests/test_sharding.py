@@ -67,3 +67,37 @@ def test_sharded_solve_matches_single_device(dim):
     np.testing.assert_allclose(np.asarray(s_sh.eps), np.asarray(s_ref.eps),
                                atol=1e-10)
     assert not s_sh.eps.sharding.is_fully_replicated
+
+
+def test_sharded_hyper_newton_matches_single_device():
+    """The Newton-Krylov hyperelastic path also runs sharded (GSPMD
+    propagates the x-slab layout through pk1/jvp and the Green operator)."""
+    devs = jax.devices()
+    grid = fg.Grid(16, 8, 8)
+
+    def make(sharding=None):
+        x = (np.arange(grid.nx) + 0.5) / grid.nx
+        phi1 = jnp.asarray(np.broadcast_to(
+            ((x % 0.5) < 0.25)[:, None, None], grid.shape).astype(np.float64))
+        if sharding is not None:
+            phi1 = jax.device_put(phi1, sharding_field(sharding, 3))
+        mat = VoigtMixed([
+            Phase("a", laws.SaintVenantKirchhoff(mu=1.0, lam=1.0), phi1),
+            Phase("b", laws.SaintVenantKirchhoff(mu=4.0, lam=2.0), 1 - phi1),
+        ], dim=9)
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="hyperelasticity", method="cg", tol=1e-10, maxiter=300),
+            sharding=sharding)
+        s.set_strain(np.array([1.02, 1, 1, 0, 0, 0.01, 0, 0, 0]))
+        return s
+
+    s_ref = make()
+    assert not s_ref.run()
+    P_ref = s_ref.calc_mean_stress()
+
+    mesh = Mesh(np.array(devs[:8]), axis_names=("x",))
+    sharding = NamedSharding(mesh, P(None, "x", None, None))
+    s_sh = make(sharding=sharding)
+    assert not s_sh.run()
+    np.testing.assert_allclose(s_sh.calc_mean_stress(), P_ref,
+                               rtol=1e-8, atol=1e-12)
