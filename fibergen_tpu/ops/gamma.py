@@ -30,7 +30,7 @@ def _apply_mean_correction(eta, R, alpha):
 
 def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | None",
                    E, mu_0, lambda_0, tau, alpha=-1.0, beta=0.0, F00=None,
-                   g0_solver: str = "fft", freq_hack: bool = False):
+                   g0_solver: str = "fft", freq_hack: bool = False, par=None):
     """eta = alpha * Gamma : tau + beta * tau with mean handling.
 
     ``tau`` is the real-space polarization field; returns the real-space eta.
@@ -42,13 +42,19 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
     (fibergen.cpp:19396; the other sites are compiled out).
     """
     if mode == "viscosity":
-        return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha, F00)
+        return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha,
+                              F00, par=par)
+
+    # distributed slab FFTs when the solver runs on a device mesh
+    # (parallel/fft.py); otherwise the plain single-program transforms
+    _fftn = par.fftn if par is not None else fft.fftn
+    _ifftn = par.ifftn if par is not None else fft.ifftn
 
     bc_active = bc is not None
 
     if mode == "elasticity":
         if scheme == "collocated" or scheme == "willot":
-            tau_hat = fft.fftn(tau)
+            tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
             if scheme == "collocated":
                 eta_hat = green.gamma_collocated(
@@ -60,7 +66,7 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
             if bc_active:
                 R = bcmod.bc_correction(bc, F0, F00)
                 eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
-            return fft.ifftn(eta_hat, grid.shape)
+            return _ifftn(eta_hat, grid.shape)
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             f = staggered.div_staggered(grid, tau)
@@ -68,9 +74,9 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                 from ..solvers.multigrid import g0_multigrid_staggered
                 u = g0_multigrid_staggered(grid, mu_0, lambda_0, f, alpha)
             else:
-                f_hat = fft.fftn(f)
+                f_hat = _fftn(f)
                 u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
-                u = fft.ifftn(u_hat, grid.shape)
+                u = _ifftn(u_hat, grid.shape)
             eta = staggered.eps_staggered(grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau
@@ -81,19 +87,19 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
     elif mode in ("heat", "porous"):
         if scheme == "collocated":
-            tau_hat = fft.fftn(tau)
+            tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
             eta_hat = green.gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
             if bc_active:
                 R = bcmod.bc_correction(bc, F0, F00)
                 eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
-            return fft.ifftn(eta_hat, grid.shape)
+            return _ifftn(eta_hat, grid.shape)
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             f = staggered.div_staggered_heat(grid, tau)
-            f_hat = fft.fftn(f)
+            f_hat = _fftn(f)
             u_hat = green.g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
-            u = fft.ifftn(u_hat, grid.shape)
+            u = _ifftn(u_hat, grid.shape)
             eta = staggered.eps_staggered_heat(grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau
@@ -104,19 +110,19 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
     elif mode == "hyperelasticity":
         if scheme == "collocated":
-            tau_hat = fft.fftn(tau)
+            tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
             eta_hat = green.gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
             if bc_active:
                 R = bcmod.bc_correction(bc, F0, F00)
                 eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
-            return fft.ifftn(eta_hat, grid.shape)
+            return _ifftn(eta_hat, grid.shape)
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             f = staggered.div_staggered_hyper(grid, tau)
-            f_hat = fft.fftn(f)
+            f_hat = _fftn(f)
             u_hat = green.g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
-            u = fft.ifftn(u_hat, grid.shape)
+            u = _ifftn(u_hat, grid.shape)
             eta = staggered.eps_staggered_hyper(grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau
@@ -128,7 +134,8 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
     raise ValueError(f"Unknown gamma scheme '{scheme}' for mode '{mode}'")
 
 
-def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau, alpha=-1.0, F00=None):
+def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau,
+                   alpha=-1.0, F00=None, par=None):
     """Viscosity dual (fluidity) operator:
         eta = 2*alpha*mu0v*(tau - mu0v * Gamma^0 : tau),  mean(eta) = E
     where mu0v = 1/(4*mu_0) converts fluidity to viscosity and Gamma^0 uses
@@ -137,7 +144,9 @@ def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau, alpha=-1
 
     if scheme == "collocated":
         # applyDeltaFourier path (fibergen.cpp:19075-19080, 20464-20471)
-        tau_hat = fft.fftn_zero_trace(tau)
+        _fftn_zt = par.fftn_zero_trace if par is not None else fft.fftn_zero_trace
+        _ifftn_zt = par.ifftn_zero_trace if par is not None else fft.ifftn_zero_trace
+        tau_hat = _fftn_zt(tau)
         bc_active = bc is not None
         F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
         eta_hat = green.gamma_collocated(
@@ -145,14 +154,15 @@ def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau, alpha=-1
         if bc_active:
             R = bcmod.bc_correction(bc, F0, F00)
             eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
-        return fft.ifftn_zero_trace(eta_hat, grid.shape)
+        return _ifftn_zt(eta_hat, grid.shape)
 
     if scheme in _STAGGERED or scheme == "willot":
         # mean constant such that <eta> = E (fibergen.cpp:20446-20453)
         adj = jnp.asarray(E, tau.dtype) - 2.0 * alpha * mu0v * fields.mean(tau)
         sub = "willot" if scheme == "willot" else "staggered"
         eta = gamma_operator(grid, "elasticity", sub, bc, adj,
-                             -1.0 / (4.0 * mu0v), float("inf"), tau, alpha, 0.0, F00)
+                             -1.0 / (4.0 * mu0v), float("inf"), tau, alpha,
+                             0.0, F00, par=par)
         return eta + 2.0 * alpha * mu0v * tau
 
     raise ValueError(f"Unknown delta scheme '{scheme}'")

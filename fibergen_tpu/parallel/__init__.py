@@ -4,14 +4,13 @@ The reference is a single-node OpenMP program (no MPI/NCCL anywhere,
 CMakeLists.txt:86-117); memory bounds it to one machine (joss/paper.md:80).
 This module is the TPU-native replacement for that whole layer: fields are
 laid out as ``(ncomp, nx, ny, nz)`` and sharded as **x-slabs** over a 1-D
-``jax.sharding.Mesh``.  Everything inside the solver is expressed with
-`jax.lax.with_sharding_constraint`, so XLA's GSPMD partitioner inserts the
-collectives:
+``jax.sharding.Mesh``.
 
-- elementwise ops (stress, Green scaling) stay local to each slab,
-- the 3-D FFTs become per-slab 2-D FFTs + an all-to-all transpose over ICI
-  (exactly the classic slab-decomposed FFT, but synthesized by the
-  compiler instead of hand-written MPI),
+- the 3-D FFTs run through the hand-written slab decomposition in
+  :mod:`.fft` (local 2-D FFTs + one ``lax.all_to_all`` transpose over ICI
+  per transform — GSPMD alone would all-gather the full field instead),
+- elementwise ops (stress, Green scaling) stay local to each slab and the
+  staggered stencil halo exchanges lower to `ppermute`,
 - reductions (inner products, means) lower to `psum` over the mesh.
 
 Helpers here centralize mesh/spec construction so solvers, tests and the
@@ -24,6 +23,8 @@ from typing import Optional, Sequence
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .fft import SlabFFT, slab_fft_for
 
 X_AXIS = "x"
 

@@ -210,10 +210,18 @@ class LSSolver:
             """tau = (C - C0) : eps (calcStressDiff, fibergen.cpp:18030)."""
             return mat.stress_diff(eps, mu0, lam0)
 
+        # hand-written slab-decomposed distributed FFT when the field
+        # sharding qualifies (parallel/fft.py); None falls back to the
+        # single-program jnp.fft path
+        from .. import parallel as parmod
+        self.par = (parmod.slab_fft_for(self.sharding, grid)
+                    if self.sharding is not None else None)
+
         def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0):
             return gammamod.gamma_operator(
                 grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta,
-                g0_solver=self.opt.g0_solver, freq_hack=self.opt.freq_hack)
+                g0_solver=self.opt.g0_solver, freq_hack=self.opt.freq_hack,
+                par=self.par)
 
         def shard(x):
             if self.sharding is not None:
@@ -495,7 +503,9 @@ class LSSolver:
                 history.append((params[istep - 1], self.eps))
                 history = history[-(order + 1):]
                 if len(history) >= 2:
-                    self.eps = _extrapolate(history, t)
+                    self.eps = _extrapolate(
+                        history, t, self.opt.loadstep_extrapolation_method,
+                        self.dim)
 
             try:
                 self.run_solver(E, S)
@@ -861,9 +871,20 @@ class LSSolver:
         LOG.info(f"mean {names[1]} = {self.calc_mean_stress()}")
 
 
-def _extrapolate(history, t):
+def _extrapolate(history, t, method="polynomial", dim=6):
+    """Loadstep solution extrapolation dispatch (extrapolateLoadstep,
+    fibergen.cpp:21454-21466); unknown method names raise, matching the
+    reference's BOOST_THROW."""
+    if method == "polynomial":
+        return _extrapolate_polynomial(history, t)
+    if method == "transformation":
+        return _extrapolate_transformation(history, dim)
+    raise SolverError(f"Unknown loadstep extrapolation method '{method}'")
+
+
+def _extrapolate_polynomial(history, t):
     """Polynomial extrapolation of the solution to loadstep parameter t
-    (extrapolateLoadstep, fibergen.cpp:21454-21582, polynomial branch)."""
+    (extrapolateLoadstepPolynomial, fibergen.cpp:21468-21517)."""
     ts = np.array([h[0] for h in history])
     # Lagrange weights at t
     wts = []
@@ -877,3 +898,32 @@ def _extrapolate(history, t):
     for w, (_, e) in zip(wts, history):
         out = w * e if out is None else out + w * e
     return out
+
+
+def _extrapolate_transformation(history, dim):
+    """SVD-transformation extrapolation (extrapolateLoadstepTransformation,
+    fibergen.cpp:21519-21582): per voxel, the transfer tensor between the
+    last two converged fields TR = F2 F1^{-1} is powered through its SVD
+    with the reference's fixed exponent tt = log(3)/log(2) - 1, and the
+    prediction is F = TR^tt F2.  Meant for hyperelasticity, where the field
+    is the deformation gradient (F ~ Id, so F1 is invertible); fields with
+    dim < 9 are expanded to full 3x3 tensors by mirroring components
+    [i] = [i-3] exactly like the reference."""
+    from ..materials import laws as lawsmod
+    (_, e1), (_, e2) = history[-2], history[-1]
+
+    def to9(e):
+        comps = [e[i] if i < dim else None for i in range(9)]
+        for i in range(9):
+            if comps[i] is None:
+                comps[i] = comps[i - 3]
+        return jnp.stack(comps, axis=0)
+
+    F1 = lawsmod.mat_from_voigt9(to9(e1))
+    F2 = lawsmod.mat_from_voigt9(to9(e2))
+    TR = F2 @ jnp.linalg.inv(F1)
+    tt = math.log(3.0) / math.log(2.0) - 1.0
+    U, s, Vh = jnp.linalg.svd(TR)
+    TRtt = (U * (s ** tt)[..., None, :]) @ Vh
+    Fi = TRtt @ F2
+    return lawsmod.voigt9_from_mat(Fi)[:dim]

@@ -34,7 +34,8 @@ def _kernels(solver):
 
     def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0):
         return gammamod.gamma_operator(
-            grid, mode, scheme, bca, E, mu0, lam0, tau, alpha)
+            grid, mode, scheme, bca, E, mu0, lam0, tau, alpha,
+            par=getattr(solver, "par", None))
 
     def stress_deriv(F, Q, mu0, lam0):
         """(dP/dF(F) - C0) : Q (calcStressDeriv, fibergen.cpp:18425-18480)."""
