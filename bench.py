@@ -4,11 +4,12 @@ linear-elasticity RVE (staggered grid — the reference's default path).
 Prints ONE JSON line:
   {"metric": ..., "value": iters/sec, "unit": "iter/s", "vs_baseline": ...}
 
-vs_baseline compares against the reference's measured-capability proxy: the
-fibergen C++/FFTW/OpenMP build has no published numbers (BASELINE.md), so the
-baseline constant below is a per-iteration estimate for a 64-core OpenMP node
-at 256^3 derived from the operation count (3 fwd + 3 inv FFTs of 256^3 plus
-~20 field sweeps per CG iteration at ~5 GB effective traffic, ~1.5 s/iter).
+vs_baseline compares against a MEASURED reference proxy (BASELINE.md): the
+fibergen C++ build needs Boost/FFTW which are not installed here, so
+bench_baseline_cpu.py executes the identical staggered-CG op sequence in
+threaded torch f64 on the host CPU.  Measured 2026-08-16: 26.05 s/iter at
+256^3 on one core; the 64-core node estimate assumes perfect linear scaling
+(favorable to the reference): 26.05/64 = 0.407 s/iter.
 """
 import json
 import sys
@@ -16,9 +17,9 @@ import time
 
 import numpy as np
 
-# estimated reference wall time per CG iteration at 256^3 on a 64-core
-# OpenMP node (see module docstring)
-BASELINE_ITERS_PER_SEC = 1.0 / 1.5
+# measured reference proxy: 256^3 staggered CG, 26.05 s/iter on 1 core
+# (python bench_baseline_cpu.py 256 2), perfect-scaling 64-core estimate
+BASELINE_ITERS_PER_SEC = 1.0 / 0.407
 
 
 def main():

@@ -397,3 +397,22 @@ def g0_div_hyper(grid: Grid, mu_0, lambda_0, tau_hat, alpha=1.0):
         c1 * f3 + c2 * xi2 * s,
     ])
     return _set_dc(eta, jnp.zeros((), eta.dtype))
+
+
+def poisson_solve(grid: Grid, f):
+    """Solve Laplace(p) = f with zero mean on the periodic grid
+    (LSSolver::poisson_solve, fibergen.cpp:23454-23500): divide the rhs hat
+    by the 7-point Laplacian symbol sum_a 2 (cos(xi_a) - 1) / d_a^2 * n_a^2
+    and zero the DC bin.  ``f`` is (1, nx, ny, nz) real; returns same."""
+    from . import fft as fftmod
+    f_hat = fftmod.fftn(f)
+    rdtype = jnp.real(f_hat).dtype
+    fx, fy, fz = grid.freq_index
+    cx = 2.0 * (np.cos(2.0 * np.pi * fx / grid.nx) - 1.0) * (grid.nx / grid.dx) ** 2
+    cy = 2.0 * (np.cos(2.0 * np.pi * fy / grid.ny) - 1.0) * (grid.ny / grid.dy) ** 2
+    cz = 2.0 * (np.cos(2.0 * np.pi * fz / grid.nz) - 1.0) * (grid.nz / grid.dz) ** 2
+    denom = jnp.asarray(cx + cy + cz, rdtype)
+    denom = denom.at[0, 0, 0].set(1.0)
+    p_hat = f_hat / denom
+    p_hat = _set_dc(p_hat, jnp.zeros((), p_hat.dtype))
+    return fftmod.ifftn(p_hat, grid.shape)

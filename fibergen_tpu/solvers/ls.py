@@ -474,6 +474,41 @@ class LSSolver:
         self.solve_time = _time.perf_counter() - t0
         return ret
 
+    def get_fft_time(self) -> float:
+        """Estimated FFT wall time of the last solve (the reference tracks
+        FFTW seconds directly, fibergen.cpp:15392-15393).  XLA fuses the
+        transforms into the single iteration program, so the split is
+        reconstructed as (measured wall time of one forward+inverse FFT
+        pair on this grid/dtype) x (iterations run); the sample is measured
+        once and cached."""
+        iters = len(self.residuals)
+        if iters == 0 or self.eps is None:
+            return 0.0
+        # staggered schemes transform 3-component force fields; the
+        # collocated/Willot paths transform the full tensor
+        ncomp = 3 if self.scheme in ("staggered", "half_staggered",
+                                     "full_staggered") else self.dim
+        key = (ncomp, self.grid.shape, str(self.dtype))
+        if getattr(self, "_fft_pair_sample", None) != key:
+            import time as _time
+            import jax as _jax
+            from ..ops import fft as fftmod
+
+            @_jax.jit
+            def pair(x):
+                return fftmod.ifftn(fftmod.fftn(x), self.grid.shape)
+
+            x = fields.const_field(self.grid, np.ones(ncomp), self.dtype)
+            _jax.block_until_ready(pair(x))  # compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                _jax.block_until_ready(pair(x))
+                best = min(best, _time.perf_counter() - t0)
+            self._fft_pair_sample = key
+            self._fft_pair_time = best
+        return self._fft_pair_time * iters
+
     def _loadstep_params(self):
         n = max(1, int(self.opt.loadsteps))
         params = [i / n for i in range(n + 1)]

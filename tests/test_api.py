@@ -378,3 +378,159 @@ def test_write_loadsteps(tmp_path, monkeypatch):
     assert files == ["step_00.vtk", "step_01.vtk", "step_02.vtk",
                      "step_03.vtk"]
     assert (tmp_path / "step_03.vtk").stat().st_size > 1000
+
+
+def test_write_lss_vtk_solution_fields(tmp_path):
+    """write_lss_vtk dumps SOLVER fields with the reference's naming
+    (writeVTK, fibergen.cpp:23319-23453), not geometry fields — the round-1
+    mis-aliasing bug."""
+    apath = str(tmp_path / "a.vtk")
+    f2 = fg.FG()
+    f2.set_xml(f"""
+<settings>
+  <solver n="8" mode="elasticity">
+    <tol>1e-6</tol>
+    <materials>
+      <matrix mu="1" lambda="1" />
+      <inc mu="5" lambda="2" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="inc" />
+    <place_fiber R="0.3" />
+    <run_load_case e11="1" />
+    <write_lss_vtk filename="{apath}" />
+  </actions>
+</settings>""")
+    assert f2.run() == 0
+    path = str(tmp_path / "sol.vtk")
+    f2.write_vtk_solution(path)
+    data = open(path, "rb").read()
+    for name in (b"SCALARS epsilon_11", b"SCALARS epsilon_12",
+                 b"SCALARS sigma_11", b"VECTORS u", b"SCALARS phi_inc"):
+        assert name in data, f"missing {name!r} in solution VTK"
+    # elasticity writes 6 components, not the dim-9 set
+    assert b"SCALARS epsilon_21" not in data
+    assert b"SCALARS F_11" not in data
+    # geometry-only fields must NOT be there
+    assert b"distance" not in data
+
+    # the write_lss_vtk ACTION routed to the same writer during run()
+    data2 = open(apath, "rb").read()
+    assert b"SCALARS epsilon_11" in data2
+    assert b"distance" not in data2
+
+
+def test_write_lss_vtk_heat_potential(tmp_path):
+    """Heat mode writes the scalar temperature field 'T'
+    (fibergen.cpp:23440-23452)."""
+    f = fg.FG()
+    f.set_xml("""
+<settings>
+  <solver n="8" mode="heat">
+    <tol>1e-6</tol>
+    <materials>
+      <matrix mu="1" />
+      <inc mu="10" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="inc" />
+    <place_fiber R="0.3" />
+    <run_load_case e1="1" />
+  </actions>
+</settings>""")
+    assert f.run() == 0
+    path = str(tmp_path / "heat.vtk")
+    f.write_vtk_solution(path)
+    data = open(path, "rb").read()
+    for name in (b"SCALARS epsilon_11", b"SCALARS sigma_11", b"SCALARS T"):
+        assert name in data
+
+
+def test_late_convergence_callback_keeps_cancel():
+    """Registering a convergence callback AFTER init_lss must preserve the
+    cancel-flag wrapper (round-1 VERDICT weak #7): a late callback that
+    calls fg.cancel() and returns False must still abort the solve."""
+    f = fg.FG()
+    f.set_xml("""
+<settings>
+  <solver n="16" mode="elasticity">
+    <tol>1e-12</tol>
+    <materials>
+      <matrix mu="1" lambda="1" />
+      <inc mu="5" lambda="2" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="inc" />
+    <place_fiber R="0.3" />
+    <run_load_case e11="1" />
+  </actions>
+</settings>""")
+    assert f.run() == 0              # builds the solver (init_lss ran)
+    calls = [0]
+
+    def cb():
+        calls[0] += 1
+        if calls[0] == 2:
+            f.cancel()
+        return False                  # the callback itself never breaks
+
+    f.set_convergence_callback(cb)   # LATE registration: solver exists
+    assert f.run() == 1, "late-registered callback must not disable cancel"
+    assert calls[0] <= 4
+
+
+def test_get_fft_time_estimate():
+    """get_fft_time returns a positive estimate after a solve (the round-1
+    implementation returned 0 unconditionally)."""
+    f = fg.FG()
+    f.set_xml("""
+<settings>
+  <solver n="8" mode="heat">
+    <tol>1e-8</tol>
+    <materials>
+      <matrix mu="1" />
+      <inc mu="10" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="inc" />
+    <place_fiber R="0.3" />
+    <run_load_case e1="1" />
+  </actions>
+</settings>""")
+    assert f.run() == 0
+    t = f.get_fft_time()
+    assert t > 0.0
+    assert t < f.get_solve_time() * 10  # sane order of magnitude
+
+
+def test_write_lss_vtk_viscosity_fields(tmp_path):
+    """Viscosity dual-scheme VTK: epsilon names carry fluidity*field, sigma
+    names carry the stored field, plus velocity u and pressure p
+    (fibergen.cpp:23405-23439)."""
+    f = fg.FG()
+    f.set_xml("""
+<settings>
+  <solver n="8" mode="viscosity">
+    <tol>1e-6</tol>
+    <materials>
+      <matrix mu="1" />
+      <inc mu="100" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="inc" />
+    <place_fiber R="0.3" />
+    <run_load_case e11="-1" e22="1" />
+  </actions>
+</settings>""")
+    assert f.run() == 0
+    path = str(tmp_path / "visc.vtk")
+    f.write_vtk_solution(path)
+    data = open(path, "rb").read()
+    for name in (b"SCALARS epsilon_11", b"SCALARS sigma_11",
+                 b"VECTORS u", b"SCALARS p "):
+        assert name in data, f"missing {name!r}"

@@ -244,3 +244,25 @@ def test_freq_hack_solver_end_to_end():
         res[fh] = np.asarray(s.calc_mean_stress())
     assert np.all(np.isfinite(res[True]))
     np.testing.assert_allclose(res[True], res[False], rtol=2e-3)
+
+
+def test_poisson_solve_identity():
+    """poisson_solve (fibergen.cpp:23454-23500): the discrete 7-point
+    Laplacian of the solution reproduces the zero-mean rhs exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.ops import green
+
+    g = Grid(8, 6, 5, dx=2.0, dy=1.0, dz=0.5)
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal((1, 8, 6, 5))
+    f -= f.mean()
+    p = np.asarray(green.poisson_solve(g, jnp.asarray(f)))
+
+    lap = np.zeros_like(p[0])
+    for ax, n, d in ((0, g.nx, g.dx), (1, g.ny, g.dy), (2, g.nz, g.dz)):
+        h2 = (d / n) ** 2
+        lap += (np.roll(p[0], -1, ax) - 2 * p[0] + np.roll(p[0], 1, ax)) / h2
+    np.testing.assert_allclose(lap, f[0], atol=1e-12)
+    assert abs(p.mean()) < 1e-14
