@@ -55,12 +55,13 @@ def main():
 
     E = jnp.asarray(np.array([1.0, 0, 0, 0, 0, 0]), solver.dtype)
     mf = solver.mat.fields()
-    eps, r, p, gamma, _ = solver._k_cg_init(mf, E, None, mu0=mu0, lam0=lam0)
+    eps, r, p, gamma, gamma_prev, _ = solver._k_cg_init(
+        mf, E, None, mu0=mu0, lam0=lam0)
 
     # warmup (compile); K iterations fused per device chunk (check_every)
     K = solver.opt.check_every
-    eps, r, p, gamma, gammas, mets = solver._k_cg_multi(
-        mf, eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
+    eps, r, p, gamma, gamma_prev, gammas, mets = solver._k_cg_multi(
+        mf, eps, r, p, gamma, gamma_prev, None, mu0=mu0, lam0=lam0)
     jax.block_until_ready(eps)
 
     # pipelined like the real loop (_run_cg): the gamma carry stays a
@@ -70,8 +71,8 @@ def main():
     pending = None
     t0 = time.perf_counter()
     for _ in range(chunks):
-        eps, r, p, gamma, gammas, mets = solver._k_cg_multi(
-            mf, eps, r, p, gamma, None, mu0=mu0, lam0=lam0)
+        eps, r, p, gamma, gamma_prev, gammas, mets = solver._k_cg_multi(
+            mf, eps, r, p, gamma, gamma_prev, None, mu0=mu0, lam0=lam0)
         if pending is not None:
             np.asarray(pending[0]); np.asarray(pending[1])
         pending = (gammas, mets)

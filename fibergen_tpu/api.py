@@ -209,6 +209,8 @@ class FG:
             print_detF=sol.value("print_detF", False, bool),
             g0_solver=sol.value("G0_solver", "fft", str),
             freq_hack=sol.value("freq_hack", False, bool),
+            check_every=sol.value("check_every", 1, int),
+            use_pallas=sol.value("use_pallas", "auto", str),
             dtype=self._dtype_str(),
         )
         ls = sol.value("loadsteps", 1, int)

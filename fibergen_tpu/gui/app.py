@@ -51,16 +51,82 @@ def run_project_and_view(path: str, show: bool = True):
     return fg, viewer
 
 
+def make_xml_highlighter(document):
+    """XML syntax highlighter for the editor (the reference's
+    XMLHighlighter, fibergen_gui.py:1617-1772): tags, attribute names,
+    quoted values, and comments get distinct colors."""
+    from PyQt5 import QtCore, QtGui
+
+    rules = []
+
+    def fmt(color, bold=False, italic=False):
+        f = QtGui.QTextCharFormat()
+        f.setForeground(QtGui.QColor(color))
+        if bold:
+            f.setFontWeight(QtGui.QFont.Bold)
+        if italic:
+            f.setFontItalic(True)
+        return f
+
+    rules.append((QtCore.QRegExp(r"<[/!?]?\b[A-Za-z_][\w.-]*"),
+                  fmt("#000080", bold=True)))
+    rules.append((QtCore.QRegExp(r"/?>"), fmt("#000080", bold=True)))
+    rules.append((QtCore.QRegExp(r"\b[A-Za-z_][\w.-]*(?==)"),
+                  fmt("#806000")))
+    rules.append((QtCore.QRegExp(r'"[^"]*"'), fmt("#008000")))
+    comment_fmt = fmt("#808080", italic=True)
+
+    class XMLHighlighter(QtGui.QSyntaxHighlighter):
+        def highlightBlock(self, text):
+            for rx, f in rules:
+                i = rx.indexIn(text, 0)
+                while i >= 0:
+                    n = rx.matchedLength()
+                    self.setFormat(i, n, f)
+                    i = rx.indexIn(text, i + n)
+            # multi-line comments via block state
+            start_rx = QtCore.QRegExp(r"<!--")
+            end_rx = QtCore.QRegExp(r"-->")
+            self.setCurrentBlockState(0)
+            start = 0 if self.previousBlockState() == 1 else start_rx.indexIn(text)
+            while start >= 0:
+                end = end_rx.indexIn(text, start)
+                if end == -1:
+                    self.setCurrentBlockState(1)
+                    length = len(text) - start
+                else:
+                    length = end - start + 3
+                self.setFormat(start, length, comment_fmt)
+                start = start_rx.indexIn(text, start + length)
+
+    return XMLHighlighter(document)
+
+
 def _qt_app(argv):
+    import os
+
     from PyQt5 import QtWidgets  # noqa: F401 - optional dependency
+
+    from . import help as helpmod
 
     class MainWindow(QtWidgets.QMainWindow):
         def __init__(self):
             super().__init__()
             self.setWindowTitle("fibergen_tpu")
             self.editor = QtWidgets.QPlainTextEdit()
+            self._highlighter = make_xml_highlighter(self.editor.document())
+            self.editor.cursorPositionChanged.connect(self.update_help)
             self.output = QtWidgets.QPlainTextEdit()
             self.output.setReadOnly(True)
+            # context-help pane driven by doc/fileformat.xml
+            # (the reference's HelpWidget, fibergen_gui.py:1945-2318)
+            self.help_pane = QtWidgets.QPlainTextEdit()
+            self.help_pane.setReadOnly(True)
+            # demo browser (fibergen_gui.py:2381-2682)
+            self.demos = QtWidgets.QTreeWidget()
+            self.demos.setHeaderLabels(["Demos"])
+            self.demos.itemDoubleClicked.connect(self.open_demo)
+            self._fill_demos()
             run_btn = QtWidgets.QPushButton("Run")
             run_btn.clicked.connect(self.run_project)
             open_btn = QtWidgets.QPushButton("Open...")
@@ -72,14 +138,49 @@ def _qt_app(argv):
                 bar.addWidget(b)
             lay = QtWidgets.QVBoxLayout()
             lay.addLayout(bar)
+            right = QtWidgets.QSplitter()
+            right.setOrientation(0x2)  # vertical
+            right.addWidget(self.help_pane)
+            right.addWidget(self.output)
             split = QtWidgets.QSplitter()
+            split.addWidget(self.demos)
             split.addWidget(self.editor)
-            split.addWidget(self.output)
+            split.addWidget(right)
+            split.setSizes([150, 500, 300])
             lay.addWidget(split)
             w = QtWidgets.QWidget()
             w.setLayout(lay)
             self.setCentralWidget(w)
             self.fg = None
+
+        def _fill_demos(self):
+            from PyQt5 import QtWidgets as QW
+            demo_dir = os.path.join(os.path.dirname(__file__), "..", "..",
+                                    "demo")
+            if not os.path.isdir(demo_dir):
+                return
+            for cat in list_demos(demo_dir):
+                top = QW.QTreeWidgetItem([cat["title"]])
+                self.demos.addTopLevelItem(top)
+                for p in cat["projects"]:
+                    item = QW.QTreeWidgetItem([p["title"]])
+                    item.setData(0, 0x0100, p["path"])  # UserRole
+                    top.addChild(item)
+            self.demos.expandAll()
+
+        def open_demo(self, item, _col):
+            path = item.data(0, 0x0100)
+            if path:
+                with open(path) as f:
+                    self.editor.setPlainText(f.read())
+
+        def update_help(self):
+            text = self.editor.toPlainText()
+            pos = self.editor.textCursor().position()
+            try:
+                self.help_pane.setPlainText(helpmod.help_at(text, pos))
+            except Exception as e:  # noqa: BLE001 - help must never crash
+                self.help_pane.setPlainText(f"(help unavailable: {e})")
 
         def open_project(self):
             path, _ = QtWidgets.QFileDialog.getOpenFileName(

@@ -66,6 +66,13 @@ class LaminateMixed(MixedMaterial):
             raise ValueError("laminate mixing requires exactly 2 phases")
         self.normals = normals
 
+    def _jump_coeffs(self):
+        """(alpha1, alpha2): the phase strains are F1 = F - alpha1 * jump,
+        F2 = F + alpha2 * jump.  The rank-1 laminate uses (c2, c1), which
+        preserves the volume average c1 F1 + c2 F2 = F."""
+        c1, c2 = self._fractions()
+        return c2, c1
+
     # ----------------------------------------------------------- internals
     def _fractions(self):
         c1 = self.phases[0].phi
@@ -93,37 +100,44 @@ class LaminateMixed(MixedMaterial):
         dim = self._dim
         w = jnp.asarray(voigt.weights(dim), F.dtype).reshape(-1, 1, 1, 1)
 
+        a1, a2 = self._jump_coeffs()
+
         if dim == 3:
-            # scalar jump along n (closed form)
+            # scalar jump along n: minimize c1 k1 |F1|^2 + c2 k2 |F2|^2 over
+            # s with F1 = F - a1 s n, F2 = F + a2 s n (closed form)
             k1 = law1.mu
             k2 = law2.mu
             ng = (n * F).sum(0)
-            s = -(k2 - k1) * ng / (c1 * k2 + c2 * k1)
+            s = (c1 * a1 * k1 - c2 * a2 * k2) * ng / (
+                c1 * a1 * a1 * k1 + c2 * a2 * a2 * k2)
             s = jnp.where(mask, s, 0.0)
-            F1 = F - (c2 * s)[None] * n
-            F2 = F + (c1 * s)[None] * n
+            F1 = F - (a1 * s)[None] * n
+            F2 = F + (a2 * s)[None] * n
             return F1, F2, mask
 
         B = _sym_dyad_basis(n, dim)
         eye = jnp.eye(3, dtype=F.dtype)
 
         def newton_step(a):
-            """One Newton step of the traction-equilibrium energy min
-            (the reference's per-voxel Newton, fibergen.cpp:13104-13470,
-            vectorized over all voxels at once):
-                g_k = (P2(F2) - P1(F1)) : B_k
-                K_kl = c2 B_k : C1(F1) : B_l + c1 B_k : C2(F2) : B_l
-            (common c1*c2 factor cancelled)."""
+            """One Newton step of the energy minimization over the jump a
+            (the reference's per-voxel Newton, fibergen.cpp:13104-13470 and
+            13753-14040, vectorized over all voxels at once).  With
+            F1 = F - a1 jump, F2 = F + a2 jump and W = c1 W1 + c2 W2:
+                g_k  = (c2 a2 P2(F2) - c1 a1 P1(F1)) : B_k
+                K_kl = B_k : (c1 a1^2 C1(F1) + c2 a2^2 C2(F2)) : B_l
+            (for the rank-1 coefficients (a1,a2)=(c2,c1) this reduces to the
+            reference's cancelled form g ~ (P2-P1):B)."""
             jump = sum(a[..., k][None] * B[k] for k in range(3))
-            F1 = F - c2[None] * jump
-            F2 = F + c1[None] * jump
-            dP = law2.pk1(F2) - law1.pk1(F1)
+            F1 = F - a1[None] * jump
+            F2 = F + a2[None] * jump
+            dP = (c2 * a2)[None] * law2.pk1(F2) - (c1 * a1)[None] * law1.pk1(F1)
             g = jnp.stack([(dP * w * Bk).sum(0) for Bk in B], axis=-1)
             C1B = [law1.dpk1(F1, Bk) for Bk in B]
             C2B = [law2.dpk1(F2, Bk) for Bk in B]
             K = jnp.stack([
                 jnp.stack([
-                    (B[k] * w * (c2[None] * C1B[l] + c1[None] * C2B[l])).sum(0)
+                    (B[k] * w * ((c1 * a1 * a1)[None] * C1B[l]
+                                 + (c2 * a2 * a2)[None] * C2B[l])).sum(0)
                     for l in range(3)], axis=-1)
                 for k in range(3)], axis=-2)
             # regularize non-interface voxels (K would be ~0 there)
@@ -145,8 +159,8 @@ class LaminateMixed(MixedMaterial):
             a = jax.lax.fori_loop(0, 7, lambda i, a: newton_step(a), a)
 
         jump = sum(a[..., k][None] * B[k] for k in range(3))
-        F1 = F - c2[None] * jump
-        F2 = F + c1[None] * jump
+        F1 = F - a1[None] * jump
+        F2 = F + a2[None] * jump
         return F1, F2, mask
 
     # ------------------------------------------------------------- API
@@ -165,3 +179,122 @@ class LaminateMixed(MixedMaterial):
     def dpk1(self, F, W):
         # exact consistent tangent through the per-voxel solve
         return jax.jvp(self.pk1, (F,), (W,))[1]
+
+
+class InfinityLaminateMixed(LaminateMixed):
+    """Infinity-laminate mixing (InfinityLaminateMixedMaterialLaw,
+    fibergen.cpp:13737-14067): identical energy minimization over the jump
+    vector, but with fixed half-weights q1 = q2 = 1/2 on the jump
+    distribution (F1 = F + q2 a x n, F2 = F - q1 a x n in the reference's
+    sign convention) instead of the volume-average-preserving (c2, c1).
+    Like the reference, exactly two phases are supported
+    (fibergen.cpp:12186-12209, get_mix throws otherwise)."""
+
+    rule = "infinity_laminate"
+
+    def _jump_coeffs(self):
+        c1, _ = self._fractions()
+        half = jnp.full_like(c1, 0.5)
+        return half, half
+
+
+def _rot_to_e1(n):
+    """Vectorized rotation matrices R with R n = e1 (Tensor3x3::rot,
+    fibergen.cpp:9232-9266, Rodrigues form).  n: (3, nx, ny, nz) unit
+    vectors -> (nx, ny, nz, 3, 3)."""
+    nx_, ny_, nz_ = n[0], n[1], n[2]
+    c = nx_  # n . e1
+    # v = n x e1 = (0, nz, -ny)
+    v0 = jnp.zeros_like(nx_)
+    v1 = nz_
+    v2 = -ny_
+    eye = jnp.eye(3, dtype=n.dtype)
+    V = jnp.stack([
+        jnp.stack([v0, -v2, v1], -1),
+        jnp.stack([v2, v0, -v0], -1),
+        jnp.stack([-v1, v0, v0], -1),
+    ], -2)
+    denom = jnp.where(1.0 + c > 1e-8, 1.0 + c, 1.0)
+    R = eye + V + (V @ V) / denom[..., None, None]
+    # n ~ -e1: rotation by pi about e2 maps -e1 -> e1
+    R_pi = jnp.asarray(np.diag([-1.0, 1.0, -1.0]), n.dtype)
+    return jnp.where((1.0 + c <= 1e-8)[..., None, None], R_pi, R)
+
+
+class FluidityMixed(MixedMaterial):
+    """Fluidity (viscosity dual) interface mixing
+    (FluidityMixedMaterialLaw, fibergen.cpp:14068-14213): the stored field
+    holds stresses; in the frame rotated so the interface normal n maps to
+    e_x, the diagonal and the in-plane (yz) shear components mix with the
+    harmonic (Reuss) fluidity f_R = 1/(c1/f1 + c2/f2) while the
+    normal-involving shears (xz, xy) mix with the arithmetic (Voigt)
+    fluidity f_V = c1 f1 + c2 f2:
+
+        gamma = R^T Fx(R sigma R^T) R
+
+    Exactly two scalar-isotropic phases are supported, like the reference
+    (fibergen.cpp:14089-14125)."""
+
+    rule = "fluidity"
+
+    def __init__(self, phases: List[Phase], dim: int = 6, normals=None):
+        super().__init__(phases, dim=dim)
+        if len(phases) != 2:
+            raise ValueError("fluidity mixing requires exactly 2 phases")
+        if dim != 6:
+            raise ValueError("fluidity mixing requires dim 6 (viscosity)")
+        for p in phases:
+            if not hasattr(p.law, "mu"):
+                raise ValueError("fluidity mixing requires scalar-isotropic "
+                                 "laws (fibergen.cpp:14120-14125)")
+        self.normals = normals
+
+    def pk1(self, F):
+        if self.normals is None:
+            raise ValueError("fluidity mixing requires a normals field")
+        law1, law2 = self.phases[0].law, self.phases[1].law
+        f1, f2 = law1.mu, law2.mu
+        c1 = self.phases[0].phi
+        c2 = self.phases[1].phi
+        mask = (c1 > _THR) & (c1 < 1.0 - _THR)
+
+        n = self.normals
+        nn2 = (n * n).sum(0, keepdims=True)
+        ex = jnp.zeros_like(n).at[0].set(1.0)
+        n = jnp.where(nn2 > 1e-12, n / jnp.sqrt(jnp.maximum(nn2, 1e-30)), ex)
+
+        f_R = 1.0 / (c1 / f1 + c2 / f2)
+        f_V = c1 * f1 + c2 * f2
+
+        # sigma as (..., 3, 3) from the Voigt-6 stored field
+        s0, s1, s2, s3, s4, s5 = F[0], F[1], F[2], F[3], F[4], F[5]
+        sig = jnp.stack([
+            jnp.stack([s0, s5, s4], -1),
+            jnp.stack([s5, s1, s3], -1),
+            jnp.stack([s4, s3, s2], -1),
+        ], -2)
+
+        R = _rot_to_e1(n)
+        sp = R @ sig @ jnp.swapaxes(R, -1, -2)
+        # apply Fx in the rotated frame (fibergen.cpp:14148-14158)
+        scale = jnp.stack([
+            jnp.stack([f_R, f_V, f_V], -1),
+            jnp.stack([f_V, f_R, f_R], -1),
+            jnp.stack([f_V, f_R, f_R], -1),
+        ], -2)
+        spp = sp * scale
+        gam = jnp.swapaxes(R, -1, -2) @ spp @ R
+
+        mixed = jnp.stack([
+            gam[..., 0, 0], gam[..., 1, 1], gam[..., 2, 2],
+            gam[..., 1, 2], gam[..., 0, 2], gam[..., 0, 1],
+        ])
+        pure = c1[None] * law1.pk1(F) + c2[None] * law2.pk1(F)
+        return jnp.where(mask[None], mixed, pure)
+
+    def w(self, F):
+        wts = jnp.asarray(voigt.weights(6), F.dtype).reshape(-1, 1, 1, 1)
+        return 0.5 * (self.pk1(F) * wts * F).sum(0)
+
+    def dpk1(self, F, W):
+        return self.pk1(W)  # linear map

@@ -384,14 +384,15 @@ MIXING_RULES = {
 def make_mixed(rule: str, phases: List[Phase], dim: int = 6) -> MixedMaterial:
     """Mixing-rule factory (create_mixing_rule equivalent,
     fibergen.cpp:14975-15030)."""
-    if rule in ("laminate", "fluidity", "infinity_laminate",
-                "infinity-laminate"):
+    if rule == "laminate":
         from .laminate import LaminateMixed
-        if rule.startswith("infinity"):
-            from ..utils.logging import LOG
-            LOG.warn("infinity-laminate mixing approximated by the rank-1 "
-                     "laminate rule")
         return LaminateMixed(phases, dim=dim)
+    if rule in ("infinity_laminate", "infinity-laminate"):
+        from .laminate import InfinityLaminateMixed
+        return InfinityLaminateMixed(phases, dim=dim)
+    if rule == "fluidity":
+        from .laminate import FluidityMixed
+        return FluidityMixed(phases, dim=dim)
     try:
         cls = MIXING_RULES[rule]
     except KeyError:

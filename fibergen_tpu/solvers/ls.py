@@ -275,47 +275,71 @@ class LSSolver:
             return gamma_op(zero, tau, mu0, lam0, bca)
 
         def cg_init(E, bca, mu0, lam0):
+            """Initial CG state in the SHIFTED form: the conjugate direction
+            is built at the START of each step as p_k = r_k + beta_k p_{k-1}
+            with beta_k = gamma_k / gamma_{k-1} (identical trajectory to the
+            reference's end-of-step update, fibergen.cpp:23227-23229, but it
+            lets the direction axpy fuse into the stress kernel).  Returns
+            (eps, r, p_prev=0, gamma, gamma_prev) with gamma_prev = gamma so
+            beta_0 = 1 against p_prev = 0 gives p_0 = r."""
             eps = shard(fields.const_field(grid, E, dt))
             r = krylov(eps, bca, mu0, lam0)
             r = shard(r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps))
             gamma0 = fields.inner_l2(r, r) + tiny
-            return eps, r, r, gamma0, metric(eps)
+            return eps, r, jnp.zeros_like(r), gamma0, gamma0, metric(eps)
 
-        def cg_step(eps, r, p, gamma, bca, mu0, lam0):
-            w = krylov(p, bca, mu0, lam0)
-            denom = fields.inner_l2_diff(p, p, w) + tiny
+        nxyz = float(np.prod(grid.shape))
+
+        def cg_step(eps, r, p_prev, gamma, gamma_prev, bca, mu0, lam0):
+            beta = gamma / gamma_prev
+            if self._pallas_active and bca is None:
+                # fully fused hot path: direction update + stress + div in
+                # one Pallas pass; gradient + CG denominator in another
+                from ..ops import fft as fftmod
+                from ..ops import green
+                from ..ops import pallas_kernels as pk
+                mu_x, lam_x = mat._all_iso()
+                f, p = pk.stress_div_beta_staggered(
+                    grid, r, p_prev, beta, mu_x, lam_x, mu0, lam0)
+                f_hat = fftmod.fftn(f)
+                u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
+                u = fftmod.ifftn(u_hat, grid.shape)
+                w, dot_raw = pk.eps_from_u_dot_staggered(
+                    grid, jnp.zeros(self.dim, dt), u, p)
+                denom = dot_raw / nxyz + tiny
+            else:
+                p = shard(r + beta * p_prev)
+                w = krylov(p, bca, mu0, lam0)
+                denom = fields.inner_l2_diff(p, p, w) + tiny
             alpha = gamma / denom
             eps2 = shard(eps + alpha * p)
             met = metric(eps2)
             r2 = shard(r - alpha * (p - w))
             delta = fields.inner_l2(r2, r2) + tiny
-            beta = delta / gamma
-            p2 = shard(r2 + beta * p)
-            return eps2, r2, p2, delta, met
+            return eps2, r2, p, delta, gamma, met
 
-        def cg_multi(eps, r, p, gamma, bca, mu0, lam0):
+        def cg_multi(eps, r, p, gamma, gamma_prev, bca, mu0, lam0):
             """check_every CG iterations fused into one device program;
             returns per-iteration (gamma, metric) stacks."""
             def body(carry, _):
-                eps, r, p, gamma = carry
-                eps2, r2, p2, delta, met = cg_step(eps, r, p, gamma, bca,
-                                                   mu0, lam0)
-                return (eps2, r2, p2, delta), (gamma, met)
+                eps, r, p, gamma, gamma_prev = carry
+                eps2, r2, p2, delta, g, met = cg_step(
+                    eps, r, p, gamma, gamma_prev, bca, mu0, lam0)
+                return (eps2, r2, p2, delta, g), (gamma, met)
 
-            (eps, r, p, gamma), (gammas, mets) = jax.lax.scan(
-                body, (eps, r, p, gamma), None,
+            (eps, r, p, gamma, gamma_prev), (gammas, mets) = jax.lax.scan(
+                body, (eps, r, p, gamma, gamma_prev), None,
                 length=max(1, self.opt.check_every))
-            return eps, r, p, gamma, gammas, mets
+            return eps, r, p, gamma, gamma_prev, gammas, mets
 
-        def cg_recompute_residual(eps, p, gamma, E, bca, mu0, lam0):
-            """Exact residual + conjugate update (cg_reinit path,
-            fibergen.cpp:23231-23245)."""
+        def cg_recompute_residual(eps, E, bca, mu0, lam0):
+            """Exact residual (cg_reinit path, fibergen.cpp:23231-23245);
+            the conjugate update p = r + (delta/gamma) p happens in the
+            next step's direction build."""
             r = krylov(eps, bca, mu0, lam0)
             r = r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps)
             delta = fields.inner_l2(r, r) + tiny
-            beta = delta / gamma
-            p2 = r + beta * p
-            return r, p2, delta
+            return r, delta
 
         def mean_values(eps):
             return fields.mean(eps), mat.mean_pk1(eps)
@@ -626,12 +650,13 @@ class LSSolver:
         mu0, lam0 = self.mu_0, self.lambda_0
         Ej = jnp.asarray(E, self.dtype)
 
-        eps, r, p, gamma, met0 = self._k_cg_init(self.mat.fields(), Ej, bca,
-                                                 mu0=mu0, lam0=lam0)
+        eps, r, p, gamma, gamma_prev, met0 = self._k_cg_init(
+            self.mat.fields(), Ej, bca, mu0=mu0, lam0=lam0)
         ee.start(np.asarray(met0))
         gamma0 = float(gamma)
         if self.opt.check_every <= 1:
             gamma = gamma0
+            gamma_prev = gamma0
 
         K = max(1, int(self.opt.check_every))
         it = 0
@@ -645,8 +670,8 @@ class LSSolver:
         pending = None
         while True:
             if K > 1:
-                eps, r, p, delta, gammas, mets = self._k_cg_multi(
-                    self.mat.fields(), eps, r, p, gamma, bca,
+                eps, r, p, delta, gamma_prev, gammas, mets = self._k_cg_multi(
+                    self.mat.fields(), eps, r, p, gamma, gamma_prev, bca,
                     mu0=mu0, lam0=lam0)
                 self.eps = eps
                 gamma = delta  # device scalar; no host sync
@@ -666,8 +691,8 @@ class LSSolver:
                     break
                 pending = (gammas, mets)
                 continue
-            eps, r, p, delta, met = self._k_cg_step(
-                self.mat.fields(), eps, r, p, gamma, bca,
+            eps, r, p, delta, gp, met = self._k_cg_step(
+                self.mat.fields(), eps, r, p, gamma, gamma_prev, bca,
                 mu0=mu0, lam0=lam0)
             self.eps = eps  # keep live state visible to bc_error/callbacks
             if ee.metric_kind == "residual":
@@ -678,9 +703,9 @@ class LSSolver:
             if done:
                 break
             if self.opt.cg_reinit > 0 and (it % self.opt.cg_reinit) == 0:
-                r, p, delta = self._k_cg_reinit(
-                    self.mat.fields(), eps, p, gamma, Ej, bca,
-                    mu0=mu0, lam0=lam0)
+                r, delta = self._k_cg_reinit(
+                    self.mat.fields(), eps, Ej, bca, mu0=mu0, lam0=lam0)
+            gamma_prev = float(gp) if not isinstance(gp, float) else gp
             gamma = float(delta)
 
     def _run_cg_hyper(self, E0, S0):

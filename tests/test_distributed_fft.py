@@ -113,8 +113,9 @@ def _compile_cg_step(s):
     mu0, lam0 = s.mu_0, s.lambda_0
     E = jnp.asarray(np.array([1.0, 0, 0, 0, 0, 0]), s.dtype)
     mf = s.mat.fields()
-    eps, r, p, gamma, _ = s._k_cg_init(mf, E, None, mu0=mu0, lam0=lam0)
-    return s._k_cg_step.lower(mf, eps, r, p, gamma, None,
+    eps, r, p, gamma, gamma_prev, _ = s._k_cg_init(mf, E, None,
+                                                    mu0=mu0, lam0=lam0)
+    return s._k_cg_step.lower(mf, eps, r, p, gamma, gamma_prev, None,
                               mu0=mu0, lam0=lam0).compile()
 
 

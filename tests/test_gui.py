@@ -110,3 +110,94 @@ def test_viewer_honors_view_settings(tmp_path):
     assert "distance" in v.fields and "normals" in v.fields
     sl = v.current_slice()
     assert sl.shape == (8, 8)
+
+
+# --------------------------------------------------------------------------
+# Context help from doc/fileformat.xml (HelpWidget equivalent,
+# fibergen_gui.py:1945-2318) — headless
+# --------------------------------------------------------------------------
+
+def test_schema_lookup_and_render():
+    from fibergen_tpu.gui.help import Schema
+    s = Schema()
+    e = s.lookup("solver.mixing_rule")
+    assert e is not None
+    assert "laminate" in e.values and "fluidity" in e.values
+    assert e.default == "voigt"
+    txt = s.help_for("solver.mixing_rule")
+    assert "interface" in txt and "voigt" in txt
+    # attribute lookup
+    a = s.lookup("actions.place_fiber.R")
+    assert a is not None and "radius" in a.help
+    # action with attributes renders them
+    txt2 = s.help_for("actions.place_fiber")
+    assert "attributes:" in txt2 and "cx" in txt2
+    assert s.lookup("solver.nonexistent_thing") is None
+
+
+def test_cursor_element_path():
+    from fibergen_tpu.gui.help import element_path_at, help_at
+    doc = """<settings>
+  <solver n="16">
+    <tol>1e-6</tol>
+    <materials>
+      <matrix mu="1" />
+    </materials>
+  </solver>
+  <actions>
+    <place_fiber R="0.3" />
+  </actions>
+</settings>"""
+    # inside <tol> content
+    pos = doc.index("1e-6")
+    assert element_path_at(doc, pos) == "settings.solver.tol"
+    # inside the place_fiber tag itself
+    pos = doc.index('R="0.3"')
+    assert element_path_at(doc, pos) == "settings.actions.place_fiber"
+    # after </materials>, inside <solver>
+    pos = doc.index("</materials>") + len("</materials>") + 1
+    assert element_path_at(doc, pos) == "settings.solver"
+    # help text resolves through the schema
+    txt = help_at(doc, doc.index('R="0.3"'))
+    assert "place_fiber" in txt
+
+
+def test_schema_defaults_match_solver_options():
+    """The schema's <solver> defaults must agree with SolverOptions so the
+    GUI help never lies about defaults."""
+    from fibergen_tpu.gui.help import Schema
+    from fibergen_tpu.solvers.ls import SolverOptions
+    s = Schema()
+    opt = SolverOptions()
+    checks = {
+        "mode": opt.mode, "method": opt.method,
+        "tol": repr(opt.tol).replace("0.0001", "1e-4"),
+        "maxiter": str(opt.maxiter),
+        "error_estimator": opt.error_estimator,
+        "update_ref": opt.update_ref,
+        "loadstep_extrapolation_method": opt.loadstep_extrapolation_method,
+        "cg_inner_product": opt.cg_inner_product,
+        "nl_cg_beta_scheme": opt.nl_cg_beta_scheme,
+        "G0_solver": opt.g0_solver,
+        "check_every": str(opt.check_every),
+        "use_pallas": opt.use_pallas,
+    }
+    for key, expect in checks.items():
+        e = s.lookup(f"solver.{key}")
+        assert e is not None, f"schema missing solver.{key}"
+        assert str(e.default) == str(expect), (key, e.default, expect)
+
+
+def test_schema_covers_action_vocabulary():
+    """Every _action_* handler in the FG interpreter has a schema entry
+    (except the group-*/skip meta-machinery)."""
+    import fibergen_tpu.api as api
+    from fibergen_tpu.gui.help import Schema
+    s = Schema()
+    handlers = [name[len("_action_"):] for name in dir(api.FG)
+                if name.startswith("_action_")]
+    documented = set(s.lookup("actions").children)
+    aliases = {"set_orientation_distribution", "write_vtk2"}
+    missing = [h for h in handlers
+               if h not in documented and h not in ("group",)]
+    assert not missing, f"schema missing actions: {missing}"

@@ -223,3 +223,151 @@ def test_hyper_laminate_small_strain_matches_linear():
     np.testing.assert_allclose(S_h[1], S_lin[1], rtol=2e-5, atol=1e-12)
     sym_xy = 0.5 * (S_h[5] + S_h[8])
     np.testing.assert_allclose(sym_xy, S_lin[5], rtol=2e-5, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Infinity-laminate (fibergen.cpp:13737-14067) and fluidity (14068-14213)
+# --------------------------------------------------------------------------
+
+def test_infinity_laminate_matches_direct_minimization():
+    """The infinity-laminate jump uses fixed half-weights q1 = q2 = 1/2
+    (F1 = F - a/2 x n, F2 = F + a/2 x n) while the energy stays
+    c1 W1 + c2 W2; cross-check the vectorized solve against a direct numpy
+    minimization on one voxel, and confirm it differs from the rank-1 rule
+    away from c = 1/2."""
+    from fibergen_tpu.materials import laws
+    from fibergen_tpu.materials.laminate import InfinityLaminateMixed
+
+    grid = fg.Grid(2, 2, 2)
+    c1v, c2v = 0.3, 0.7
+    phi1 = jnp.full(grid.shape, c1v)
+    phi2 = jnp.full(grid.shape, c2v)
+    nvec = np.array([1.0, 0.5, -0.25])
+    nvec /= np.linalg.norm(nvec)
+    n = jnp.asarray(np.broadcast_to(nvec[:, None, None, None],
+                                    (3,) + grid.shape).copy())
+
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=5.0, lam=2.0)
+    mk = lambda: [Phase("m1", laws.LinearIsotropic(**m1), phi1),
+                  Phase("m2", laws.LinearIsotropic(**m2), phi2)]
+    inf = InfinityLaminateMixed(mk(), dim=6, normals=n)
+    lam = LaminateMixed(mk(), dim=6, normals=n)
+
+    Ev = np.array([1.0, 0.2, -0.1, 0.3, 0.0, 0.1])
+    F = jnp.asarray(np.broadcast_to(
+        Ev[:, None, None, None], (6,) + grid.shape).copy())
+
+    S_inf = np.asarray(inf.pk1(F))[:, 0, 0, 0]
+    S_lam = np.asarray(lam.pk1(F))[:, 0, 0, 0]
+    assert np.abs(S_inf - S_lam).max() > 1e-3, "must differ from rank-1"
+
+    # direct numpy: minimize c1 W1(E - 1/2 sym(a x n)) + c2 W2(E + ...)
+    def C_iso(mu, lam):
+        C = np.zeros((6, 6))
+        C[:3, :3] = lam
+        np.fill_diagonal(C, [2 * mu + lam] * 3 + [2 * mu] * 3)
+        return C
+
+    wts = np.array([1, 1, 1, 2, 2, 2], float)
+    B = np.zeros((3, 6))
+    for k in range(3):
+        ek = np.eye(3)[k]
+        M = 0.5 * (np.outer(ek, nvec) + np.outer(nvec, ek))
+        B[k] = [M[0, 0], M[1, 1], M[2, 2], M[1, 2], M[0, 2], M[0, 1]]
+
+    C1, C2 = C_iso(**m1), C_iso(**m2)
+
+    def energy(a):
+        j = 0.5 * (a @ B)
+        E1, E2 = Ev - j, Ev + j
+        return (c1v * 0.5 * E1 @ (wts * (C1 @ E1))
+                + c2v * 0.5 * E2 @ (wts * (C2 @ E2)))
+
+    from scipy.optimize import minimize
+    res = minimize(energy, np.zeros(3), method="BFGS", tol=1e-14)
+    j = 0.5 * (res.x @ B)
+    S_direct = c1v * C1 @ (Ev - j) + c2v * C2 @ (Ev + j)
+    np.testing.assert_allclose(S_inf, S_direct, rtol=1e-6, atol=1e-8)
+
+
+def test_fluidity_mixing_matches_direct_rotation():
+    """Fluidity mixing: harmonic fluidity for diag+yz, arithmetic for the
+    normal-involving shears, in the n-aligned frame
+    (fibergen.cpp:14128-14166)."""
+    from fibergen_tpu.materials import laws
+    from fibergen_tpu.materials.laminate import FluidityMixed
+
+    grid = fg.Grid(2, 2, 2)
+    c1v = 0.35
+    phi1 = jnp.full(grid.shape, c1v)
+    phi2 = jnp.full(grid.shape, 1 - c1v)
+    nvec = np.array([0.6, -0.3, 0.9])
+    nvec /= np.linalg.norm(nvec)
+    n = jnp.asarray(np.broadcast_to(nvec[:, None, None, None],
+                                    (3,) + grid.shape).copy())
+    f1v, f2v = 0.5, 3.0
+    phases = [Phase("m1", laws.ScalarLinearIsotropic(mu=f1v, dim=6), phi1),
+              Phase("m2", laws.ScalarLinearIsotropic(mu=f2v, dim=6), phi2)]
+    fl = FluidityMixed(phases, dim=6, normals=n)
+
+    Sv = np.array([0.4, -0.1, -0.3, 0.25, -0.15, 0.05])
+    F = jnp.asarray(np.broadcast_to(
+        Sv[:, None, None, None], (6,) + grid.shape).copy())
+    out = np.asarray(fl.pk1(F))[:, 0, 0, 0]
+
+    # direct: rotate, scale, rotate back
+    sig = np.array([[Sv[0], Sv[5], Sv[4]],
+                    [Sv[5], Sv[1], Sv[3]],
+                    [Sv[4], Sv[3], Sv[2]]])
+    e1 = np.array([1.0, 0, 0])
+    v = np.cross(nvec, e1)
+    c = nvec @ e1
+    Vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    R = np.eye(3) + Vx + Vx @ Vx / (1 + c)
+    assert np.allclose(R @ nvec, e1)
+    f_R = 1 / (c1v / f1v + (1 - c1v) / f2v)
+    f_V = c1v * f1v + (1 - c1v) * f2v
+    sp = R @ sig @ R.T
+    scale = np.array([[f_R, f_V, f_V], [f_V, f_R, f_R], [f_V, f_R, f_R]])
+    gam = R.T @ (sp * scale) @ R
+    expect = np.array([gam[0, 0], gam[1, 1], gam[2, 2],
+                       gam[1, 2], gam[0, 2], gam[0, 1]])
+    np.testing.assert_allclose(out, expect, rtol=1e-10, atol=1e-12)
+
+    # pure voxels reduce to the plain phase response
+    phases2 = [Phase("m1", laws.ScalarLinearIsotropic(mu=f1v, dim=6),
+                     jnp.ones(grid.shape)),
+               Phase("m2", laws.ScalarLinearIsotropic(mu=f2v, dim=6),
+                     jnp.zeros(grid.shape))]
+    fl2 = FluidityMixed(phases2, dim=6, normals=n)
+    pure = np.asarray(fl2.pk1(F))[:, 0, 0, 0]
+    law_resp = np.asarray(
+        laws.ScalarLinearIsotropic(mu=f1v, dim=6).pk1(F))[:, 0, 0, 0]
+    np.testing.assert_allclose(pure, law_resp, rtol=1e-12)
+
+
+def test_fluidity_viscosity_solve():
+    """End-to-end viscosity solve with the fluidity mixing rule on a
+    layered microstructure; the solver must converge and land between the
+    Reuss/Voigt fluidity bounds."""
+    from fibergen_tpu.materials import laws
+    from fibergen_tpu.materials.laminate import FluidityMixed
+
+    grid = fg.Grid(16, 4, 4)
+    x = (np.arange(grid.nx) + 0.5) / grid.nx
+    f2frac = np.clip((0.5 - np.arange(grid.nx) / grid.nx) * grid.nx, 0, 1)
+    phi2 = jnp.asarray(np.broadcast_to(f2frac[:, None, None], grid.shape))
+    phi1 = 1.0 - phi2
+    n = jnp.zeros((3,) + grid.shape).at[0].set(1.0)
+    f1v, f2v = 0.5, 1.5  # fluidities (XML mu scaled by 0.5 at creation)
+    phases = [Phase("m1", laws.ScalarLinearIsotropic(mu=f1v, dim=6), phi1),
+              Phase("m2", laws.ScalarLinearIsotropic(mu=f2v, dim=6), phi2)]
+    mat = FluidityMixed(phases, dim=6, normals=n)
+    s = LSSolver(grid, mat, SolverOptions(mode="viscosity", method="cg",
+                                          tol=1e-9, maxiter=2000))
+    s.set_strain([-1.0, 1.0, 0, 0, 0, 0])
+    assert not s.run()
+    assert len(s.residuals) < s.opt.maxiter
+    sig = np.asarray(s.calc_mean_stress())
+    assert np.isfinite(sig).all()
