@@ -400,7 +400,13 @@ class FG:
         self.init_fibers()
         import jax.numpy as jnp
         dtype = jnp.float64 if self.solver.dtype == jnp.float64 else jnp.float32
-        ss = 2 if self._smooth_levels != 0 else 1
+        # <smooth_levels>: interface refinement levels for the composite
+        # voxel fractions (integratePhiVoxel recursion depth,
+        # fibergen.cpp:16622-16760): each level halves the sub-voxel size.
+        # -1 = default (one level); capped to keep the supersampled SDF
+        # evaluation grid within memory.
+        sl = self._smooth_levels
+        ss = 2 if sl < 0 else max(1, 2 ** min(sl, 3))
         from .materials.dfg import DfgMaterial, fine_grid
         phase_grid = self.solver.grid
         if isinstance(self.solver.mat, DfgMaterial):

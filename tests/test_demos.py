@@ -225,3 +225,17 @@ def test_demo_orientation_average(capsys):
     assert "isotropized k" in out
     mu = float(out.strip().split("mu = ")[-1])
     assert mu > 0.6   # stiff fibers raise shear above the matrix mu=0.61
+
+
+def test_demo_sfrp_parameter_fit(monkeypatch, capsys):
+    """Inverse parameter identification: sweep the forward model, then
+    recover the fiber modulus from a synthetic measurement
+    (demo/elasticity/sfrp_parameter_fit counterpart with the actual fit)."""
+    import runpy
+    script = os.path.join(DEMO_DIR, "python", "sfrp_parameter_fit",
+                          "project.py")
+    import sys
+    monkeypatch.setattr(sys, "argv", [script, "16"])  # tiny res for CI
+    mod = runpy.run_path(script, run_name="not_main")
+    e_fit = mod["identify"](mod["forward_c11"](73.0))
+    assert abs(e_fit - 73.0) / 73.0 < 0.02
