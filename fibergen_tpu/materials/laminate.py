@@ -32,6 +32,38 @@ from .mixing import MixedMaterial, Phase
 _THR = 1e-7  # interface detection threshold (10*eps in the reference)
 
 
+class _FieldIso:
+    """Linear isotropic law with PER-VOXEL moduli fields, used as the
+    virtual phase law of the n-phase laminate selection.  Moduli follow the
+    iso_moduli() convention C = 2 mu Id + lam I(x)I (for dim 3 this makes
+    pk1 = 2 mu F = conductivity * F)."""
+
+    is_linear = True
+
+    def __init__(self, mu, lam, dim):
+        self._mu = mu
+        self._lam = lam
+        self._dim = dim
+
+    def iso_moduli(self):
+        return (self._mu, self._lam)
+
+    def pk1(self, F):
+        out = 2.0 * self._mu[None] * F
+        if self._dim >= 6:
+            tr = self._lam * (F[0] + F[1] + F[2])
+            out = out.at[0:3].add(tr[None])
+        return out
+
+    def dpk1(self, F, W):
+        return self.pk1(W)
+
+    def w(self, F):
+        s = self.pk1(F)
+        wts = voigt.weights(self._dim)
+        return 0.5 * sum(wts[i] * s[i] * F[i] for i in range(self._dim))
+
+
 def _sym_dyad_basis(n, dim):
     """B_k = sym(e_k x n) as Voigt fields, k = 0..2.
 
@@ -62,9 +94,44 @@ class LaminateMixed(MixedMaterial):
 
     def __init__(self, phases: List[Phase], dim: int = 6, normals=None):
         super().__init__(phases, dim=dim)
-        if len(phases) != 2:
-            raise ValueError("laminate mixing requires exactly 2 phases")
+        if len(phases) < 2:
+            raise ValueError("laminate mixing requires at least 2 phases")
+        if len(phases) > 2:
+            # n declared phases: per voxel only the two largest-phi phases
+            # participate (the reference's get_mix walks the phases and
+            # throws when more than two have phi > 0 at a voxel,
+            # fibergen.cpp:12186-12209); gathering per-voxel moduli needs
+            # isotropic laws
+            for p in phases:
+                if not (getattr(p.law, "is_linear", False)
+                        and hasattr(p.law, "iso_moduli")):
+                    raise ValueError(
+                        "laminate mixing with more than 2 phases requires "
+                        "linear isotropic laws")
         self.normals = normals
+
+    def _two_phase_view(self):
+        """(law1, law2, c1, c2): the two per-voxel active phases.  With two
+        declared phases these are the phases themselves (general laws
+        supported); with more, the two largest-phi phases are gathered per
+        voxel into virtual isotropic laws with field moduli and the
+        fractions renormalized to c1 + c2 = 1."""
+        if len(self.phases) == 2:
+            return (self.phases[0].law, self.phases[1].law,
+                    self.phases[0].phi, self.phases[1].phi)
+        phis = jnp.stack([p.phi for p in self.phases])
+        order = jnp.argsort(-phis, axis=0)
+        i1, i2 = order[0], order[1]
+        c1 = jnp.take_along_axis(phis, i1[None], 0)[0]
+        c2 = jnp.take_along_axis(phis, i2[None], 0)[0]
+        tot = jnp.maximum(c1 + c2, _THR)
+        c1, c2 = c1 / tot, c2 / tot
+        mo = [p.law.iso_moduli() for p in self.phases]
+        mu_vec = jnp.asarray([m[0] for m in mo], phis.dtype)
+        lam_vec = jnp.asarray([m[1] for m in mo], phis.dtype)
+        law1 = _FieldIso(mu_vec[i1], lam_vec[i1], self._dim)
+        law2 = _FieldIso(mu_vec[i2], lam_vec[i2], self._dim)
+        return law1, law2, c1, c2
 
     def _jump_coeffs(self):
         """(alpha1, alpha2): the phase strains are F1 = F - alpha1 * jump,
@@ -75,20 +142,18 @@ class LaminateMixed(MixedMaterial):
 
     # ----------------------------------------------------------- internals
     def _fractions(self):
-        c1 = self.phases[0].phi
-        c2 = self.phases[1].phi
+        _, _, c1, c2 = self._two_phase_view()
         return c1, c2
 
     def _interface_mask(self):
-        c1, _ = self._fractions()
-        return (c1 > _THR) & (c1 < 1.0 - _THR)
+        c1, c2 = self._fractions()
+        return (c1 > _THR) & (c2 > _THR)
 
     def _phase_strains(self, F):
         """Solve for the jump and return (F1, F2, mask)."""
         if self.normals is None:
             raise ValueError("laminate mixing requires a normals field")
-        law1, law2 = self.phases[0].law, self.phases[1].law
-        c1, c2 = self._fractions()
+        law1, law2, c1, c2 = self._two_phase_view()
         mask = self._interface_mask()
         n = self.normals
         # guard degenerate (zero) normals: substitute e_x there so the jump
@@ -104,9 +169,10 @@ class LaminateMixed(MixedMaterial):
 
         if dim == 3:
             # scalar jump along n: minimize c1 k1 |F1|^2 + c2 k2 |F2|^2 over
-            # s with F1 = F - a1 s n, F2 = F + a2 s n (closed form)
-            k1 = law1.mu
-            k2 = law2.mu
+            # s with F1 = F - a1 s n, F2 = F + a2 s n (closed form);
+            # conductivity k = 2 * iso mu (ScalarLinearIsotropic.iso_moduli)
+            k1 = 2.0 * law1.iso_moduli()[0]
+            k2 = 2.0 * law2.iso_moduli()[0]
             ng = (n * F).sum(0)
             s = (c1 * a1 * k1 - c2 * a2 * k2) * ng / (
                 c1 * a1 * a1 * k1 + c2 * a2 * a2 * k2)
@@ -165,14 +231,12 @@ class LaminateMixed(MixedMaterial):
 
     # ------------------------------------------------------------- API
     def pk1(self, F):
-        law1, law2 = self.phases[0].law, self.phases[1].law
-        c1, c2 = self._fractions()
+        law1, law2, c1, c2 = self._two_phase_view()
         F1, F2, _ = self._phase_strains(F)
         return c1[None] * law1.pk1(F1) + c2[None] * law2.pk1(F2)
 
     def w(self, F):
-        law1, law2 = self.phases[0].law, self.phases[1].law
-        c1, c2 = self._fractions()
+        law1, law2, c1, c2 = self._two_phase_view()
         F1, F2, _ = self._phase_strains(F)
         return c1 * law1.w(F1) + c2 * law2.w(F2)
 
@@ -239,8 +303,8 @@ class FluidityMixed(MixedMaterial):
 
     def __init__(self, phases: List[Phase], dim: int = 6, normals=None):
         super().__init__(phases, dim=dim)
-        if len(phases) != 2:
-            raise ValueError("fluidity mixing requires exactly 2 phases")
+        if len(phases) < 2:
+            raise ValueError("fluidity mixing requires at least 2 phases")
         if dim != 6:
             raise ValueError("fluidity mixing requires dim 6 (viscosity)")
         for p in phases:
@@ -249,14 +313,26 @@ class FluidityMixed(MixedMaterial):
                                  "laws (fibergen.cpp:14120-14125)")
         self.normals = normals
 
+    def _select(self):
+        """Per-voxel two active phases (f1, f2, c1, c2); with two declared
+        phases this is just their (fluidity, phi) pairs."""
+        if len(self.phases) == 2:
+            return (self.phases[0].law.mu, self.phases[1].law.mu,
+                    self.phases[0].phi, self.phases[1].phi)
+        phis = jnp.stack([p.phi for p in self.phases])
+        order = jnp.argsort(-phis, axis=0)
+        i1, i2 = order[0], order[1]
+        c1 = jnp.take_along_axis(phis, i1[None], 0)[0]
+        c2 = jnp.take_along_axis(phis, i2[None], 0)[0]
+        tot = jnp.maximum(c1 + c2, _THR)
+        f_vec = jnp.asarray([p.law.mu for p in self.phases], phis.dtype)
+        return f_vec[i1], f_vec[i2], c1 / tot, c2 / tot
+
     def pk1(self, F):
         if self.normals is None:
             raise ValueError("fluidity mixing requires a normals field")
-        law1, law2 = self.phases[0].law, self.phases[1].law
-        f1, f2 = law1.mu, law2.mu
-        c1 = self.phases[0].phi
-        c2 = self.phases[1].phi
-        mask = (c1 > _THR) & (c1 < 1.0 - _THR)
+        f1, f2, c1, c2 = self._select()
+        mask = (c1 > _THR) & (c2 > _THR)
 
         n = self.normals
         nn2 = (n * n).sum(0, keepdims=True)
@@ -289,7 +365,8 @@ class FluidityMixed(MixedMaterial):
             gam[..., 0, 0], gam[..., 1, 1], gam[..., 2, 2],
             gam[..., 1, 2], gam[..., 0, 2], gam[..., 0, 1],
         ])
-        pure = c1[None] * law1.pk1(F) + c2[None] * law2.pk1(F)
+        # pure voxels: per-voxel dominant-phase fluidity
+        pure = (c1 * f1 + c2 * f2)[None] * F
         return jnp.where(mask[None], mixed, pure)
 
     def w(self, F):

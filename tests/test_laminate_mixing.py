@@ -2,6 +2,8 @@
 voxel-cutting planar interface must yield the exact effective property even
 though the interface falls inside voxels — the accuracy multiplier the
 reference claims over Voigt mixing (joss/paper.md:52)."""
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -371,3 +373,53 @@ def test_fluidity_viscosity_solve():
     assert len(s.residuals) < s.opt.maxiter
     sig = np.asarray(s.calc_mean_stress())
     assert np.isfinite(sig).all()
+
+
+def test_three_phase_laminate_series_exact():
+    """Three declared materials with pairwise interfaces: the per-voxel
+    top-two selection (the reference's get_mix walks phases and uses the
+    <=2 with phi>0, fibergen.cpp:12186-12209) must reproduce the exact
+    3-layer series conductivity even with interfaces cutting voxels."""
+    from fibergen_tpu.materials import laws
+    grid = fg.Grid(24, 2, 2)
+    nx = grid.nx
+    b1, b2 = 0.30 + 0.4 / nx, 0.65 + 0.3 / nx   # off-grid layer boundaries
+    x_lo = np.arange(nx) / nx
+    x_hi = (np.arange(nx) + 1) / nx
+
+    def frac_below(b):
+        return np.clip((b - x_lo) / (x_hi - x_lo), 0.0, 1.0)
+
+    f1 = frac_below(b1)
+    f2 = frac_below(b2) - f1
+    f3 = 1.0 - f1 - f2
+    mk = lambda f: jnp.asarray(np.broadcast_to(f[:, None, None], grid.shape))
+    k = [1.0, 5.0, 20.0]
+    phases = [Phase(f"m{i}", laws.ScalarLinearIsotropic(mu=k[i], dim=3),
+                    mk(f)) for i, f in enumerate((f1, f2, f3))]
+    n = jnp.zeros((3,) + grid.shape).at[0].set(1.0)
+    mat = LaminateMixed(phases, dim=3, normals=n)
+    s = LSSolver(grid, mat, SolverOptions(mode="heat", tol=1e-12,
+                                          maxiter=3000))
+    s.set_strain([1.0, 0, 0])
+    assert not s.run()
+    k_eff = float(s.calc_mean_stress()[0])
+    exact = 1.0 / (b1 / k[0] + (b2 - b1) / k[1] + (1 - b2) / k[2])
+    assert abs(k_eff - exact) / exact < 1e-9, (k_eff, exact)
+
+
+def test_three_phase_laminate_elasticity_runs():
+    """Multi-material elasticity with laminate mixing (the hashin
+    coated-sphere layout) solves end-to-end — round 1 raised
+    'requires exactly 2 phases'."""
+    f = fg.FG()
+    f.load_xml(os.path.join(os.path.dirname(__file__), "..", "demo",
+                            "elasticity", "hashin", "project.xml"))
+    f.set("variables.res..value", 16)
+    f.set("solver.mixing_rule", "laminate")
+    f.set("solver.tol", "1e-8")
+    assert f.run() == 0
+    sig = np.array(f.get_mean_stress())
+    k_eff = sig[:3].sum() / 9.0
+    k_star = 3.63867684478 + 2.0 / 3.0
+    assert abs(k_eff - k_star) / k_star < 2e-2
