@@ -102,6 +102,63 @@ def make_xml_highlighter(document):
     return XMLHighlighter(document)
 
 
+def make_plot_tab(viewer, QtWidgets):
+    """Embedded matplotlib slice-viewer tab (the reference's PlotWidget,
+    fibergen_gui.py:525-1616): field/component/slice selectors, colormap,
+    contrast, interpolation, live redraw on an embedded canvas."""
+    from matplotlib.backends.backend_qt5agg import FigureCanvasQTAgg
+    from matplotlib.figure import Figure
+
+    w = QtWidgets.QWidget()
+    fig = Figure(figsize=(5, 4))
+    canvas = FigureCanvasQTAgg(fig)
+
+    field_box = QtWidgets.QComboBox()
+    field_box.addItems(list(viewer.fields))
+    comp_box = QtWidgets.QSpinBox()
+    comp_box.setRange(0, 8)
+    dim_box = QtWidgets.QComboBox()
+    dim_box.addItems(["x", "y", "z"])
+    dim_box.setCurrentText(viewer.slice_dim)
+    slider = QtWidgets.QSlider(0x1)  # horizontal
+    slider.setRange(0, 100)
+    slider.setValue(int(viewer.slice_index * 100))
+    cmap_box = QtWidgets.QComboBox()
+    cmap_box.addItems(["jet", "viridis", "coolwarm", "gray"])
+    interp = QtWidgets.QCheckBox("interpolate")
+
+    def redraw(*_a):
+        viewer.field = field_box.currentText()
+        ncomp = viewer.fields[viewer.field].shape[0]
+        comp_box.setMaximum(max(0, ncomp - 1))
+        viewer.component = min(comp_box.value(), ncomp - 1)
+        viewer.slice_dim = dim_box.currentText()
+        viewer.slice_index = slider.value() / 100.0
+        viewer.colormap = cmap_box.currentText()
+        viewer.interpolate = interp.isChecked()
+        fig.clf()
+        viewer.render(fig.add_subplot(111))
+        canvas.draw_idle()
+
+    for wd, sig in ((field_box, "currentIndexChanged"),
+                    (comp_box, "valueChanged"),
+                    (dim_box, "currentIndexChanged"),
+                    (slider, "valueChanged"),
+                    (cmap_box, "currentIndexChanged"),
+                    (interp, "stateChanged")):
+        getattr(wd, sig).connect(redraw)
+
+    bar = QtWidgets.QHBoxLayout()
+    for wd in (field_box, comp_box, dim_box, slider, cmap_box, interp):
+        bar.addWidget(wd)
+    lay = QtWidgets.QVBoxLayout()
+    lay.addLayout(bar)
+    lay.addWidget(canvas)
+    w.setLayout(lay)
+    redraw()
+    return w
+
+
 def _qt_app(argv):
     import os
 
@@ -150,8 +207,19 @@ def _qt_app(argv):
             lay.addWidget(split)
             w = QtWidgets.QWidget()
             w.setLayout(lay)
-            self.setCentralWidget(w)
+            # project + result tabs (the reference IDE keeps one result tab
+            # per run, fibergen_gui.py:3047-3246)
+            self.tabs = QtWidgets.QTabWidget()
+            self.tabs.setTabsClosable(True)
+            self.tabs.tabCloseRequested.connect(self._close_tab)
+            self.tabs.addTab(w, "Project")
+            self.setCentralWidget(self.tabs)
             self.fg = None
+            self._results = 0
+
+        def _close_tab(self, i):
+            if i > 0:
+                self.tabs.removeTab(i)
 
         def _fill_demos(self):
             from PyQt5 import QtWidgets as QW
@@ -159,12 +227,18 @@ def _qt_app(argv):
                                     "demo")
             if not os.path.isdir(demo_dir):
                 return
+            from PyQt5 import QtCore, QtGui
+            self.demos.setIconSize(QtCore.QSize(48, 48))
             for cat in list_demos(demo_dir):
                 top = QW.QTreeWidgetItem([cat["title"]])
                 self.demos.addTopLevelItem(top)
                 for p in cat["projects"]:
                     item = QW.QTreeWidgetItem([p["title"]])
                     item.setData(0, 0x0100, p["path"])  # UserRole
+                    thumb = os.path.join(os.path.dirname(p["path"]),
+                                         "thumbnail.png")
+                    if os.path.isfile(thumb):
+                        item.setIcon(0, QtGui.QIcon(thumb))
                     top.addChild(item)
             self.demos.expandAll()
 
@@ -208,7 +282,15 @@ def _qt_app(argv):
         def view_results(self):
             if self.fg is None:
                 return
-            SliceViewer.from_fg(self.fg).show()
+            try:
+                viewer = SliceViewer.from_fg(self.fg)
+            except ValueError as e:
+                self.output.appendPlainText(str(e))
+                return
+            self._results += 1
+            tab = make_plot_tab(viewer, QtWidgets)
+            self.tabs.addTab(tab, f"Results {self._results}")
+            self.tabs.setCurrentWidget(tab)
 
     app = QtWidgets.QApplication(argv)
     win = MainWindow()

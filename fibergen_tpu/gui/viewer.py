@@ -134,7 +134,9 @@ class SliceViewer:
                        interpolation="bicubic" if self.interpolate else "nearest")
         ax.set_title(f"{self.field}[{self.component}] "
                      f"{self.slice_dim}-slice @ {self.slice_index:.2f}")
-        plt.colorbar(im, ax=ax)
+        # figure-scoped colorbar (works for embedded Qt canvases where the
+        # figure is not pyplot-managed)
+        ax.figure.colorbar(im, ax=ax)
         return ax
 
     def save_png(self, path: str):
