@@ -1301,10 +1301,12 @@ class FG:
         computation must run under jit.  Keyed by (kind, grid, mu0, lam0)."""
         import jax
         lss = self.solver
-        key = (kind, lss.dim, lss.grid.shape, float(mu0), float(lam0))
-        cache = getattr(self, "_recovery_cache", None)
+        # cache lives ON the solver: a rebuilt solver (new grid spacing,
+        # new materials) must not reuse kernels that closed over the old one
+        key = (kind, float(mu0), float(lam0))
+        cache = getattr(lss, "_recovery_cache", None)
         if cache is None:
-            cache = self._recovery_cache = {}
+            cache = lss._recovery_cache = {}
         fn = cache.get(key)
         if fn is None:
             fn = cache[key] = jax.jit(

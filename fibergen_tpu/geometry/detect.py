@@ -67,17 +67,20 @@ def _march(dist, idx, direction, r_seed, h, momentum=0.7, drop=0.5,
     offs = [(a, b) for a in (-2, -1, 0, 1, 2) for b in (-2, -1, 0, 1, 2)]
     if max_steps is None:
         max_steps = 4 * int(max(shape))  # longest straight path in the box
+    hmin = float(np.min(h))
     for _ in range(max_steps):
-        # advance one voxel along the heading (index space; cubic voxels of
-        # the common CT case make this one physical voxel too)
-        nxt = pos + d / np.linalg.norm(d)
-        # re-center in the perpendicular plane (two corrector sweeps)
+        # advance one (smallest) physical voxel along the heading; positions
+        # are index-space, so physical directions map through 1/h per axis
+        # (anisotropic grids step correctly this way)
+        nxt = pos + (d * hmin) / h
+        # re-center in the perpendicular plane (two corrector sweeps);
+        # offsets are physical, converted to index space per axis
         u, v = _perp_basis(d)
         for _rc in range(2):
             best = nxt
             bestv = val(nxt)
             for a, b in offs:
-                cand = nxt + 0.7 * (a * u + b * v)
+                cand = nxt + 0.7 * hmin * (a * u + b * v) / h
                 cv = val(cand)
                 if cv > bestv:
                     bestv, best = cv, cand

@@ -32,6 +32,19 @@ from .mixing import MixedMaterial, Phase
 _THR = 1e-7  # interface detection threshold (10*eps in the reference)
 
 
+def _top2_phases(phases):
+    """Per-voxel indices and renormalized fractions of the two
+    largest-volume-fraction phases (the reference walks the phase list per
+    voxel and uses the <=2 with phi > 0, fibergen.cpp:12186-12209)."""
+    phis = jnp.stack([p.phi for p in phases])
+    order = jnp.argsort(-phis, axis=0)
+    i1, i2 = order[0], order[1]
+    c1 = jnp.take_along_axis(phis, i1[None], 0)[0]
+    c2 = jnp.take_along_axis(phis, i2[None], 0)[0]
+    tot = jnp.maximum(c1 + c2, _THR)
+    return i1, i2, c1 / tot, c2 / tot
+
+
 class _FieldIso:
     """Linear isotropic law with PER-VOXEL moduli fields, used as the
     virtual phase law of the n-phase laminate selection.  Moduli follow the
@@ -119,16 +132,10 @@ class LaminateMixed(MixedMaterial):
         if len(self.phases) == 2:
             return (self.phases[0].law, self.phases[1].law,
                     self.phases[0].phi, self.phases[1].phi)
-        phis = jnp.stack([p.phi for p in self.phases])
-        order = jnp.argsort(-phis, axis=0)
-        i1, i2 = order[0], order[1]
-        c1 = jnp.take_along_axis(phis, i1[None], 0)[0]
-        c2 = jnp.take_along_axis(phis, i2[None], 0)[0]
-        tot = jnp.maximum(c1 + c2, _THR)
-        c1, c2 = c1 / tot, c2 / tot
+        i1, i2, c1, c2 = _top2_phases(self.phases)
         mo = [p.law.iso_moduli() for p in self.phases]
-        mu_vec = jnp.asarray([m[0] for m in mo], phis.dtype)
-        lam_vec = jnp.asarray([m[1] for m in mo], phis.dtype)
+        mu_vec = jnp.asarray([m[0] for m in mo], c1.dtype)
+        lam_vec = jnp.asarray([m[1] for m in mo], c1.dtype)
         law1 = _FieldIso(mu_vec[i1], lam_vec[i1], self._dim)
         law2 = _FieldIso(mu_vec[i2], lam_vec[i2], self._dim)
         return law1, law2, c1, c2
@@ -319,14 +326,9 @@ class FluidityMixed(MixedMaterial):
         if len(self.phases) == 2:
             return (self.phases[0].law.mu, self.phases[1].law.mu,
                     self.phases[0].phi, self.phases[1].phi)
-        phis = jnp.stack([p.phi for p in self.phases])
-        order = jnp.argsort(-phis, axis=0)
-        i1, i2 = order[0], order[1]
-        c1 = jnp.take_along_axis(phis, i1[None], 0)[0]
-        c2 = jnp.take_along_axis(phis, i2[None], 0)[0]
-        tot = jnp.maximum(c1 + c2, _THR)
-        f_vec = jnp.asarray([p.law.mu for p in self.phases], phis.dtype)
-        return f_vec[i1], f_vec[i2], c1 / tot, c2 / tot
+        i1, i2, c1, c2 = _top2_phases(self.phases)
+        f_vec = jnp.asarray([p.law.mu for p in self.phases], c1.dtype)
+        return f_vec[i1], f_vec[i2], c1, c2
 
     def pk1(self, F):
         if self.normals is None:

@@ -345,16 +345,23 @@ def eps_from_u_dot_staggered(grid: Grid, E, u, p):
                + 2.0 * jnp.sum(p_ref[3] * (p_ref[3] - e3))
                + 2.0 * jnp.sum(p_ref[4] * (p_ref[4] - e4))
                + 2.0 * jnp.sum(p_ref[5] * (p_ref[5] - e5)))
-        # sequential-grid accumulation into the single scalar block
+        # sequential-grid Kahan accumulation into the scalar block: the
+        # per-block sums are tree reductions, but the across-block chain is
+        # sequential f32 — compensated summation keeps the denominator at
+        # the precision of the XLA tree reduction it replaces
         @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
         def _init():
             dot_ref[0, 0] = jnp.float32(0.0)
-        dot_ref[0, 0] = dot_ref[0, 0] + acc
+            dot_ref[1, 0] = jnp.float32(0.0)
+        y = acc - dot_ref[1, 0]
+        t = dot_ref[0, 0] + y
+        dot_ref[1, 0] = (t - dot_ref[0, 0]) - y
+        dot_ref[0, 0] = t
 
     eta, dots = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((6, nx, ny, nz), u.dtype),
-                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+                   jax.ShapeDtypeStruct((2, 1), jnp.float32)),
         grid=(nx // bx, ny // by),
         in_specs=[_halo_spec(3, bx, by, nz),
                   pl.BlockSpec((6, 1), lambda i, j: (0, 0),
@@ -363,7 +370,7 @@ def eps_from_u_dot_staggered(grid: Grid, E, u, p):
                                memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec((6, bx, by, nz), lambda i, j: (0, i, j, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                   pl.BlockSpec((2, 1), lambda i, j: (0, 0),
                                 memory_space=pltpu.SMEM)),
     )(u_p, Ef, p)
     return eta, dots[0, 0]

@@ -508,10 +508,13 @@ class LSSolver:
         iters = len(self.residuals)
         if iters == 0 or self.eps is None:
             return 0.0
-        # staggered schemes transform 3-component force fields; the
-        # collocated/Willot paths transform the full tensor
-        ncomp = 3 if self.scheme in ("staggered", "half_staggered",
-                                     "full_staggered") else self.dim
+        # staggered schemes transform the force field (3 components for
+        # vector modes, 1 for heat/porous); collocated/Willot transform the
+        # full tensor
+        if self.scheme in ("staggered", "half_staggered", "full_staggered"):
+            ncomp = 1 if self.dim == 3 else 3
+        else:
+            ncomp = self.dim
         key = (ncomp, self.grid.shape, str(self.dtype))
         if getattr(self, "_fft_pair_sample", None) != key:
             import time as _time

@@ -109,3 +109,18 @@ def test_rsa_phantom_round_trip():
             dists.append((dc, cos))
         dc, cos = min(dists)
         assert dc < 0.03 and cos > 0.98, (dc, cos)
+
+
+def test_detect_anisotropic_spacing():
+    """The ridge tracer steps in physical space: an anisotropic cell
+    (dz = 2 dx) must still recover a single capsule's length and radius."""
+    grid = fg.Grid(48, 48, 24, dx=1.0, dy=1.0, dz=1.0)  # h=(1/48,1/48,1/24)
+    truth = Capsule(center=np.array([0.5, 0.5, 0.5]),
+                    axis=np.array([1.0, 0, 0]), length=0.5, radius=0.1)
+    phi = np.asarray(discretize.phi_field(grid, [truth], dtype=jnp.float64))
+    fibers = detect_fibers(phi, grid, threshold=0.5)
+    assert len(fibers) == 1
+    f = fibers[0]
+    assert abs(abs(np.dot(f.axis, truth.axis)) - 1.0) < 0.02
+    assert abs(f.radius - truth.radius) / truth.radius < 0.2
+    assert abs(f.length - truth.length) / truth.length < 0.2
