@@ -163,3 +163,45 @@ def test_sharded_cg_step_memory_scales_with_shard():
     assert mem.temp_size_in_bytes <= 8 * shard_bytes, (
         f"temp {mem.temp_size_in_bytes} exceeds 8 shards "
         f"({8 * shard_bytes})")
+
+
+def test_512_cube_sharded_step_fits_hbm():
+    """The capability claim behind the mesh path: a 512^3 CG step exceeds
+    single-chip HBM (measured 18.9 GB > 15.75 GB on v5e) but compiles to
+    ~3.4 GB per device on an 8-mesh with the slab FFT — comfortable v5e
+    headroom.  AOT-compiles the sharded step and checks the per-device
+    memory analysis."""
+    import fibergen_tpu.core.fields as fields
+
+    n = 512
+    grid = fg.Grid(n, n, n)
+    mesh = mesh8()
+    sharding = NamedSharding(mesh, P(None, "x", None, None))
+    x = (np.arange(n) + 0.5) / n
+    phi1 = jnp.asarray(np.broadcast_to(
+        ((x % 0.5) < 0.25)[:, None, None], grid.shape).astype(np.float32))
+    mat = VoigtMixed([
+        Phase("a", laws.LinearIsotropic(mu=1, lam=1), phi1),
+        Phase("b", laws.LinearIsotropic(mu=5, lam=2), 1 - phi1)], dim=6)
+    s = LSSolver(grid, mat,
+                 SolverOptions(mode="elasticity", method="cg",
+                               dtype="float32"), sharding=sharding)
+    assert s.par is not None
+    s.eps = fields.const_field(grid, np.zeros(6), s.dtype)
+    s.calc_ref_material()
+
+    phi_sh = NamedSharding(mesh, P("x", None, None))
+    mf = s.mat.fields()
+    import jax.tree_util as jtu
+    mf_abs = jtu.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                       sharding=phi_sh if a.ndim == 3
+                                       else None), mf)
+    f6 = jax.ShapeDtypeStruct((6, n, n, n), jnp.float32, sharding=sharding)
+    sc = jax.ShapeDtypeStruct((), jnp.float32)
+    comp = s._k_cg_step.lower(mf_abs, f6, f6, f6, sc, sc, None,
+                              mu0=s.mu_0, lam0=s.lambda_0).compile()
+    m = comp.memory_analysis()
+    per_device = (m.argument_size_in_bytes + m.temp_size_in_bytes
+                  + m.output_size_in_bytes)
+    assert per_device < 6e9, f"per-device {per_device/1e9:.2f} GB too large"
