@@ -21,11 +21,12 @@ from jax import lax
 _AXES = (-3, -2, -1)
 
 # FFT backend policy: "auto" uses the MXU matmul-DFT on TPU-class backends
-# for axis sizes where the O(N^2) DFT beats XLA's FFT op (measured ~1.4x at
-# 256^3 f32: 6.4 vs 9.1 ms per 3-component forward); "xla" forces
-# jnp.fft, "matmul" forces the DFT.  CPU always uses XLA (pocketfft).
+# for axis sizes where the O(N^2) DFT beats XLA's FFT op (measured ~1.5x at
+# 256 points and ~2x at 512: XLA's TPU FFT degrades faster than the DFT's
+# quadratic FLOP growth); "xla" forces jnp.fft, "matmul" forces the DFT.
+# CPU always uses XLA (pocketfft).
 FFT_BACKEND = "auto"
-_MM_MAX_AXIS = 384
+_MM_MAX_AXIS = 512
 
 
 def _mm_enabled(shape):
