@@ -72,6 +72,23 @@ def _kernels(solver):
         Q2 = R2 + beta * Q
         return X2, eps2, R2, Q2, delta, denom
 
+    def newton_cg_multi(F, X, R, Q, gamma, newton_relax, mu0, lam0, bca):
+        """check_every inner CG iterations fused into one device program
+        (mirrors LSSolver._k_cg_multi): returns per-iteration
+        (gamma, denom, metric) stacks; convergence and the
+        indefinite-operator guard are acted on one chunk behind."""
+        def body(carry, _):
+            X, R, Q, gamma = carry
+            X2, eps2, R2, Q2, delta, denom = newton_cg_step(
+                F, X, R, Q, gamma, newton_relax, mu0, lam0, bca)
+            return (X2, R2, Q2, delta), (gamma, denom, metric(eps2))
+
+        (X, R, Q, gamma), (gammas, denoms, mets) = jax.lax.scan(
+            body, (X, R, Q, gamma), None,
+            length=max(1, solver.opt.check_every))
+        eps2 = F + newton_relax * X
+        return X, R, Q, gamma, eps2, gammas, denoms, mets
+
     def metric(eps):
         kind = solver._estimator_kind
         if kind == "epsilon":
@@ -104,6 +121,7 @@ def _kernels(solver):
     ks = {
         "init": jit(newton_init),
         "cg_step": jit(newton_cg_step),
+        "cg_multi": jit(newton_cg_multi),
         "metric": mjit(metric),
         "grad": jit(grad_step),
         "inner": jax.jit(fields.inner_l2),
@@ -145,24 +163,68 @@ def run_newton_cg(solver, E0, S0):
         ee = make_estimator(opt.error_estimator)
         ee.start(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
         it = 0
-        while True:
-            X, eps2, R, Q, delta, denom = ks["cg_step"](
-                solver.mat.fields(), F, X, R, Q, gamma, opt.newton_relax,
-                mu0=mu0, lam0=lam0, bca=bca)
-            if float(denom) <= 0:
-                solver._canceled = True
-                LOG.error(f"indefinite operator (alpha={float(denom):g}) canceling CG!")
-                return
-            solver.eps = eps2
-            if ee.metric_kind == "residual":
-                ee.update_cg(gamma, gamma0)
-            else:
-                ee.update(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
-            it, done = solver._converged(it, ee.abs_error(), ee.rel_error(),
-                                         check_bc=False)
-            if done:
-                break
-            gamma = float(delta)
+        K = max(1, int(opt.check_every))
+        if K > 1:
+            # chunked inner CG: K iterations per device dispatch; stacks are
+            # pulled to host one chunk behind (the ~28 ms tunnel sync
+            # overlaps device compute, exactly like _run_cg_elasticity)
+            pending = None
+            eps_checkpoint = solver.eps
+            while True:
+                X, R, Q, gamma, eps2, gammas, denoms, mets = ks["cg_multi"](
+                    solver.mat.fields(), F, X, R, Q, gamma, opt.newton_relax,
+                    mu0=mu0, lam0=lam0, bca=bca)
+                done = False
+                if pending is not None:
+                    pg, pden, pm, eps_prev = pending
+                    pg, pden, pm = (np.asarray(pg), np.asarray(pden),
+                                    np.asarray(pm))
+                    for k in range(K):
+                        if pden[k] <= 0:
+                            solver._canceled = True
+                            LOG.error(
+                                f"indefinite operator (alpha={pden[k]:g}) "
+                                "canceling CG!")
+                            # the state advanced past the bad step: restore
+                            # the last checked chunk boundary
+                            solver.eps = eps_prev
+                            return
+                        if ee.metric_kind == "residual":
+                            ee.update_cg(float(pg[k]), gamma0)
+                        else:
+                            ee.update(pm[k])
+                        it, done = solver._converged(
+                            it, ee.abs_error(), ee.rel_error(),
+                            check_bc=False)
+                        if done:
+                            break
+                    eps_checkpoint = eps_prev
+                solver.eps = eps2
+                if done:
+                    break
+                pending = (gammas, denoms, mets, eps_checkpoint)
+                eps_checkpoint = eps2
+        else:
+            while True:
+                X, eps2, R, Q, delta, denom = ks["cg_step"](
+                    solver.mat.fields(), F, X, R, Q, gamma, opt.newton_relax,
+                    mu0=mu0, lam0=lam0, bca=bca)
+                if float(denom) <= 0:
+                    solver._canceled = True
+                    LOG.error(f"indefinite operator (alpha={float(denom):g}) "
+                              "canceling CG!")
+                    return
+                solver.eps = eps2
+                if ee.metric_kind == "residual":
+                    ee.update_cg(gamma, gamma0)
+                else:
+                    ee.update(np.asarray(ks["metric"](solver.mat.fields(),
+                                                      solver.eps)))
+                it, done = solver._converged(it, ee.abs_error(),
+                                             ee.rel_error(), check_bc=False)
+                if done:
+                    break
+                gamma = float(delta)
         if solver._canceled:
             return
 

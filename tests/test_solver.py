@@ -466,3 +466,26 @@ def test_unknown_extrapolation_method_raises():
     s = _hyper_loadstep_solver("bogus", 1)
     with pytest.raises(SolverError, match="extrapolation method"):
         s.run()
+
+
+def test_hyper_newton_check_every_matches_single_step():
+    """The chunked hyperelastic inner CG (check_every > 1) must converge to
+    the same solution as the per-iteration loop with identical iteration
+    counts (convergence is acted on one chunk behind, like the linear CG)."""
+    def solve(check_every):
+        grid = Grid(8, 4, 4)
+        phi1, phi2 = layered_phi(grid)
+        hyp = VoigtMixed([
+            Phase("m1", laws.NeoHooke(mu=1.0, lam=1.0), phi1),
+            Phase("m2", laws.NeoHooke(mu=5.0, lam=2.0), phi2),
+        ], dim=9)
+        s = LSSolver(grid, hyp, SolverOptions(
+            mode="hyperelasticity", method="cg", tol=1e-8, maxiter=2000,
+            check_every=check_every))
+        s.set_strain(np.array([1.2, 1, 1, 0, 0, 0, 0, 0, 0]))
+        assert not s.run()
+        return s.calc_mean_stress()
+
+    sig1 = solve(1)
+    sig4 = solve(4)
+    np.testing.assert_allclose(sig4, sig1, rtol=1e-7, atol=1e-10)
