@@ -492,6 +492,8 @@ class LSSolver:
             self._bc = bcmod.make_bc_projector(
                 self.P, self.mu_0, self.lambda_0, self.opt.bc_relax)
 
+        self._reset_stall()
+
         import time as _time
         t0 = _time.perf_counter()
         ret = self._run_loadstepping(self.E, self.S)
@@ -585,8 +587,16 @@ class LSSolver:
                 return True
         return False
 
+    def _reset_stall(self):
+        """Reset the stagnation tracker; called per solve phase (each
+        loadstep, and each Newton inner solve) since relative errors
+        restart near 1 there."""
+        self._best_rel = float("inf")
+        self._stall = 0
+
     def run_solver(self, E, S):
         """Method dispatch (runSolver, fibergen.cpp:21401-21433)."""
+        self._reset_stall()
         self._current_E = np.asarray(E)
         self._current_S = np.asarray(S)
         m = self.opt.method
@@ -813,7 +823,14 @@ class LSSolver:
 
     # --------------------------------------------------------- convergence
     def _converged(self, it, abs_err, rel_err, check_bc=True):
-        """(converged, fibergen.cpp:21164-21244).  Returns (next_it, done)."""
+        """(converged, fibergen.cpp:21164-21244).  Returns (next_it, done).
+
+        Adds a stagnation guard the reference lacks (it parses tol_red,
+        fibergen.cpp:15047, but never uses it): when the relative error has
+        not improved by tol_red for 50 consecutive checks, the iteration
+        has hit its precision floor (common when a double-precision demo
+        tolerance like 1e-10 is run in float32 on TPU) and spinning to
+        maxiter would waste hours of device time."""
         LOG.info(f"# Iteration {it}: {self.opt.error_estimator} error "
                  f"abs. = {abs_err:g} rel. = {rel_err:g}")
         if math.isnan(rel_err):
@@ -821,6 +838,17 @@ class LSSolver:
             LOG.error("NaN detected in solution. Aborting.")
             return it, True
         self.residuals.append(rel_err)
+        if rel_err < self._best_rel * (1.0 - self.opt.tol_red):
+            self._best_rel = rel_err
+            self._stall = 0
+        else:
+            self._stall += 1
+            if self._stall >= 50:
+                LOG.warn(
+                    f"No progress for {self._stall} iterations at rel. "
+                    f"error {rel_err:g} (tolerance {self.opt.tol:g}): "
+                    "stopping at the precision floor.")
+                return it, True
         if self.convergence_callback and self.convergence_callback():
             LOG.info("Custom convergence test returned true.")
             return it, True

@@ -162,6 +162,7 @@ def run_newton_cg(solver, E0, S0):
 
         ee = make_estimator(opt.error_estimator)
         ee.start(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
+        solver._reset_stall()   # inner CG restarts its relative errors
         it = 0
         K = max(1, int(opt.check_every))
         if K > 1:

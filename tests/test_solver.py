@@ -489,3 +489,20 @@ def test_hyper_newton_check_every_matches_single_step():
     sig1 = solve(1)
     sig4 = solve(4)
     np.testing.assert_allclose(sig4, sig1, rtol=1e-7, atol=1e-10)
+
+
+def test_stagnation_guard_stops_at_precision_floor():
+    """A tolerance below the arithmetic's floor must not spin to maxiter:
+    the stagnation guard (50 checks without tol_red improvement) stops the
+    solve (the reference parses tol_red, fibergen.cpp:15047, but never
+    acts on it and spins)."""
+    grid = Grid(8, 4, 4)
+    mat = heat_material(grid, 1.0, 10.0)
+    s = LSSolver(grid, mat, SolverOptions(mode="heat", method="cg",
+                                          tol=1e-300, abs_tol=0.0,
+                                          maxiter=5000))
+    s.set_strain([1.0, 0, 0])
+    assert not s.run()
+    assert len(s.residuals) < 200, len(s.residuals)
+    # the answer is still the converged one
+    assert abs(float(s.calc_mean_stress()[0]) - 2 * 10 / 11) < 1e-9
