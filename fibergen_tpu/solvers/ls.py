@@ -822,7 +822,7 @@ class LSSolver:
                 break
 
     # --------------------------------------------------------- convergence
-    def _converged(self, it, abs_err, rel_err, check_bc=True):
+    def _converged(self, it, abs_err, rel_err, check_bc=True, patience=50):
         """(converged, fibergen.cpp:21164-21244).  Returns (next_it, done).
 
         Adds a stagnation guard the reference lacks (it parses tol_red,
@@ -843,7 +843,7 @@ class LSSolver:
             self._stall = 0
         else:
             self._stall += 1
-            if self._stall >= 50:
+            if self._stall >= patience:
                 LOG.warn(
                     f"No progress for {self._stall} iterations at rel. "
                     f"error {rel_err:g} (tolerance {self.opt.tol:g}): "

@@ -144,6 +144,8 @@ def run_newton_cg(solver, E0, S0):
     ee_outer.start(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
     iter_outer = 0
     gamma0 = -1.0
+    best_outer = float("inf")
+    stall_outer = 0
 
     while True:
         if gamma0 < 0 or opt.update_ref == "always":
@@ -230,8 +232,22 @@ def run_newton_cg(solver, E0, S0):
             return
 
         ee_outer.update(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
+        # track outer stagnation separately from the inner CG (each outer
+        # iteration costs a full inner solve, so the patience is short)
+        outer_rel = ee_outer.rel_error()
+        if outer_rel < best_outer * (1.0 - opt.tol_red):
+            best_outer = outer_rel
+            stall_outer = 0
+        else:
+            stall_outer += 1
+            if stall_outer >= 5:
+                LOG.warn(f"Newton made no progress for {stall_outer} outer "
+                         f"iterations at rel. error {outer_rel:g}: stopping "
+                         "at the precision floor.")
+                break
+        solver._reset_stall()   # do not leak inner-solve state into outer
         iter_outer, done = solver._converged(
-            iter_outer, ee_outer.abs_error(), ee_outer.rel_error())
+            iter_outer, ee_outer.abs_error(), outer_rel)
         if done:
             break
 
