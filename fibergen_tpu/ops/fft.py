@@ -137,6 +137,58 @@ def _ifftn_mm(y, shape):
     return out
 
 
+# ------------------------------------------------- local-stage mm helpers
+# Used by the distributed slab FFT (parallel/fft.py) so that the per-device
+# stages of the multi-chip transform ride the MXU exactly like the
+# single-chip path, instead of falling back to XLA's slower TPU FFT op.
+
+def rfft2_mm(x, full_shape):
+    """R2C 2-D DFT over the last two axes by MXU matmuls, scaled by
+    1/(nx*ny*nz) of the FULL grid (norm='forward' for the composed 3-D
+    transform); ``full_shape`` is the global (nx, ny, nz)."""
+    nx, ny, nz = full_shape
+    dt = x.dtype
+    scale = 1.0 / (nx * ny * nz)
+    Cz, Sz = _r2c_mats(nz)
+    re = jnp.einsum("...z,kz->...k", x, jnp.asarray(Cz * scale, dt),
+                    precision=_P)
+    im = jnp.einsum("...z,kz->...k", x, jnp.asarray(Sz * scale, dt),
+                    precision=_P)
+    Cy, Sy = _c2c_mats(ny, -1)
+    re, im = jnp.moveaxis(re, -2, -1), jnp.moveaxis(im, -2, -1)
+    re, im = _apply_last(re, im, jnp.asarray(Cy, dt), jnp.asarray(Sy, dt))
+    re, im = jnp.moveaxis(re, -1, -2), jnp.moveaxis(im, -1, -2)
+    return lax.complex(re, im)
+
+
+def irfft2_mm(y, yz_shape):
+    """Inverse of :func:`rfft2_mm` (unscaled); ``yz_shape`` = (ny, nz)."""
+    ny, nz = yz_shape
+    re, im = jnp.real(y), jnp.imag(y)
+    dt = re.dtype
+    Cy, Sy = _c2c_mats(ny, +1)
+    re, im = jnp.moveaxis(re, -2, -1), jnp.moveaxis(im, -2, -1)
+    re, im = _apply_last(re, im, jnp.asarray(Cy, dt), jnp.asarray(Sy, dt))
+    re, im = jnp.moveaxis(re, -1, -2), jnp.moveaxis(im, -1, -2)
+    Cr, Sr = _c2r_mats(nz)
+    return (jnp.einsum("...k,jk->...j", re, jnp.asarray(Cr, dt), precision=_P)
+            - jnp.einsum("...k,jk->...j", im, jnp.asarray(Sr, dt),
+                         precision=_P))
+
+
+def cfft_mm(y, axis, sign):
+    """Unscaled C2C DFT along ``axis`` by MXU matmuls (sign=-1 forward,
+    +1 inverse; the forward 1/n scale is composed into the slab FFT's 2-D
+    stage by :func:`rfft2_mm`)."""
+    n = y.shape[axis]
+    C, S = _c2c_mats(n, sign)
+    re, im = jnp.real(y), jnp.imag(y)
+    dt = re.dtype
+    re, im = jnp.moveaxis(re, axis, -1), jnp.moveaxis(im, axis, -1)
+    re, im = _apply_last(re, im, jnp.asarray(C, dt), jnp.asarray(S, dt))
+    return lax.complex(jnp.moveaxis(re, -1, axis), jnp.moveaxis(im, -1, axis))
+
+
 def fftn(x):
     """Forward FFT of a (ncomp, nx, ny, nz) real field; scaled by 1/N so the
     DC bin holds the field mean (fibergen.cpp:18481-18510)."""

@@ -42,15 +42,20 @@ def _roll(a, shift, axis):
     return pltpu.roll(a, shift % a.shape[axis], axis=axis)
 
 
+# Run the kernels in Pallas interpret mode (pure-jax emulation).  Tests use
+# this to exercise the kernel bodies — including the sharded ppermute-halo
+# variants — on the virtual CPU mesh, where Mosaic cannot compile.
+INTERPRET = False
+
 _VMEM_BUDGET = 12 * 1024 * 1024  # bytes for double-buffered blocks
 
 
-def _pick_bxy(grid: Grid, n_halo: int, n_out: int):
+def _pick_bxy(shape, n_halo: int, n_out: int):
     """Pick an (x, y) block size: halo-extended input blocks of ``n_halo``
     components plus ``n_out`` output components must fit the VMEM budget
     double-buffered, while minimizing the halo read amplification
     ((bx+2)(by+2))/(bx by)."""
-    nx, ny, nz = grid.shape
+    nx, ny, nz = shape
     lane = nz * 4
     best = None
     sizes = (1, 2, 4, 8, 16, 32, 64, 128, 256)
@@ -68,22 +73,42 @@ def _pick_bxy(grid: Grid, n_halo: int, n_out: int):
     return best[1], best[2]
 
 
-def supported(grid: Grid, dim: int, dtype) -> bool:
+def supported(grid: Grid, dim: int, dtype, n_devices: int = 1) -> bool:
     """Kernel applicability: staggered elasticity, f32, lane-aligned z, and
-    a viable (x, y) block tiling within the Mosaic scoped-VMEM limit."""
+    a viable (x, y) block tiling within the Mosaic scoped-VMEM limit.
+    ``n_devices > 1`` checks the per-device x-slab shape instead (the
+    sharded kernels run on local blocks of nx/D planes)."""
+    nx = grid.nx // n_devices if n_devices > 1 else grid.nx
+    if n_devices > 1 and grid.nx % n_devices != 0:
+        return False
     if not (dim == 6 and grid.nz % 128 == 0 and grid.ny % 8 == 0
-            and grid.nx >= 2 and jnp.dtype(dtype) == jnp.float32):
+            and nx >= 2 and jnp.dtype(dtype) == jnp.float32):
         return False
     # the largest kernel (stress_div_beta: 14 halo comps, 9 out comps)
-    return _pick_bxy(grid, 14, 9) is not None
+    return _pick_bxy((nx, grid.ny, grid.nz), 14, 9) is not None
 
 
-def _pad_xy(a):
+def _pad_xy(a, axis_name=None):
     """Periodic halo: 1 voxel in x, 4 in y (axes -3, -2).  The y halo is
     4 wide (not 1) so that halo windows have size by+8, a multiple of 8 —
     Pallas TPU requires the second-to-last block dimension to be divisible
-    by 8; only the outermost voxel of the halo is actually used."""
-    return jnp.pad(a, ((0, 0), (1, 1), (4, 4), (0, 0)), mode="wrap")
+    by 8; only the outermost voxel of the halo is actually used.
+
+    With ``axis_name`` set (inside shard_map over an x-slab mesh), the x
+    halo planes come from the neighbouring devices via ``lax.ppermute``
+    over ICI instead of the same-device wrap — the TPU-native analogue of
+    an MPI ghost-layer exchange."""
+    if axis_name is None:
+        return jnp.pad(a, ((0, 0), (1, 1), (4, 4), (0, 0)), mode="wrap")
+    n = jax.lax.psum(1, axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    # device i+1 receives device i's last plane (its left/minus halo);
+    # device i-1 receives device i's first plane (its right/plus halo)
+    left = jax.lax.ppermute(a[:, -1:], axis_name, fwd)
+    right = jax.lax.ppermute(a[:, :1], axis_name, bwd)
+    a = jnp.concatenate([left, a, right], axis=1)
+    return jnp.pad(a, ((0, 0), (0, 0), (4, 4), (0, 0)), mode="wrap")
 
 
 def _halo_spec(ncomp, bx, by, nz):
@@ -115,19 +140,21 @@ def _win(a, sx, sy):
     return a[sx, sy, :]
 
 
-def stress_div_staggered(grid: Grid, eps, mu_x, lam_x, mu0, lam0):
+def stress_div_staggered(grid: Grid, eps, mu_x, lam_x, mu0, lam0,
+                         axis_name=None):
     """f = div_staggered((C(x) - C0) : eps) in one fused pass.
 
     eps: (6, nx, ny, nz); mu_x/lam_x: (nx, ny, nz) effective iso moduli.
-    Returns (3, nx, ny, nz)."""
+    Returns (3, nx, ny, nz).  With ``axis_name``, operates on the local
+    x-slab inside shard_map (halo via ppermute)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx, ny, nz = grid.shape
-    bx, by = _pick_bxy(grid, n_halo=6 + 2, n_out=3)
+    nx, ny, nz = eps.shape[-3:]
+    bx, by = _pick_bxy((nx, ny, nz), n_halo=6 + 2, n_out=3)
 
-    eps_p = _pad_xy(eps)
-    mod_p = _pad_xy(jnp.stack([mu_x, lam_x]))
+    eps_p = _pad_xy(eps, axis_name)
+    mod_p = _pad_xy(jnp.stack([mu_x, lam_x]), axis_name)
 
     mu0f, lam0f = float(mu0), float(lam0)
     hxf = float(grid.nx / grid.dx)
@@ -168,12 +195,13 @@ def stress_div_staggered(grid: Grid, eps, mu_x, lam_x, mu0, lam0):
         in_specs=[_halo_spec(6, bx, by, nz), _halo_spec(2, bx, by, nz)],
         out_specs=pl.BlockSpec((3, bx, by, nz), lambda i, j: (0, i, j, 0),
                                memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
     )(eps_p, mod_p)
     return out
 
 
 def stress_div_beta_staggered(grid: Grid, r, p_prev, beta, mu_x, lam_x,
-                              mu0, lam0):
+                              mu0, lam0, axis_name=None):
     """Fused CG direction update + stress + divergence:
 
         p = r + beta * p_prev                (conjugate direction)
@@ -185,12 +213,12 @@ def stress_div_beta_staggered(grid: Grid, r, p_prev, beta, mu_x, lam_x,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx, ny, nz = grid.shape
-    bx, by = _pick_bxy(grid, n_halo=6 + 6 + 2, n_out=3 + 6)
+    nx, ny, nz = r.shape[-3:]
+    bx, by = _pick_bxy((nx, ny, nz), n_halo=6 + 6 + 2, n_out=3 + 6)
 
-    r_p = _pad_xy(r)
-    pp_p = _pad_xy(p_prev)
-    mod_p = _pad_xy(jnp.stack([mu_x, lam_x]))
+    r_p = _pad_xy(r, axis_name)
+    pp_p = _pad_xy(p_prev, axis_name)
+    mod_p = _pad_xy(jnp.stack([mu_x, lam_x]), axis_name)
     beta_a = jnp.asarray(beta, jnp.float32).reshape(1, 1)
 
     mu0f, lam0f = float(mu0), float(lam0)
@@ -250,6 +278,7 @@ def stress_div_beta_staggered(grid: Grid, r, p_prev, beta, mu_x, lam_x,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((6, bx, by, nz), lambda i, j: (0, i, j, 0),
                                 memory_space=pltpu.VMEM)),
+        interpret=INTERPRET,
     )(r_p, pp_p, mod_p, beta_a)
     return f, p
 
@@ -273,17 +302,17 @@ def _eps_exprs(u_ref, e_ref, s, hx, hy, hz):
     return e0, e1, e2, e3, e4, e5
 
 
-def eps_from_u_staggered(grid: Grid, E, u):
+def eps_from_u_staggered(grid: Grid, E, u, axis_name=None):
     """eta = E + sym grad_staggered(u) in one fused pass.
 
     u: (3, nx, ny, nz); E: (6,).  Returns (6, nx, ny, nz)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx, ny, nz = grid.shape
-    bx, by = _pick_bxy(grid, n_halo=3, n_out=6)
+    nx, ny, nz = u.shape[-3:]
+    bx, by = _pick_bxy((nx, ny, nz), n_halo=3, n_out=6)
 
-    u_p = _pad_xy(u)
+    u_p = _pad_xy(u, axis_name)
     Ef = jnp.asarray(E, jnp.float32).reshape(6, 1)
     hx = float(grid.nx / grid.dx)
     hy = float(grid.ny / grid.dy)
@@ -308,23 +337,25 @@ def eps_from_u_staggered(grid: Grid, E, u):
                                memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((6, bx, by, nz), lambda i, j: (0, i, j, 0),
                                memory_space=pltpu.VMEM),
+        interpret=INTERPRET,
     )(u_p, Ef)
     return out
 
 
-def eps_from_u_dot_staggered(grid: Grid, E, u, p):
+def eps_from_u_dot_staggered(grid: Grid, E, u, p, axis_name=None):
     """eta = E + sym grad_staggered(u), fused with the CG denominator
     reduction sum_c w_c p_c (p_c - eta_c) (Voigt weights w = [1,1,1,2,2,2],
     innerProduct, fibergen.cpp:20871-20952) — removes the separate read of
     (p, eta) for the denominator.  Returns (eta, dot_raw) with dot_raw the
-    UN-normalized sum (divide by nxyz outside)."""
+    UN-normalized sum (divide by nxyz outside).  With ``axis_name`` the
+    per-slab partial sum is psum-reduced over the mesh."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx, ny, nz = grid.shape
-    bx, by = _pick_bxy(grid, n_halo=3 + 6, n_out=6)
+    nx, ny, nz = u.shape[-3:]
+    bx, by = _pick_bxy((nx, ny, nz), n_halo=3 + 6, n_out=6)
 
-    u_p = _pad_xy(u)
+    u_p = _pad_xy(u, axis_name)
     Ef = jnp.asarray(E, jnp.float32).reshape(6, 1)
     hx = float(grid.nx / grid.dx)
     hy = float(grid.ny / grid.dy)
@@ -372,5 +403,9 @@ def eps_from_u_dot_staggered(grid: Grid, E, u, p):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((2, 1), lambda i, j: (0, 0),
                                 memory_space=pltpu.SMEM)),
+        interpret=INTERPRET,
     )(u_p, Ef, p)
-    return eta, dots[0, 0]
+    dot = dots[0, 0]
+    if axis_name is not None:
+        dot = jax.lax.psum(dot, axis_name)
+    return eta, dot

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import fft as fftmod
+
 
 class SlabFFT:
     """Distributed R2C/C2R 3-D FFTs for x-slab-sharded voxel fields."""
@@ -57,35 +59,60 @@ class SlabFFT:
         return d > 1 and nx % d == 0 and ny % d == 0
 
     # ------------------------------------------------------------ transforms
+    # The local stages follow the single-chip backend policy (ops/fft.py):
+    # on TPU the per-device 2-D R2C and 1-D C2C stages run as MXU matmul-DFT
+    # einsums (same _mm_enabled gate evaluated on the FULL grid extents, so
+    # the single- and multi-chip paths make the same choice); on CPU they
+    # fall back to jnp.fft.  The all-to-all transpose is unchanged.
+
+    def _use_mm(self, full_shape):
+        return fftmod._mm_enabled(full_shape)
+
+    def local_fwd(self, xb):
+        """Per-device forward program: local 2-D R2C over (y, z), tiled
+        all-to-all transpose (split y / concat x), local 1-D C2C over the
+        now-complete x axis.  Must be called INSIDE shard_map on an x-slab
+        block of shape (ncomp, nx/D, ny, nz)."""
+        ax = self.axis
+        nloc, ny, nz = xb.shape[-3:]
+        nx = nloc * self.n_devices
+        if self._use_mm((nx, ny, nz)):
+            y = fftmod.rfft2_mm(xb, (nx, ny, nz))
+            y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1,
+                                   tiled=True)
+            return fftmod.cfft_mm(y, axis=1, sign=-1)
+        y = jnp.fft.rfft2(xb, axes=(-2, -1), norm="forward")
+        y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1,
+                               tiled=True)
+        return jnp.fft.fft(y, axis=1, norm="forward")
+
+    def local_inv(self, yb, shape):
+        """Per-device inverse of :meth:`local_fwd`; ``shape`` is the global
+        real-space (nx, ny, nz).  Input block (ncomp, nx, ny/D, nz//2+1)."""
+        ax = self.axis
+        nx, ny, nz = shape
+        if self._use_mm(shape):
+            u = fftmod.cfft_mm(yb, axis=1, sign=+1)
+            u = jax.lax.all_to_all(u, ax, split_axis=1, concat_axis=2,
+                                   tiled=True)
+            return fftmod.irfft2_mm(u, (ny, nz))
+        u = jnp.fft.ifft(yb, axis=1, norm="forward")
+        u = jax.lax.all_to_all(u, ax, split_axis=1, concat_axis=2,
+                               tiled=True)
+        return jnp.fft.irfft2(u, s=(ny, nz), axes=(-2, -1), norm="forward")
+
     def fftn(self, x):
         """Forward R2C FFT of an x-slab-sharded (ncomp, nx, ny, nz) field;
         returns the y-sharded (ncomp, nx, ny, nz//2+1) hat field."""
-        ax = self.axis
-
-        def local(xb):
-            y = jnp.fft.rfft2(xb, axes=(-2, -1), norm="forward")
-            y = jax.lax.all_to_all(y, ax, split_axis=2, concat_axis=1,
-                                   tiled=True)
-            return jnp.fft.fft(y, axis=1, norm="forward")
-
-        return jax.shard_map(local, mesh=self.mesh,
+        return jax.shard_map(self.local_fwd, mesh=self.mesh,
                              in_specs=(self.field_spec,),
                              out_specs=self.hat_spec)(x)
 
     def ifftn(self, y, shape):
         """Inverse of :meth:`fftn`; ``shape`` is the real-space
         (nx, ny, nz)."""
-        ax = self.axis
-        _, ny, nz = shape
-
-        def local(yb):
-            u = jnp.fft.ifft(yb, axis=1, norm="forward")
-            u = jax.lax.all_to_all(u, ax, split_axis=1, concat_axis=2,
-                                   tiled=True)
-            return jnp.fft.irfft2(u, s=(ny, nz), axes=(-2, -1),
-                                  norm="forward")
-
-        return jax.shard_map(local, mesh=self.mesh,
+        return jax.shard_map(lambda yb: self.local_inv(yb, shape),
+                             mesh=self.mesh,
                              in_specs=(self.hat_spec,),
                              out_specs=self.field_spec)(y)
 
@@ -118,13 +145,47 @@ def slab_fft_for(sharding, grid) -> SlabFFT | None:
     GSPMD-partitioned single-program path)."""
     if not isinstance(sharding, NamedSharding):
         return None
-    spec = tuple(sharding.spec) + (None,) * (4 - len(sharding.spec))
-    if spec[0] is not None or spec[2] is not None or spec[3] is not None:
+    if slab_reject_reason(sharding, grid) is not None:
         return None
+    spec = tuple(sharding.spec) + (None,) * (4 - len(sharding.spec))
     axis = spec[1]
-    if axis is None or isinstance(axis, tuple):
+    if axis is None:
         return None
     sfft = SlabFFT(sharding.mesh, axis)
     if not sfft.supports(grid.nx, grid.ny, grid.nz):
-        return None
+        return None  # 1-device mesh: plain single-program path is fine
     return sfft
+
+
+def slab_reject_reason(sharding, grid) -> str | None:
+    """Why a given field sharding does NOT get the slab-FFT path (None when
+    it does).  Solvers use this to refuse loudly instead of letting GSPMD
+    silently lower the FFT to a full-field all-gather (the round-1
+    replication pathology)."""
+    if sharding is None:
+        return "no sharding given"
+    if not isinstance(sharding, NamedSharding):
+        return f"sharding is {type(sharding).__name__}, not a NamedSharding"
+    spec = tuple(sharding.spec) + (None,) * (4 - len(sharding.spec))
+    if spec[0] is not None or spec[2] is not None or spec[3] is not None:
+        return (f"field spec {sharding.spec} splits a non-x axis; the slab "
+                "decomposition requires P(None, <mesh axis>, None, None)")
+    axis = spec[1]
+    if axis is None:
+        return (f"field spec {sharding.spec} is replicated (no axis split); "
+                "use P(None, <mesh axis>, None, None)")
+    if isinstance(axis, tuple):
+        return f"field spec splits x over multiple mesh axes {axis}"
+    d = sharding.mesh.shape[axis]
+    if d <= 1:
+        return None  # single-device mesh: trivially fine without a slab FFT
+    bad = []
+    if grid.nx % d != 0:
+        bad.append(f"nx={grid.nx}")
+    if grid.ny % d != 0:
+        bad.append(f"ny={grid.ny}")
+    if bad:
+        return (f"{' and '.join(bad)} not divisible by the {d}-device mesh "
+                "(the all-to-all slab transpose needs equal chunks); pad the "
+                f"grid to a multiple of {d}")
+    return None

@@ -77,6 +77,12 @@ class SolverOptions:
     # fused Pallas stencil kernels for the staggered elasticity hot path:
     # "auto" enables them on TPU when the problem shape/mixing qualifies
     use_pallas: str = "auto"
+    # what to do when a sharded solver's grid does NOT qualify for the slab
+    # decomposition (non-divisible nx/ny, wrong spec): "error" refuses
+    # (default — the GSPMD fallback silently all-gathers the full field on
+    # every device, the round-1 replication pathology), "warn" logs loudly
+    # and proceeds with the replicated-FFT fallback anyway
+    sharding_fallback: str = "error"
     # staggered G0 applicator: "fft" or "multigrid" (G0_solver setting)
     g0_solver: str = "fft"
     # even-grid Nyquist symmetrization of the collocated Gamma
@@ -214,8 +220,25 @@ class LSSolver:
         # sharding qualifies (parallel/fft.py); None falls back to the
         # single-program jnp.fft path
         from .. import parallel as parmod
+        from ..parallel.fft import slab_reject_reason
         self.par = (parmod.slab_fft_for(self.sharding, grid)
                     if self.sharding is not None else None)
+        if (self.sharding is not None and self.par is None
+                and not getattr(self.sharding, "is_fully_replicated", True)):
+            reason = slab_reject_reason(self.sharding, grid)
+            if reason is not None:
+                msg = (
+                    f"sharded solve cannot use the slab FFT: {reason}. "
+                    "Without it GSPMD lowers every FFT to a full-field "
+                    "all-gather (each device computes the whole transform; "
+                    "neither memory nor ICI traffic scales with the mesh). "
+                    "Use a grid whose nx and ny divide the mesh, or set "
+                    "SolverOptions(sharding_fallback='warn') to proceed "
+                    "with replicated FFTs anyway.")
+                if self.opt.sharding_fallback == "warn":
+                    LOG.warn(msg)
+                else:
+                    raise SolverError(msg)
 
         def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0):
             return gammamod.gamma_operator(
@@ -229,13 +252,16 @@ class LSSolver:
             return x
 
         def _pallas_enabled():
-            if self.opt.use_pallas == "off" or self.sharding is not None:
+            if self.opt.use_pallas == "off":
                 return False
+            if self.sharding is not None and self.par is None:
+                return False  # no slab layout: plain GSPMD path
+            ndev = self.par.n_devices if self.par is not None else 1
             from ..ops import pallas_kernels as pk
             if not (mode == "elasticity" and scheme == "staggered"
                     and self.opt.g0_solver == "fft"
                     and getattr(mat, "_iso_linear", False)
-                    and pk.supported(grid, self.dim, dt)):
+                    and pk.supported(grid, self.dim, dt, ndev)):
                 return False
             if self.opt.use_pallas == "on":
                 return True
@@ -243,19 +269,53 @@ class LSSolver:
 
         self._pallas_active = _pallas_enabled()
 
+        # shard_map plumbing for the fused sharded hot path: the Pallas
+        # stencils run per-slab with the 1-voxel x halo exchanged over ICI
+        # (lax.ppermute inside pallas_kernels._pad_xy) and the slab FFT's
+        # local stages ride the same matmul-DFT backend as single-chip
+        par = self.par
+        if par is not None:
+            from jax.sharding import PartitionSpec as _P
+            _mesh, _ax = par.mesh, par.axis
+            _fs = par.field_spec          # (ncomp, x-slab, y, z)
+            _ms = _P(_ax, None, None)     # (x-slab, y, z) moduli fields
+            _rs = _P()                    # replicated scalars / Voigt vecs
+
+            def _smap(fn, in_specs, out_specs):
+                # check_vma=False: pallas_call outputs carry no varying-axis
+                # metadata; collective correctness is explicit here (ppermute
+                # halos, psum for the fused CG denominator)
+                return jax.shard_map(fn, mesh=_mesh, in_specs=in_specs,
+                                     out_specs=out_specs, check_vma=False)
+
         def fused_basic(eps, E, mu0, lam0):
             """stress_diff + div fused (Pallas), then G0 in Fourier, then the
             fused staggered gradient.  Only the trivial-BC path is fused;
-            mixed BCs need the tau mean and use the jnp path."""
+            mixed BCs need the tau mean and use the jnp path.  On a mesh,
+            the stencils run per-slab under shard_map (ppermute halo) and
+            the FFTs through the slab decomposition."""
             from ..ops import fft as fftmod
             from ..ops import green
             from ..ops import pallas_kernels as pk
             mu_x, lam_x = mat._all_iso()
-            f = pk.stress_div_staggered(grid, eps, mu_x, lam_x, mu0, lam0)
-            f_hat = fftmod.fftn(f)
+            Ej = jnp.asarray(E, dt)
+            if par is None:
+                f = pk.stress_div_staggered(grid, eps, mu_x, lam_x, mu0, lam0)
+                f_hat = fftmod.fftn(f)
+                u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
+                u = fftmod.ifftn(u_hat, grid.shape)
+                return pk.eps_from_u_staggered(grid, Ej, u)
+            f = _smap(
+                lambda e, m, l: pk.stress_div_staggered(
+                    grid, e, m, l, mu0, lam0, axis_name=_ax),
+                (_fs, _ms, _ms), _fs)(eps, mu_x, lam_x)
+            f_hat = par.fftn(f)
             u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
-            u = fftmod.ifftn(u_hat, grid.shape)
-            return pk.eps_from_u_staggered(grid, jnp.asarray(E, dt), u)
+            u = par.ifftn(u_hat, grid.shape)
+            return _smap(
+                lambda uu, ee: pk.eps_from_u_staggered(
+                    grid, ee, uu, axis_name=_ax),
+                (_fs, _rs), _fs)(u, Ej)
 
         def basic_step(eps, E, bca, mu0, lam0):
             if self._pallas_active and bca is None:
@@ -299,13 +359,28 @@ class LSSolver:
                 from ..ops import green
                 from ..ops import pallas_kernels as pk
                 mu_x, lam_x = mat._all_iso()
-                f, p = pk.stress_div_beta_staggered(
-                    grid, r, p_prev, beta, mu_x, lam_x, mu0, lam0)
-                f_hat = fftmod.fftn(f)
-                u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
-                u = fftmod.ifftn(u_hat, grid.shape)
-                w, dot_raw = pk.eps_from_u_dot_staggered(
-                    grid, jnp.zeros(self.dim, dt), u, p)
+                if par is None:
+                    f, p = pk.stress_div_beta_staggered(
+                        grid, r, p_prev, beta, mu_x, lam_x, mu0, lam0)
+                    f_hat = fftmod.fftn(f)
+                    u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
+                    u = fftmod.ifftn(u_hat, grid.shape)
+                    w, dot_raw = pk.eps_from_u_dot_staggered(
+                        grid, jnp.zeros(self.dim, dt), u, p)
+                else:
+                    f, p = _smap(
+                        lambda rr, pp, bb, m, l: pk.stress_div_beta_staggered(
+                            grid, rr, pp, bb, m, l, mu0, lam0, axis_name=_ax),
+                        (_fs, _fs, _rs, _ms, _ms), (_fs, _fs))(
+                        r, p_prev, beta, mu_x, lam_x)
+                    f_hat = par.fftn(f)
+                    u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
+                    u = par.ifftn(u_hat, grid.shape)
+                    w, dot_raw = _smap(
+                        lambda uu, pp, ee: pk.eps_from_u_dot_staggered(
+                            grid, ee, uu, pp, axis_name=_ax),
+                        (_fs, _fs, _rs), (_fs, _rs))(
+                        u, p, jnp.zeros(self.dim, dt))
                 denom = dot_raw / nxyz + tiny
             else:
                 p = shard(r + beta * p_prev)
