@@ -18,6 +18,14 @@ loops, and torch.fft is pocketfft, competitive with FFTW.
 Usage:  python bench_baseline_cpu.py [n] [iters]
 Prints one JSON line with the measured sec/iter, the measured achieved
 memory bandwidth, and derived 64-core node estimates.
+
+Usage:  python bench_baseline_cpu.py --to-tol [n] [tol]
+Runs the TRUE staggered CG (same shifted-form trajectory as
+runCGElasticity, fibergen.cpp:23153-23247) on the identical sphere RVE
+bench.py solves (30% sphere, mu 10/1, lam 5/1, E=[1,0,0,0,0,0]) to the
+relative residual sqrt(gamma/gamma0) <= tol, and prints iterations-to-tol
+plus measured s/iter — demonstrating iteration-count parity with the
+repo's solver rather than assuming it.
 """
 import json
 import sys
@@ -98,6 +106,146 @@ def one_iteration(p, mu_field, dmu, mu0, lam0, kr, ki, n):
     return w, eps_upd, r_upd, delta
 
 
+def make_sphere_problem(n, dtype=torch.float64):
+    """The bench.py RVE: centered sphere of radius 0.3 (30.9% volume),
+    fiber mu=10 lam=5, matrix mu=1 lam=1, hard per-voxel indicator."""
+    ax = [(np.arange(n) + 0.5) / n - 0.5 for _ in range(3)]
+    X, Y, Z = np.meshgrid(*ax, indexing="ij")
+    phi = torch.tensor(((X * X + Y * Y + Z * Z) < 0.09).astype(np.float64),
+                       dtype=dtype)
+    mu_x = 1.0 + 9.0 * phi
+    lam_x = 1.0 + 4.0 * phi
+    # reference material (fibergen.cpp:22283 + 12227): per-voxel tangent
+    # eigenvalues {2 mu, 3 lam + 2 mu}; mu0 = 0.25 (lmin + lmax), lam0 = 0
+    lmin = float(torch.minimum(2.0 * mu_x, 3.0 * lam_x + 2.0 * mu_x).min())
+    lmax = float(torch.maximum(2.0 * mu_x, 3.0 * lam_x + 2.0 * mu_x).max())
+    mu0 = 0.25 * (lmin + lmax)
+    return mu_x, lam_x, mu0, 0.0
+
+
+VOIGT_W = torch.tensor([1.0, 1.0, 1.0, 2.0, 2.0, 2.0]).view(6, 1, 1, 1)
+
+
+def ip(a, b):
+    """Voigt-weighted mean inner product (innerProductL2,
+    fibergen.cpp:20955-21036)."""
+    return float((a * VOIGT_W * b).sum()) / a[0].numel()
+
+
+def krylov_staggered(p, mu_x, lam_x, mu0, lam0, kp, n):
+    """w = -Gamma (C - C0) p: isotropic stress_diff -> staggered div ->
+    full staggered G0 (c1 f + c2 (f.k+) k-, fibergen.cpp:19749-19927) ->
+    staggered symmetric gradient.  Mirrors the repo's krylov/fused path so
+    CG trajectories are comparable iteration-for-iteration."""
+    tr = p[0] + p[1] + p[2]
+    tau = 2.0 * (mu_x - mu0).unsqueeze(0) * p
+    tau[:3] += (lam_x - lam0) * tr
+
+    def dp(g, ax):  # forward difference
+        return (torch.roll(g, -1, ax) - g) * n
+
+    def dm(g, ax):  # backward difference
+        return (g - torch.roll(g, 1, ax)) * n
+
+    # div: backward on the diagonal, forward on the shear terms
+    # (divOperatorStaggered, fibergen.cpp:18853-18908)
+    f = torch.empty((3,) + tau.shape[1:], dtype=tau.dtype)
+    f[0] = dm(tau[0], 0) + dp(tau[5], 1) + dp(tau[4], 2)
+    f[1] = dp(tau[5], 0) + dm(tau[1], 1) + dp(tau[3], 2)
+    f[2] = dp(tau[4], 0) + dp(tau[3], 1) + dm(tau[2], 2)
+
+    f_hat = torch.fft.rfftn(f, dim=(1, 2, 3), norm="forward")
+
+    nzr = f_hat.shape[3]
+    kx = kp.view(-1, 1, 1)
+    ky = kp.view(1, -1, 1)
+    kz = kp[:nzr].view(1, 1, -1)
+    n2 = (kx.abs() ** 2 + ky.abs() ** 2 + kz.abs() ** 2)
+    n2[0, 0, 0] = 1.0
+    # alpha = -1 baked in: c1 = 1/(mu0 |k|^2), c2 = c20/|k|^4 with
+    # c20 = 1/(mu0 (1 + mu0/(lam0 + mu0)))
+    c1 = 1.0 / (mu0 * n2)
+    c20 = 1.0 / (mu0 * (1.0 + mu0 / (lam0 + mu0)))
+    c2 = c20 / (n2 * n2)
+    fkp = f_hat[0] * kx + f_hat[1] * ky + f_hat[2] * kz
+    c2_fkp = c2 * fkp
+    u_hat = torch.stack([
+        c1 * f_hat[0] - c2_fkp * kx.conj(),
+        c1 * f_hat[1] - c2_fkp * ky.conj(),
+        c1 * f_hat[2] - c2_fkp * kz.conj(),
+    ])
+    u_hat[:, 0, 0, 0] = 0.0
+
+    u = torch.fft.irfftn(u_hat, s=p.shape[1:], dim=(1, 2, 3), norm="forward")
+
+    # eps: forward on the diagonal, backward on the shear terms
+    # (epsOperatorStaggered, fibergen.cpp:18614-18692)
+    w = torch.empty_like(p)
+    w[0] = dp(u[0], 0)
+    w[1] = dp(u[1], 1)
+    w[2] = dp(u[2], 2)
+    w[3] = 0.5 * (dm(u[2], 1) + dm(u[1], 2))
+    w[4] = 0.5 * (dm(u[2], 0) + dm(u[0], 2))
+    w[5] = 0.5 * (dm(u[1], 0) + dm(u[0], 1))
+    return w
+
+
+def run_cg_to_tol(n, tol):
+    """True CG to sqrt(gamma/gamma0) <= tol, identical trajectory to the
+    repo's _run_cg_elasticity (shifted direction form, beta_0 = 1 against
+    p_prev = 0)."""
+    dtype = torch.float64
+    mu_x, lam_x, mu0, lam0 = make_sphere_problem(n, dtype)
+    # staggered modified wavenumber k+ = (e^{i xi} - 1) / h, h = 1/n
+    xi = 2.0 * np.pi * np.fft.fftfreq(n)
+    kp = torch.tensor((np.exp(1j * xi) - 1.0) * n, dtype=torch.complex128)
+
+    E = torch.tensor([1.0, 0, 0, 0, 0, 0], dtype=dtype).view(6, 1, 1, 1)
+    eps = E.expand(6, n, n, n).clone()
+    r = krylov_staggered(eps, mu_x, lam_x, mu0, lam0, kp, n)  # E - eps = 0
+    gamma0 = ip(r, r) + 1e-300
+    gamma, gamma_prev = gamma0, gamma0
+    p_prev = torch.zeros_like(r)
+
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        rel = float(np.sqrt(gamma / gamma0))
+        iters += 1
+        if rel <= tol or iters > 4000:
+            break
+        beta = gamma / gamma_prev
+        p = r + beta * p_prev
+        w = krylov_staggered(p, mu_x, lam_x, mu0, lam0, kp, n)
+        denom = ip(p, p - w) + 1e-300
+        alpha = gamma / denom
+        eps += alpha * p
+        r -= alpha * (p - w)
+        p_prev = p
+        gamma_prev = gamma
+        gamma = ip(r, r) + 1e-300
+    dt = time.perf_counter() - t0
+    return iters, rel, dt
+
+
+def to_tol_main():
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-6
+    iters, rel, dt = run_cg_to_tol(n, tol)
+    sec_per_iter = dt / max(1, iters - 1)
+    print(json.dumps({
+        "metric": f"reference-proxy staggered CG to tol, {n}^3 sphere RVE f64",
+        "iters_to_tol": iters,
+        "tol": tol,
+        "final_rel": rel,
+        "measured_wall_s": round(dt, 2),
+        "measured_sec_per_iter": round(sec_per_iter, 4),
+        "threads": torch.get_num_threads(),
+        "note": "same RVE/trajectory as bench.py wall_to_1e6 phase; "
+                "iteration counts are hardware-independent",
+    }))
+
+
 def measure_triad_bw(nbytes=2 * 10**8):
     """Achieved single-socket effective bandwidth of a torch triad
     (a = b + s*c): 3 arrays moved per element."""
@@ -112,6 +260,9 @@ def measure_triad_bw(nbytes=2 * 10**8):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--to-tol":
+        to_tol_main()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     torch.set_num_threads(torch.get_num_threads())

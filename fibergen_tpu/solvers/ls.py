@@ -92,6 +92,12 @@ class SolverOptions:
     first_loadstep: int = -1
     loadstep_extrapolation_order: int = 0
     loadstep_extrapolation_method: str = "polynomial"
+    # automatic divergence recovery: on NaN / indefinite-operator abort
+    # inside a loadstep, restore the last converged state and insert the
+    # midpoint loadstep parameter (the retry the reference left disabled,
+    # fibergen.cpp:21661-21671 `#if 0`).  Value = max number of splits per
+    # solve; 0 disables recovery.
+    max_loadstep_splits: int = 8
     print_mean: bool = False
     print_detF: bool = False
     dtype: str = "float64"
@@ -154,6 +160,7 @@ class LSSolver:
         # (write_loadsteps/loadstep_filename wiring, fibergen.cpp:21437)
         self.loadstep_writer: Optional[Callable[[int], None]] = None
         self._canceled = False
+        self._diverged = False
 
         self._current_E = self.E
         self._current_S = self.S
@@ -530,6 +537,7 @@ class LSSolver:
     def _run_impl(self) -> bool:
         self.residuals = []
         self._canceled = False
+        self._diverged = False
 
         LOG.info(f"RVE: dims={self.grid.dx}x{self.grid.dy}x{self.grid.dz} "
                  f"voxels={self.grid.nx}x{self.grid.ny}x{self.grid.nz}")
@@ -623,11 +631,18 @@ class LSSolver:
 
     def _run_loadstepping(self, Emax, Smax) -> bool:
         """Loadstep loop with optional solution extrapolation
-        (runLoadsteppingSolver, fibergen.cpp:21584-21685)."""
+        (runLoadsteppingSolver, fibergen.cpp:21584-21685) and automatic
+        divergence recovery: the midpoint-split retry the reference left
+        disabled (fibergen.cpp:21661-21671 `#if 0`) — on NaN or
+        indefinite-operator abort the last converged state is restored and
+        the loadstep is halved, up to ``max_loadstep_splits`` times."""
         params, first = self._loadstep_params()
+        params = list(params)
         history = []  # (t, eps) for extrapolation
+        splits = 0
 
-        for istep in range(first, len(params)):
+        istep = first
+        while istep < len(params):
             t = params[istep]
             E = t * np.asarray(Emax)
             S = t * np.asarray(Smax)
@@ -636,6 +651,12 @@ class LSSolver:
 
             if len(params) > 2:
                 LOG.info(f"*** loadstep {istep}/{len(params)-1} parameter {t} ***")
+
+            # snapshot the last-converged state so a diverged attempt can be
+            # rolled back (jax arrays are immutable: holding the reference
+            # is a free checkpoint)
+            eps_entry = self.eps
+            history_entry = list(history)
 
             order = self.opt.loadstep_extrapolation_order
             if order > 0 and istep > first:
@@ -646,10 +667,28 @@ class LSSolver:
                         history, t, self.opt.loadstep_extrapolation_method,
                         self.dim)
 
-            try:
-                self.run_solver(E, S)
-            except SolverError:
-                raise
+            self._diverged = False
+            self.run_solver(E, S)
+            if self._diverged:
+                can_split = (self.opt.max_loadstep_splits > 0
+                             and splits < self.opt.max_loadstep_splits
+                             and istep >= 1)
+                if not can_split:
+                    LOG.error("loadsteps canceled")
+                    return True
+                mid = 0.5 * (params[istep] + params[istep - 1])
+                LOG.warn(
+                    f"loadstep {t:g} diverged: restoring "
+                    f"state at {params[istep - 1]:g} and splitting at "
+                    f"parameter {mid:g} "
+                    f"(split {splits + 1}/{self.opt.max_loadstep_splits})")
+                params.insert(istep, mid)
+                splits += 1
+                self.eps = eps_entry
+                history = history_entry
+                self._canceled = False
+                self._diverged = False
+                continue
             if self._canceled:
                 LOG.error("loadsteps canceled")
                 return True
@@ -660,6 +699,7 @@ class LSSolver:
             if self.loadstep_callback and self.loadstep_callback():
                 LOG.info("Loadstep callback break request.")
                 return True
+            istep += 1
         return False
 
     def _reset_stall(self):
@@ -910,6 +950,7 @@ class LSSolver:
                  f"abs. = {abs_err:g} rel. = {rel_err:g}")
         if math.isnan(rel_err):
             self._canceled = True
+            self._diverged = True
             LOG.error("NaN detected in solution. Aborting.")
             return it, True
         self.residuals.append(rel_err)

@@ -185,6 +185,7 @@ def run_newton_cg(solver, E0, S0):
                     for k in range(K):
                         if pden[k] <= 0:
                             solver._canceled = True
+                            solver._diverged = True
                             LOG.error(
                                 f"indefinite operator (alpha={pden[k]:g}) "
                                 "canceling CG!")
@@ -214,6 +215,7 @@ def run_newton_cg(solver, E0, S0):
                     mu0=mu0, lam0=lam0, bca=bca)
                 if float(denom) <= 0:
                     solver._canceled = True
+                    solver._diverged = True
                     LOG.error(f"indefinite operator (alpha={float(denom):g}) "
                               "canceling CG!")
                     return

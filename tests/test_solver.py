@@ -506,3 +506,41 @@ def test_stagnation_guard_stops_at_precision_floor():
     assert len(s.residuals) < 200, len(s.residuals)
     # the answer is still the converged one
     assert abs(float(s.calc_mean_stress()[0]) - 2 * 10 / 11) < 1e-9
+
+
+def _svk_compression_solver(lmbda, splits, maxiter=400):
+    grid = Grid(8, 4, 4)
+    phi1, phi2 = layered_phi(grid)
+    mat = VoigtMixed([
+        Phase("m1", laws.SaintVenantKirchhoff(mu=1.0, lam=1.0), phi1),
+        Phase("m2", laws.SaintVenantKirchhoff(mu=3.0, lam=2.0), phi2),
+    ], dim=9)
+    s = LSSolver(grid, mat, SolverOptions(
+        mode="hyperelasticity", method="cg", tol=1e-8, maxiter=maxiter,
+        loadsteps=1, max_loadstep_splits=splits))
+    s.set_strain(np.array([lmbda, 1, 1, 0, 0, 0, 0, 0, 0]))
+    return s
+
+
+def test_loadstep_split_recovers_divergent_svk():
+    """Automatic divergence recovery: 28% uniaxial SVK compression in ONE
+    loadstep hits an indefinite Newton-CG operator and aborts; with
+    max_loadstep_splits the solver restores the last converged state,
+    inserts midpoint loadsteps, and converges (the retry the reference
+    left disabled, fibergen.cpp:21661-21671 `#if 0`)."""
+    s0 = _svk_compression_solver(0.72, splits=0)
+    assert s0.run()          # True = failure
+    assert s0._diverged
+
+    s1 = _svk_compression_solver(0.72, splits=8)
+    assert not s1.run()      # recovered
+    F = np.asarray(s1.calc_mean_strain())
+    assert F[0] == pytest.approx(0.72, rel=1e-6)
+    assert F[1] == pytest.approx(1.0, rel=1e-6)
+
+
+def test_loadstep_split_gives_up_at_cap():
+    """An unreachable load (past the SVK stability limit lam < 1/sqrt(3))
+    must stop after max_loadstep_splits, not loop forever."""
+    s = _svk_compression_solver(0.35, splits=2, maxiter=150)
+    assert s.run()           # still fails, but terminates
