@@ -205,6 +205,7 @@ class FG:
                 "loadstep_extrapolation_order", 0, int),
             loadstep_extrapolation_method=sol.value(
                 "loadstep_extrapolation_method", "polynomial", str),
+            max_loadstep_splits=sol.value("max_loadstep_splits", 8, int),
             print_mean=sol.value("print_mean", False, bool),
             print_detF=sol.value("print_detF", False, bool),
             g0_solver=sol.value("G0_solver", "fft", str),
@@ -1025,7 +1026,11 @@ class FG:
 
     def _action_write_png(self, action, r):
         """Distance-map plane sample as PNG image (write_png,
-        fibergen.cpp:25352): p(u, v) = a0 + u*a1 + v*a2."""
+        fibergen.cpp:25352 + writeDistanceMap, :7093-7140):
+        p(u, v) = a0 + u*a1 + v*a2 on a w x h raster; each gray8 pixel is
+        the CALIBRATED value min(max(d + offset, 0)^exponent * scale, 1)
+        — absolute scale, not renormalized, so images from different
+        projects are comparable."""
         from .io.png import write_png
         self.init_lss()
         self.init_fibers()
@@ -1039,40 +1044,146 @@ class FG:
         exponent = r.attr("exponent", 1.0, float)
         scale = r.attr("scale", 1.0, float)
         offset = r.attr("offset", 0.0, float)
-        nu, nv = grid.nx, grid.ny
-        us = (np.arange(nu) + 0.5) / nu
-        vs = (np.arange(nv) + 0.5) / nv
-        pts = (a0[None, None] + us[:, None, None] * a1[None, None]
-               + vs[None, :, None] * a2[None, None]).reshape(-1, 3)
+        w = r.attr("w", grid.nx, int)
+        h = r.attr("h", grid.ny, int)
+        us = (np.arange(w) + 0.5) / w
+        vs = (np.arange(h) + 0.5) / h
+        # rows i over h (a2 direction), columns j over w (a1 direction)
+        pts = (a0[None, None] + us[None, :, None] * a1[None, None]
+               + vs[:, None, None] * a2[None, None]).reshape(-1, 3)
         d = np.full(pts.shape[0], np.inf)
         for f in self.gen.all_fibers():
             d = np.minimum(d, np.atleast_1d(f.distance(pts)))
-        img = scale * np.sign(d) * np.abs(d) ** exponent + offset
-        img = img.reshape(nu, nv)
-        lo, hi = img.min(), img.max()
-        img = (img - lo) / (hi - lo if hi > lo else 1.0)
-        write_png(r.attr("filename", "distance.png", str), img.T[::-1])
+        img = np.minimum(
+            np.power(np.maximum(d + offset, 0.0), exponent) * scale, 1.0)
+        write_png(r.attr("filename", "distance.png", str), img.reshape(h, w))
 
     def _action_write_pvpy(self, action, r):
         """ParaView python script of the geometry (PVPyWriter,
-        fibergen.cpp:5643)."""
+        fibergen.cpp:5643-5713).  The reference writer throws for anything
+        but capsules; here EVERY primitive is emitted: capsule/cylinder
+        (oriented via Transform), sphere, halfspace (plane), triangle /
+        tetrahedron / STL surface (ProgrammableSource polydata), plus the
+        RVE bounding box — honoring the reference's bbox/fibers attrs."""
         self.init_fibers()
         path = r.attr("filename", "geometry.py", str)
+        bbox = r.attr("bbox", True, bool)
+        fibers_on = r.attr("fibers", True, bool)
         lines = ["from paraview.simple import *", ""]
-        for f in self.gen.all_fibers():
-            t = type(f).__name__
-            if t == "Capsule" and f.length == 0:
-                lines.append(
-                    f"s = Sphere(Center={list(f.center)}, Radius={f.radius})")
-                lines.append(f"RenameSource('fiber_{f.fiber_id}', s)")
-                lines.append("Show(s)")
-            elif t in ("Capsule", "Cylinder"):
-                c = list(f.center)
-                lines.append(
-                    f"s = Cylinder(Center={c}, Radius={f.radius}, "
-                    f"Height={f.length})")
-                lines.append(f"RenameSource('fiber_{f.fiber_id}', s)")
-                lines.append("Show(s)")
+
+        def show(name):
+            lines.append(f"RenameSource('{name}', s)")
+            lines.append("Show(s)")
+
+        def rot_from_y(axis):
+            """Euler XYZ degrees rotating paraview's y-aligned cylinder
+            onto `axis` (rotation about the mutual normal)."""
+            a = np.asarray(axis, dtype=np.float64)
+            a = a / (np.linalg.norm(a) or 1.0)
+            y = np.array([0.0, 1.0, 0.0])
+            v = np.cross(y, a)
+            s = np.linalg.norm(v)
+            c = float(y @ a)
+            if s < 1e-12:
+                return [180.0, 0.0, 0.0] if c < 0 else [0.0, 0.0, 0.0]
+            vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                           [-v[1], v[0], 0]])
+            R = np.eye(3) + vx + vx @ vx * ((1 - c) / (s * s))
+            # Euler XYZ (paraview Transform Rotate order) from R
+            sy = float(np.hypot(R[0, 0], R[1, 0]))
+            if sy > 1e-9:
+                rx = np.degrees(np.arctan2(R[2, 1], R[2, 2]))
+                ry = np.degrees(np.arctan2(-R[2, 0], sy))
+                rz = np.degrees(np.arctan2(R[1, 0], R[0, 0]))
+            else:
+                rx = np.degrees(np.arctan2(-R[1, 2], R[1, 1]))
+                ry = np.degrees(np.arctan2(-R[2, 0], sy))
+                rz = 0.0
+            return [rx, ry, rz]
+
+        def tri_source(name, tris):
+            pts = []
+            polys = []
+            for k, (v0, v1, v2) in enumerate(tris):
+                pts.extend([list(map(float, v0)), list(map(float, v1)),
+                            list(map(float, v2))])
+                polys.append([3 * k, 3 * k + 1, 3 * k + 2])
+            script = (
+                "import vtk\\n"
+                f"pts = {pts}\\n"
+                f"polys = {polys}\\n"
+                "p = vtk.vtkPoints()\\n"
+                "[p.InsertNextPoint(*q) for q in pts]\\n"
+                "c = vtk.vtkCellArray()\\n"
+                "t = vtk.vtkTriangle()\\n"
+                "for tri in polys:\\n"
+                "    t = vtk.vtkTriangle()\\n"
+                "    for j in range(3): t.GetPointIds().SetId(j, tri[j])\\n"
+                "    c.InsertNextCell(t)\\n"
+                "out = self.GetPolyDataOutput()\\n"
+                "out.SetPoints(p)\\n"
+                "out.SetPolys(c)")
+            lines.append("s = ProgrammableSource()")
+            lines.append("s.OutputDataSetType = 'vtkPolyData'")
+            lines.append(f"s.Script = \"{script}\"")
+            show(name)
+
+        if fibers_on:
+            for f in self.gen.all_fibers():
+                t = type(f).__name__
+                name = f"fiber_{f.fiber_id}"
+                if t == "Capsule" and f.length == 0:
+                    lines.append(f"s = Sphere(Center={list(map(float, f.center))}, "
+                                 f"Radius={float(f.radius)})")
+                    show(name)
+                elif t in ("Capsule", "Cylinder"):
+                    lines.append(f"s = Cylinder(Radius={float(f.radius)}, "
+                                 f"Height={float(f.length)}, Capping="
+                                 f"{t == 'Cylinder'})")
+                    lines.append("s = Transform(Input=s)")
+                    lines.append(f"s.Transform.Rotate = {rot_from_y(f.axis)}")
+                    lines.append(
+                        f"s.Transform.Translate = {list(map(float, f.center))}")
+                    show(name)
+                    if t == "Capsule":
+                        ax = np.asarray(f.axis, dtype=np.float64)
+                        for sgn in (-1.0, 1.0):
+                            c = np.asarray(f.center) + sgn * 0.5 * f.length * ax
+                            lines.append(f"s = Sphere(Center={list(map(float, c))}, "
+                                         f"Radius={float(f.radius)})")
+                            show(name + ("_cap_m" if sgn < 0 else "_cap_p"))
+                elif t == "HalfSpace":
+                    nv = np.asarray(f.normal, dtype=np.float64)
+                    nv = nv / (np.linalg.norm(nv) or 1.0)
+                    lines.append(f"s = Plane()")
+                    lines.append(f"s.Origin = {list(map(float, f.point))}")
+                    show(name)
+                elif t == "Triangle":
+                    tri_source(name, [(f.v0, f.v1, f.v2)])
+                elif t == "Tetrahedron":
+                    v = np.asarray(f.verts, dtype=np.float64)
+                    faces = [(v[0], v[1], v[2]), (v[0], v[1], v[3]),
+                             (v[0], v[2], v[3]), (v[1], v[2], v[3])]
+                    tri_source(name, faces)
+                elif t == "TetMesh":
+                    v = np.asarray(f.points, dtype=np.float64)
+                    faces = []
+                    for tet in f.tets:
+                        q = v[np.asarray(tet)]
+                        faces += [(q[0], q[1], q[2]), (q[0], q[1], q[3]),
+                                  (q[0], q[2], q[3]), (q[1], q[2], q[3])]
+                    tri_source(name, faces)
+                elif t == "TriangleSurface":
+                    tri_source(name, list(zip(np.asarray(f.V0),
+                                              np.asarray(f.V1),
+                                              np.asarray(f.V2))))
+        if bbox:
+            x0, y0, z0, dx, dy, dz = self.get_rve_dims()
+            lines.append(f"s = Box(XLength={dx}, YLength={dy}, "
+                         f"ZLength={dz}, Center=[{x0 + dx / 2}, "
+                         f"{y0 + dy / 2}, {z0 + dz / 2}])")
+            lines.append("RenameSource('rve_bbox', s)")
+            lines.append("Show(s, Representation='Outline')")
         lines.append("Render()")
         with open(path, "w") as fp:
             fp.write("\n".join(lines) + "\n")
@@ -1229,7 +1340,13 @@ class FG:
         return self.solver.get_fft_time() if self.solver else 0.0
 
     def get_distance_evals(self) -> int:
-        return 0  # not meaningful: voxelization is a fused device kernel
+        """Number of fiber-distance evaluations performed by the voxelizer
+        (get_distance_evals, fibergen.cpp:25087 + 27168).  The reference's
+        default build returns 0 (the counter is compiled out unless
+        TEST_DIST_EVAL is defined); here it is a real count — one
+        evaluation per primitive per (supersampled) voxel, which is
+        exactly the work the batched device kernels perform."""
+        return int(discretize.DIST_EVALS)
 
     def get_residuals(self) -> List[float]:
         return list(self.solver.residuals) if self.solver else []
@@ -1288,7 +1405,7 @@ class FG:
         if name in ("u", "p"):
             return np.asarray(self._displacement_field(name))
         if name in ("orientation", "normals", "distance", "fiber_id",
-                    "material_id"):
+                    "material_id", "fiber_translation"):
             self.init_fibers()
             f = discretize.geometry_fields(lss.grid, self.gen.all_fibers())[name]
             arr = np.asarray(f)

@@ -25,6 +25,18 @@ from ..core.grid import Grid
 from ..utils.logging import LOG
 from .primitives import Fiber, HalfSpace, pack_fibers
 
+# running count of fiber-distance evaluations performed by the voxelizer
+# (get_distance_evals, fibergen.cpp:25087: the reference's default build
+# returns 0 unless compiled with TEST_DIST_EVAL; here the count is real —
+# one evaluation per primitive per (supersampled) voxel, the exact work the
+# batched device kernels perform)
+DIST_EVALS = 0
+
+
+def reset_distance_evals():
+    global DIST_EVALS
+    DIST_EVALS = 0
+
 
 def _coords(grid: Grid, ss: int, dtype):
     """Supersampled voxel-center coordinate arrays, broadcastable."""
@@ -124,7 +136,9 @@ def phi_field(grid: Grid, fibers: List[Fiber], supersample: int = 1,
 
     Contributions of individual fibers are summed and clamped like
     integratePhiVoxel (fibergen.cpp:16681-16704)."""
+    global DIST_EVALS
     ss = max(1, int(supersample))
+    DIST_EVALS += len(fibers) * int(np.prod(grid.shape)) * ss ** 3
     x, y, z = _coords(grid, ss, dtype)
     h = (grid.dx / (grid.nx * ss), grid.dy / (grid.ny * ss),
          grid.dz / (grid.nz * ss))
@@ -200,24 +214,35 @@ def normalize_phi(phis: List[jnp.ndarray]) -> List[jnp.ndarray]:
     return out
 
 
+def _translation_of(f) -> np.ndarray:
+    t = getattr(f, "translation", None)
+    return np.zeros(3) if t is None else np.asarray(t, dtype=np.float64)
+
+
 def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
-    """Distance / normals / orientation / fiber_id / material_id fields of
-    the closest fiber per voxel (get_raw_field derived fields,
-    fibergen.cpp:15396-15695)."""
+    """Distance / normals / orientation / fiber_id / material_id /
+    fiber_translation fields of the closest fiber per voxel (get_raw_field
+    derived fields, fibergen.cpp:15396-15695; fiber_translation is the
+    periodic-clone offset of the closest fiber, :6865-6884)."""
+    global DIST_EVALS
     x, y, z = _coords(grid, 1, dtype)
     big = jnp.asarray(np.finfo(np.dtype(dtype)).max / 4, dtype)
     shape = grid.shape
+    nvox = int(np.prod(shape))
 
     dmin = jnp.full(shape, big, dtype)
     normal = jnp.zeros((3,) + shape, dtype)
     orient = jnp.zeros((3,) + shape, dtype)
     fid = jnp.full(shape, -1, jnp.int32)
     mid = jnp.full(shape, -1, jnp.int32)
+    trans = jnp.zeros((3,) + shape, dtype)
 
+    from .primitives import Capsule, Cylinder
     packed = pack_fibers(fibers)
-    caps = [f for f in fibers if not isinstance(f, HalfSpace)]
+    caps = [f for f in fibers if isinstance(f, (Capsule, Cylinder))]
     if packed is not None:
         mats = jnp.asarray(np.array([f.material for f in caps]), jnp.int32)
+        trs = jnp.asarray(np.stack([_translation_of(f) for f in caps]), dtype)
         params = (
             jnp.asarray(packed.centers, dtype),
             jnp.asarray(packed.axes, dtype),
@@ -226,11 +251,13 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
             jnp.asarray(packed.flat),
             jnp.asarray(packed.ids),
             mats,
+            trs,
         )
+        DIST_EVALS += len(caps) * nvox
 
         def body(carry, p):
-            dmin, normal, orient, fid, mid = carry
-            c, a, hl, R, flat, i, m = p
+            dmin, normal, orient, fid, mid, trans = carry
+            c, a, hl, R, flat, i, m, tr = p
             d, n = _capsule_dn(x, y, z, c, a, hl, R, flat)
             take = d < dmin
             dmin = jnp.where(take, d, dmin)
@@ -239,13 +266,15 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
                                a.reshape(3, 1, 1, 1).astype(dtype), orient)
             fid = jnp.where(take, i, fid)
             mid = jnp.where(take, m, mid)
-            return (dmin, normal, orient, fid, mid), None
+            trans = jnp.where(take[None], tr.reshape(3, 1, 1, 1), trans)
+            return (dmin, normal, orient, fid, mid, trans), None
 
-        (dmin, normal, orient, fid, mid), _ = jax.lax.scan(
-            body, (dmin, normal, orient, fid, mid), params)
+        (dmin, normal, orient, fid, mid, trans), _ = jax.lax.scan(
+            body, (dmin, normal, orient, fid, mid, trans), params)
 
     for f in fibers:
         if isinstance(f, HalfSpace):
+            DIST_EVALS += nvox
             nv = np.asarray(f.normal, dtype=np.float64)
             nv = nv / np.linalg.norm(nv)
             d = ((x - f.point[0]) * nv[0] + (y - f.point[1]) * nv[1]
@@ -258,6 +287,9 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
             orient = jnp.where(take[None], nfield, orient)
             fid = jnp.where(take, f.fiber_id, fid)
             mid = jnp.where(take, f.material, mid)
+            tf = jnp.broadcast_to(jnp.asarray(_translation_of(f), dtype)
+                                  .reshape(3, 1, 1, 1), (3,) + shape)
+            trans = jnp.where(take[None], tf, trans)
 
     # mesh primitives: tets (incl. expanded TetMesh), triangles, STL surfaces
     # (the reference computes these through the same closest-fiber query,
@@ -267,8 +299,11 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
     tets = [f for f in fibers if isinstance(f, Tetrahedron)]
     for f in fibers:
         if isinstance(f, TetMesh):
-            tets.extend(Tetrahedron(verts=f.points[t], material=f.material,
-                                    fiber_id=f.fiber_id) for t in f.tets)
+            for t in f.tets:
+                tt = Tetrahedron(verts=f.points[t], material=f.material,
+                                 fiber_id=f.fiber_id)
+                tt.translation = getattr(f, "translation", None)
+                tets.append(tt)
     if tets:
         nrm = jnp.asarray(np.stack(
             [np.stack([pl[0] for pl in t._faces]) for t in tets]), dtype)
@@ -276,10 +311,12 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
             [np.array([pl[0] @ pl[1] for pl in t._faces]) for t in tets]), dtype)
         ids = jnp.asarray(np.array([t.fiber_id for t in tets]), jnp.int32)
         ms = jnp.asarray(np.array([t.material for t in tets]), jnp.int32)
+        trs = jnp.asarray(np.stack([_translation_of(t) for t in tets]), dtype)
+        DIST_EVALS += len(tets) * nvox
 
         def tbody(carry, p):
-            dmin, normal, orient, fid, mid = carry
-            nr, of, i, m = p
+            dmin, normal, orient, fid, mid, trans = carry
+            nr, of, i, m, tr = p
             d, n = _tet_dn(x, y, z, nr, of)
             take = d < dmin
             dmin = jnp.where(take, d, dmin)
@@ -288,16 +325,20 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
             orient = jnp.where(take[None], nf, orient)
             fid = jnp.where(take, i, fid)
             mid = jnp.where(take, m, mid)
-            return (dmin, normal, orient, fid, mid), None
+            trans = jnp.where(take[None], tr.reshape(3, 1, 1, 1), trans)
+            return (dmin, normal, orient, fid, mid, trans), None
 
-        (dmin, normal, orient, fid, mid), _ = jax.lax.scan(
-            tbody, (dmin, normal, orient, fid, mid), (nrm, off, ids, ms))
+        (dmin, normal, orient, fid, mid, trans), _ = jax.lax.scan(
+            tbody, (dmin, normal, orient, fid, mid, trans),
+            (nrm, off, ids, ms, trs))
 
     tris = [f for f in fibers if isinstance(f, Triangle)]
     tri_groups = [(jnp.asarray(np.stack([np.stack([t.v0, t.v1, t.v2])
                                          for t in tris]), dtype),
                    jnp.asarray(np.array([t.fiber_id for t in tris]), jnp.int32),
                    jnp.asarray(np.array([t.material for t in tris]), jnp.int32),
+                   jnp.asarray(np.stack([_translation_of(t) for t in tris]),
+                               dtype),
                    False)] if tris else []
     for f in fibers:
         if isinstance(f, TriangleSurface):
@@ -306,11 +347,15 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
             nt = V.shape[0]
             tri_groups.append((
                 V, jnp.full(nt, f.fiber_id, jnp.int32),
-                jnp.full(nt, f.material, jnp.int32), bool(f.fill)))
-    for V, ids, ms, signed in tri_groups:
+                jnp.full(nt, f.material, jnp.int32),
+                jnp.broadcast_to(jnp.asarray(_translation_of(f), dtype),
+                                 (nt, 3)), bool(f.fill)))
+    for V, ids, ms, trs, signed in tri_groups:
+        DIST_EVALS += int(V.shape[0]) * nvox
+
         def tribody(carry, p):
-            dmin, normal, orient, fid, mid = carry
-            v, i, m = p
+            dmin, normal, orient, fid, mid, trans = carry
+            v, i, m, tr = p
             d, s, n = _tri_dn(x, y, z, v[0], v[1], v[2])
             if signed:
                 d = d * s
@@ -322,10 +367,11 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
             orient = jnp.where(take[None], nf, orient)
             fid = jnp.where(take, i, fid)
             mid = jnp.where(take, m, mid)
-            return (dmin, normal, orient, fid, mid), None
+            trans = jnp.where(take[None], tr.reshape(3, 1, 1, 1), trans)
+            return (dmin, normal, orient, fid, mid, trans), None
 
-        (dmin, normal, orient, fid, mid), _ = jax.lax.scan(
-            tribody, (dmin, normal, orient, fid, mid), (V, ids, ms))
+        (dmin, normal, orient, fid, mid, trans), _ = jax.lax.scan(
+            tribody, (dmin, normal, orient, fid, mid, trans), (V, ids, ms, trs))
 
     return {
         "distance": dmin,
@@ -333,6 +379,7 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
         "orientation": orient,
         "fiber_id": fid,
         "material_id": mid,
+        "fiber_translation": trans,
     }
 
 

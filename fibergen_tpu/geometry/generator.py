@@ -214,7 +214,9 @@ class FiberGenerator:
                         # keep the clone only if it can touch the RVE box
                         if np.any(lo + t > x0 + dims) or np.any(hi + t < x0):
                             continue
-                        clones.append(fiber.translated(t))
+                        c = fiber.translated(t)
+                        c.translation = t
+                        clones.append(c)
         else:
             # wall mode: clone across each wall the fiber crosses, plus the
             # diagonals of multi-wall intersections
@@ -231,7 +233,9 @@ class FiberGenerator:
                 for b, (ax, d) in enumerate(crossed):
                     if k >> b & 1:
                         t[ax] += d
-                clones.append(fiber.translated(t))
+                c = fiber.translated(t)
+                c.translation = t
+                clones.append(c)
         return clones
 
     def _random_fiber(self, rng, index) -> Fiber:

@@ -23,6 +23,12 @@ import numpy as np
 class Fiber:
     material: int = 0
     fiber_id: int = 0
+    # periodic-clone offset relative to the primary fiber (zero for
+    # primaries): what the reference reports as 'fiber_translation'
+    # (bbCenter() - parent()->bbCenter(), fibergen.cpp:6865-6884).
+    # Set by FiberGenerator._make_clones; NOT a dataclass field so the
+    # per-primitive constructors stay unchanged.
+    translation = None
 
     def volume(self) -> float:
         raise NotImplementedError

@@ -1,0 +1,186 @@
+"""Round-3 API parity sweep: fiber_translation field, real
+get_distance_evals, calibrated write_png, full-primitive write_pvpy
+(VERDICT round 2, item 8)."""
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+import fibergen_tpu as fg
+from fibergen_tpu.utils.logging import LOG
+
+LOG.enabled = False
+
+
+def _sphere_project(cx=0.1, n=16, periodic=True):
+    p = 1 if periodic else 0
+    return f"""
+    <settings>
+      <periodic x="{p}" y="{p}" z="{p}">{p}</periodic>
+      <solver n="{n}">
+        <mode>heat</mode>
+        <materials><matrix mu="1" /><fiber mu="10" /></materials>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <place_fiber R="0.2" cx="{cx}" cy="0.5" cz="0.5" />
+        <init_phase />
+      </actions>
+    </settings>
+    """
+
+
+def test_fiber_translation_field():
+    """A sphere at x=0.1 clones across the x wall (translation +1): voxels
+    near x=1 are closest to the CLONE and report its periodic offset; the
+    region near the primary reports zero (get_raw_field 'fiber_translation',
+    fibergen.cpp:15629-15660 = bbCenter - parent bbCenter, :6865)."""
+    f = fg.FG()
+    f.set_xml(_sphere_project())
+    assert f.run() == 0
+    tr = f.get_field("fiber_translation")
+    assert tr.shape == (3, 16, 16, 16)
+    # voxel at x ~ 0.97, y=z=0.5: closest fiber is the clone at x=1.1
+    assert tr[0, 15, 8, 8] == pytest.approx(1.0)
+    assert tr[1, 15, 8, 8] == pytest.approx(0.0)
+    # voxel at x ~ 0.1 (inside the primary): translation 0
+    assert tr[0, 1, 8, 8] == pytest.approx(0.0)
+
+
+def test_fiber_translation_zero_without_periodicity():
+    f = fg.FG()
+    f.set_xml(_sphere_project(periodic=False))
+    assert f.run() == 0
+    tr = f.get_field("fiber_translation")
+    assert np.all(tr == 0.0)
+
+
+def test_get_distance_evals_counts_real_work():
+    """get_distance_evals reports the actual voxelizer work: one evaluation
+    per primitive per voxel (the reference's default build returns 0,
+    fibergen.cpp:25087-25092; ours counts for real)."""
+    from fibergen_tpu.geometry import discretize
+    discretize.reset_distance_evals()
+    f = fg.FG()
+    f.set_xml(_sphere_project(periodic=False))
+    assert f.run() == 0
+    # one sphere, no clones, 16^3 voxels, at least the phi pass
+    assert f.get_distance_evals() >= 16 ** 3
+    before = f.get_distance_evals()
+    f.get_field("distance")
+    assert f.get_distance_evals() > before
+
+
+def _read_gray8_png(path):
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, w, h, rows = 8, None, None, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert (depth, ctype) == (8, 0)
+        elif typ == b"IDAT":
+            rows += body
+        pos += 12 + ln
+    raw = zlib.decompress(rows)
+    img = np.frombuffer(raw, np.uint8).reshape(h, w + 1)
+    assert np.all(img[:, 0] == 0)  # filter type 0 rows
+    return img[:, 1:]
+
+
+def test_write_png_absolute_scale(tmp_path, monkeypatch):
+    """write_png emits the CALIBRATED value min(max(d+offset,0)^exp*scale,1)
+    (writeDistanceMap, fibergen.cpp:7113-7119) — no renormalization, so
+    halving `scale` halves every non-saturated pixel."""
+    monkeypatch.chdir(tmp_path)
+
+    def proj(scale, fname):
+        return f"""
+        <settings>
+          <solver n="8">
+            <mode>heat</mode>
+            <materials><matrix mu="1" /><fiber mu="10" /></materials>
+          </solver>
+          <actions>
+            <select_material name="fiber" />
+            <place_fiber type="halfspace" cx="0.5" ax="-1" />
+            <write_png filename="{fname}" a0z="0.5" w="8" h="8"
+                       scale="{scale}" />
+          </actions>
+        </settings>
+        """
+
+    f1 = fg.FG(); f1.set_xml(proj(1.0, "s1.png")); assert f1.run() == 0
+    f2 = fg.FG(); f2.set_xml(proj(0.5, "s2.png")); assert f2.run() == 0
+    img1 = _read_gray8_png(tmp_path / "s1.png").astype(float)
+    img2 = _read_gray8_png(tmp_path / "s2.png").astype(float)
+    # halfspace normal -x at 0.5: d = (p - c) . n = 0.5 - x (inside is
+    # x > 0.5, where d < 0 -> pixel 0)
+    x = (np.arange(8) + 0.5) / 8
+    expect1 = np.minimum(np.maximum(0.5 - x, 0.0), 1.0) * 255
+    np.testing.assert_allclose(img1[4], expect1, atol=1.0)
+    mask = (img1 > 2) & (img1 < 250)
+    np.testing.assert_allclose(img2[mask], 0.5 * img1[mask], atol=1.0)
+
+
+def test_write_pvpy_all_primitives(tmp_path, monkeypatch):
+    """Every primitive type is emitted (the reference writer throws for
+    anything but capsules, fibergen.cpp:5691-5699)."""
+    monkeypatch.chdir(tmp_path)
+    xml = """
+    <settings>
+      <solver n="4">
+        <mode>heat</mode>
+        <materials><matrix mu="1" /><fiber mu="2" /></materials>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <place_fiber R="0.1" cx="0.3" cy="0.3" cz="0.3" />
+        <place_fiber R="0.1" L="0.4" cx="0.7" cy="0.7" cz="0.7"
+                     ax="0" ay="0" az="1" />
+        <place_fiber type="halfspace" cx="0.9" ax="-1" />
+        <init_phase />
+        <write_pvpy filename="geo.py" />
+      </actions>
+    </settings>
+    """
+    f = fg.FG()
+    f.set_xml(xml)
+    assert f.run() == 0
+    txt = (tmp_path / "geo.py").read_text()
+    assert "Sphere" in txt            # sphere primitive
+    assert "Cylinder" in txt          # capsule core
+    assert "Transform" in txt         # oriented placement
+    assert "Plane" in txt             # halfspace
+    assert "rve_bbox" in txt          # bounding box
+    compile(txt, "geo.py", "exec")    # syntactically valid python
+
+
+def test_write_pvpy_triangle_surface(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from fibergen_tpu.geometry.primitives import Triangle
+    f = fg.FG()
+    f.set_xml("""
+    <settings>
+      <solver n="4">
+        <mode>heat</mode>
+        <materials><matrix mu="1" /><fiber mu="2" /></materials>
+      </solver>
+      <actions><init_phase /></actions>
+    </settings>
+    """)
+    assert f.run() == 0
+    f.gen.fibers.append(Triangle(
+        v0=np.array([0.0, 0, 0]), v1=np.array([1.0, 0, 0]),
+        v2=np.array([0.0, 1, 0]), material=1, fiber_id=7))
+    from fibergen_tpu.config.xmlproject import SettingsReader
+    import xml.etree.ElementTree as ET
+    node = ET.fromstring('<write_pvpy filename="tri.py" />')
+    f._action_write_pvpy(node, SettingsReader(f.engine, node))
+    txt = (tmp_path / "tri.py").read_text()
+    assert "ProgrammableSource" in txt
+    compile(txt, "tri.py", "exec")
