@@ -1,0 +1,423 @@
+"""Sequential x-sweep Pallas kernels for the staggered CG hot path.
+
+The BlockSpec kernels in pallas_kernels.py wrap-pad their inputs with
+``jnp.pad`` to provide the periodic stencil halo; because the producer and
+consumer of those arrays are opaque pallas calls, XLA materializes every
+pad — a full extra HBM read+write of all 14 input components per
+iteration (~2 GB at 256^3), which measured as ~45% of the stencil kernels'
+runtime.
+
+These kernels eliminate the halo entirely with a manual-DMA sequential
+sweep along x (the reference's divOperatorStaggered / epsOperatorStaggered
+loops, fibergen.cpp:18853 + 18614, restructured for the TPU memory
+system):
+
+  * the kernel receives full HBM refs (no BlockSpecs) and double-buffers
+    x-slabs of ``bx`` planes through VMEM with explicit ``make_async_copy``;
+  * y and z stay fully resident per slab, so their periodic shifts are
+    in-register ``pltpu.roll``s;
+  * the x halo is a 2-plane VMEM carry: the stencil output lags the sweep
+    by one plane, so every input plane is read from HBM EXACTLY ONCE;
+  * the periodic wrap (f at x = nx-1 needs tau at x = 0) is handled by a
+    prologue that preloads the last input planes and a split output DMA on
+    the first block.
+
+Each CG iteration's two stencil passes then move the mathematically
+minimal traffic: read(r, p_prev, moduli) + write(f, p), and
+read(u, p) + write(w) with the fused Voigt CG denominator
+(Kahan-compensated in VMEM).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from . import pallas_kernels as pk
+
+# VMEM budget for scratch buffers (double-buffered slabs + carries).  The
+# Mosaic scoped limit is ~124 MB on v5e; compute temporaries (the tau/w
+# window concatenations and stencil stacks) take roughly another third on
+# top of the explicit scratch, so the scratch budget stays well below it.
+_VMEM_BUDGET = 64 * 1024 * 1024
+
+
+def _roll(a, shift, axis):
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.roll(a, shift % a.shape[axis], axis=axis)
+
+
+def pick_bx(shape, n_in, n_out):
+    """Largest x-slab size whose double-buffered in/out scratch plus the
+    carry planes fit the VMEM budget; None if even bx=1 does not fit."""
+    nx, ny, nz = shape
+    plane = ny * nz * 4
+    for bx in (8, 4, 2, 1):
+        if nx % bx != 0 or nx // bx < 3:
+            continue
+        need = (2 * (n_in + n_out) * bx + 12) * plane
+        if need <= _VMEM_BUDGET:
+            return bx
+    return None
+
+
+def supported(grid: Grid, dim: int, dtype) -> bool:
+    if not (dim == 6 and grid.nz % 128 == 0 and grid.ny % 8 == 0
+            and jnp.dtype(dtype) == jnp.float32):
+        return False
+    shape = (grid.nx, grid.ny, grid.nz)
+    return (pick_bx(shape, 14, 9) is not None
+            and pick_bx(shape, 9, 6) is not None)
+
+
+def stress_div_beta_sweep(grid: Grid, r, p_prev, beta, mu_x, lam_x,
+                          mu0, lam0):
+    """p = r + beta p_prev; f = div_staggered((C(x) - C0) : p); one sweep.
+
+    Equals pallas_kernels.stress_div_beta_staggered (same math, same
+    discretization) with zero halo-pad traffic.  Returns (f, p)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = r.shape[-3:]
+    bx = pick_bx((nx, ny, nz), 14, 9)
+    nb = nx // bx
+    dt = r.dtype
+
+    mu0f, lam0f = float(mu0), float(lam0)
+    hx = float(grid.nx / grid.dx)
+    hy = float(grid.ny / grid.dy)
+    hz = float(grid.nz / grid.dz)
+
+    mod = jnp.stack([mu_x, lam_x])
+    beta_a = jnp.asarray(beta, dt).reshape(1, 1)
+
+    def tau_of(rr, pp, mm, b):
+        """p and tau of a slab; rr/pp (6, k, ny, nz), mm (2, k, ny, nz)."""
+        pblk = rr + b * pp
+        dmu = 2.0 * (mm[0] - mu0f)
+        ltr = (mm[1] - lam0f) * (pblk[0] + pblk[1] + pblk[2])
+        tau = jnp.concatenate([dmu * pblk[:3] + ltr[None], dmu * pblk[3:]])
+        return pblk, tau
+
+    def f_of(te):
+        """f rows from a tau window te (6, k+2, ny, nz): output row j
+        corresponds to x with tau rows (j, j+1, j+2) = (x-1, x, x+1)."""
+        k = te.shape[1] - 2
+        c = te[:, 1:1 + k]
+        m = te[:, 0:k]
+        q = te[:, 2:2 + k]
+        dyp = lambda a: (_roll(a, -1, 1) - a) * hy
+        dym = lambda a: (a - _roll(a, 1, 1)) * hy
+        dzp = lambda a: (_roll(a, -1, 2) - a) * hz
+        dzm = lambda a: (a - _roll(a, 1, 2)) * hz
+        f0 = (c[0] - m[0]) * hx + dyp(c[5]) + dzp(c[4])
+        f1 = (q[5] - c[5]) * hx + dym(c[1]) + dzp(c[3])
+        f2 = (q[4] - c[4]) * hx + dyp(c[3]) + dzm(c[2])
+        return jnp.stack([f0, f1, f2])
+
+    def kernel(r_hbm, pp_hbm, mod_hbm, b_ref, f_hbm, p_hbm,
+               inb, outb, pro, carry, isem, psem, osem):
+        b = b_ref[0, 0]
+
+        def in_copies(i, s):
+            return (
+                pltpu.make_async_copy(r_hbm.at[:, pl.ds(i * bx, bx)],
+                                      inb.at[s, 0:6], isem.at[s, 0]),
+                pltpu.make_async_copy(pp_hbm.at[:, pl.ds(i * bx, bx)],
+                                      inb.at[s, 6:12], isem.at[s, 1]),
+                pltpu.make_async_copy(mod_hbm.at[:, pl.ds(i * bx, bx)],
+                                      inb.at[s, 12:14], isem.at[s, 2]),
+            )
+
+        # out-DMA descriptors; offsets only matter at .start(), the waits
+        # only need matching transfer sizes on the same semaphore
+        def p_copy(i, s):
+            return pltpu.make_async_copy(
+                outb.at[s, 0:6], p_hbm.at[:, pl.ds(i * bx, bx)],
+                osem.at[s, 0])
+
+        def f_copy(i, s):
+            return pltpu.make_async_copy(
+                outb.at[s, 6:9], f_hbm.at[:, pl.ds(i * bx - 1, bx)],
+                osem.at[s, 1])
+
+        def f_wrap_copy(s):
+            return pltpu.make_async_copy(
+                outb.at[s, 6:9, 0:1], f_hbm.at[:, pl.ds(nx - 1, 1)],
+                osem.at[s, 2])
+
+        def f_rest_copy(s):
+            return pltpu.make_async_copy(
+                outb.at[s, 6:9, 1:bx], f_hbm.at[:, pl.ds(0, bx - 1)],
+                osem.at[s, 1])
+
+        # ---- prologue: carry = tau(nx-2), tau(nx-1) from the last planes
+        pros = (
+            pltpu.make_async_copy(r_hbm.at[:, pl.ds(nx - 2, 2)],
+                                  pro.at[0:6], psem.at[0]),
+            pltpu.make_async_copy(pp_hbm.at[:, pl.ds(nx - 2, 2)],
+                                  pro.at[6:12], psem.at[1]),
+            pltpu.make_async_copy(mod_hbm.at[:, pl.ds(nx - 2, 2)],
+                                  pro.at[12:14], psem.at[2]),
+        )
+        for cp in pros:
+            cp.start()
+        for cp in in_copies(0, 0):
+            cp.start()
+        for cp in pros:
+            cp.wait()
+        _, tau_carry = tau_of(pro[0:6], pro[6:12], pro[12:14], b)
+        carry[...] = tau_carry
+
+        def body(i, _):
+            s = i % 2
+            for cp in in_copies(i, s):
+                cp.wait()
+
+            @pl.when(i + 1 < nb)
+            def _():
+                for cp in in_copies(i + 1, 1 - s):
+                    cp.start()
+
+            pblk, tau = tau_of(inb[s, 0:6], inb[s, 6:12], inb[s, 12:14], b)
+            te = jnp.concatenate([carry[...], tau], axis=1)
+            fblk = f_of(te)                    # rows i*bx-1 .. i*bx+bx-2
+            carry[...] = te[:, bx:bx + 2]
+
+            # wait for the out-DMAs issued two iterations ago on this slot
+            @pl.when(i >= 2)
+            def _():
+                p_copy(i, s).wait()
+
+            @pl.when(i == 2)
+            def _():
+                f_wrap_copy(s).wait()
+                if bx > 1:
+                    f_rest_copy(s).wait()
+
+            @pl.when(i > 2)
+            def _():
+                f_copy(i, s).wait()
+
+            outb[s, 0:6] = pblk
+            outb[s, 6:9] = fblk
+
+            p_copy(i, s).start()
+
+            @pl.when(i == 0)
+            def _():
+                # f rows [-1 .. bx-2]: local row 0 is f(nx-1)
+                f_wrap_copy(s).start()
+                if bx > 1:
+                    f_rest_copy(s).start()
+
+            @pl.when(i > 0)
+            def _():
+                f_copy(i, s).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0, unroll=False)
+
+        # drain the final two slots (nb >= 3, so i >= 1 here)
+        for back in (2, 1):
+            i = nb - back
+            s = i % 2
+            p_copy(i, s).wait()
+            f_copy(i, s).wait()
+
+    f, p = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((3, nx, ny, nz), dt),
+                   jax.ShapeDtypeStruct((6, nx, ny, nz), dt)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 14, bx, ny, nz), dt),
+            pltpu.VMEM((2, 9, bx, ny, nz), dt),
+            pltpu.VMEM((14, 2, ny, nz), dt),
+            pltpu.VMEM((6, 2, ny, nz), dt),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
+        interpret=pk.INTERPRET,
+    )(r, p_prev, mod, beta_a)
+    return f, p
+
+
+def eps_from_u_dot_sweep(grid: Grid, E, u, p):
+    """w = E + sym grad_staggered(u), fused with the Voigt-weighted CG
+    denominator sum p : (p - w) (Kahan-compensated).  Returns (w, dot_raw).
+
+    Equals pallas_kernels.eps_from_u_dot_staggered with zero halo-pad
+    traffic."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny, nz = u.shape[-3:]
+    bx = pick_bx((nx, ny, nz), 9, 6)
+    nb = nx // bx
+    dt = u.dtype
+
+    hx = float(grid.nx / grid.dx)
+    hy = float(grid.ny / grid.dy)
+    hz = float(grid.nz / grid.dz)
+
+    def w_of(ue, Ev):
+        """w rows from a u window (3, k+2, ny, nz); Ev: 6 scalars."""
+        k = ue.shape[1] - 2
+        c = ue[:, 1:1 + k]
+        m = ue[:, 0:k]
+        q = ue[:, 2:2 + k]
+        dyp = lambda a: (_roll(a, -1, 1) - a) * hy
+        dym = lambda a: (a - _roll(a, 1, 1)) * hy
+        dzp = lambda a: (_roll(a, -1, 2) - a) * hz
+        dzm = lambda a: (a - _roll(a, 1, 2)) * hz
+        w0 = Ev[0] + (q[0] - c[0]) * hx
+        w1 = Ev[1] + dyp(c[1])
+        w2 = Ev[2] + dzp(c[2])
+        w3 = Ev[3] + 0.5 * (dym(c[2]) + dzm(c[1]))
+        w4 = Ev[4] + 0.5 * ((c[2] - m[2]) * hx + dzm(c[0]))
+        w5 = Ev[5] + 0.5 * ((c[1] - m[1]) * hx + dym(c[0]))
+        return jnp.stack([w0, w1, w2, w3, w4, w5])
+
+    wv = (1.0, 1.0, 1.0, 2.0, 2.0, 2.0)
+
+    def kernel(u_hbm, p_hbm, e_ref, w_hbm, dot_ref,
+               inb, outb, pro, carry, pcarry, acc, comp, isem, psem, osem):
+        Ev = [e_ref[ci, 0] for ci in range(6)]
+
+        def in_copies(i, s):
+            return (
+                pltpu.make_async_copy(u_hbm.at[:, pl.ds(i * bx, bx)],
+                                      inb.at[s, 0:3], isem.at[s, 0]),
+                pltpu.make_async_copy(p_hbm.at[:, pl.ds(i * bx, bx)],
+                                      inb.at[s, 3:9], isem.at[s, 1]),
+            )
+
+        def w_copy(i, s):
+            return pltpu.make_async_copy(
+                outb.at[s], w_hbm.at[:, pl.ds(i * bx - 1, bx)],
+                osem.at[s, 0])
+
+        def w_wrap_copy(s):
+            return pltpu.make_async_copy(
+                outb.at[s, :, 0:1], w_hbm.at[:, pl.ds(nx - 1, 1)],
+                osem.at[s, 1])
+
+        def w_rest_copy(s):
+            return pltpu.make_async_copy(
+                outb.at[s, :, 1:bx], w_hbm.at[:, pl.ds(0, bx - 1)],
+                osem.at[s, 0])
+
+        # prologue: u(nx-2), u(nx-1) and p(nx-1)
+        c1 = pltpu.make_async_copy(u_hbm.at[:, pl.ds(nx - 2, 2)],
+                                   pro.at[0:3], psem.at[0])
+        c2 = pltpu.make_async_copy(p_hbm.at[:, pl.ds(nx - 1, 1)],
+                                   pro.at[3:9, 1:2], psem.at[1])
+        c1.start()
+        c2.start()
+        for cp in in_copies(0, 0):
+            cp.start()
+        c1.wait()
+        c2.wait()
+        carry[...] = pro[0:3]
+        pcarry[...] = pro[3:9, 1:2]
+        acc[...] = jnp.zeros((ny, nz), dt)
+        comp[...] = jnp.zeros((ny, nz), dt)
+
+        def body(i, _):
+            s = i % 2
+            for cp in in_copies(i, s):
+                cp.wait()
+
+            @pl.when(i + 1 < nb)
+            def _():
+                for cp in in_copies(i + 1, 1 - s):
+                    cp.start()
+
+            ue = jnp.concatenate([carry[...], inb[s, 0:3]], axis=1)
+            wblk = w_of(ue, Ev)                 # rows i*bx-1 .. i*bx+bx-2
+            carry[...] = ue[:, bx:bx + 2]
+
+            # p rows aligned with wblk: carry(i*bx-1) + block rows
+            pe = jnp.concatenate([pcarry[...], inb[s, 3:9]], axis=1)
+            pblk = pe[:, 0:bx]
+            pcarry[...] = pe[:, bx:bx + 1]
+
+            # Kahan-accumulate sum_c wv_c * p_c * (p_c - w_c) over x rows
+            contrib = sum(
+                (wv[ci] * pblk[ci] * (pblk[ci] - wblk[ci])).sum(axis=0)
+                for ci in range(6))
+            y = contrib - comp[...]
+            t = acc[...] + y
+            comp[...] = (t - acc[...]) - y
+            acc[...] = t
+
+            @pl.when(i == 2)
+            def _():
+                w_wrap_copy(s).wait()
+                if bx > 1:
+                    w_rest_copy(s).wait()
+
+            @pl.when(i > 2)
+            def _():
+                w_copy(i, s).wait()
+
+            outb[s] = wblk
+
+            @pl.when(i == 0)
+            def _():
+                w_wrap_copy(s).start()
+                if bx > 1:
+                    w_rest_copy(s).start()
+
+            @pl.when(i > 0)
+            def _():
+                w_copy(i, s).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0, unroll=False)
+
+        for back in (2, 1):
+            i = nb - back
+            s = i % 2
+            w_copy(i, s).wait()
+
+        dot_ref[0, 0] = (acc[...] - comp[...]).sum()
+
+    w, dot = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((6, nx, ny, nz), dt),
+                   jax.ShapeDtypeStruct((1, 1), dt)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((6, 1), memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 9, bx, ny, nz), dt),
+            pltpu.VMEM((2, 6, bx, ny, nz), dt),
+            pltpu.VMEM((9, 2, ny, nz), dt),
+            pltpu.VMEM((3, 2, ny, nz), dt),
+            pltpu.VMEM((6, 1, ny, nz), dt),
+            pltpu.VMEM((ny, nz), dt),
+            pltpu.VMEM((ny, nz), dt),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 24 * 1024 * 1024),
+        interpret=pk.INTERPRET,
+    )(u, p, jnp.asarray(E, dt).reshape(6, 1))
+    return w, dot[0, 0]

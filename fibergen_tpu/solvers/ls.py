@@ -77,6 +77,12 @@ class SolverOptions:
     # fused Pallas stencil kernels for the staggered elasticity hot path:
     # "auto" enables them on TPU when the problem shape/mixing qualifies
     use_pallas: str = "auto"
+    # manual-DMA sequential-sweep variants of the CG stencil kernels
+    # (pallas_sweep.py): zero halo-pad traffic, ~1.9x on the stress/div
+    # pass.  "auto" uses them whenever the Pallas path is active on a
+    # single chip and the shape qualifies; "off" keeps the BlockSpec
+    # kernels.
+    use_sweep: str = "auto"
     # what to do when a sharded solver's grid does NOT qualify for the slab
     # decomposition (non-divisible nx/ny, wrong spec): "error" refuses
     # (default — the GSPMD fallback silently all-gathers the full field on
@@ -275,6 +281,14 @@ class LSSolver:
             return jax.default_backend() not in ("cpu",)
 
         self._pallas_active = _pallas_enabled()
+        # single-chip CG steps use the manual-DMA sweep kernels when the
+        # shape qualifies (pallas_sweep.py: every input plane read once,
+        # no wrap-pad materialization)
+        from ..ops import pallas_sweep as psw
+        self._sweep_active = (
+            self._pallas_active and self.sharding is None
+            and self.opt.use_sweep != "off"
+            and psw.supported(grid, self.dim, dt))
 
         # shard_map plumbing for the fused sharded hot path: the Pallas
         # stencils run per-slab with the 1-voxel x halo exchanged over ICI
@@ -367,13 +381,22 @@ class LSSolver:
                 from ..ops import pallas_kernels as pk
                 mu_x, lam_x = mat._all_iso()
                 if par is None:
-                    f, p = pk.stress_div_beta_staggered(
-                        grid, r, p_prev, beta, mu_x, lam_x, mu0, lam0)
-                    f_hat = fftmod.fftn(f)
-                    u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
-                    u = fftmod.ifftn(u_hat, grid.shape)
-                    w, dot_raw = pk.eps_from_u_dot_staggered(
-                        grid, jnp.zeros(self.dim, dt), u, p)
+                    if self._sweep_active:
+                        from ..ops import pallas_sweep as psw
+                        f, p = psw.stress_div_beta_sweep(
+                            grid, r, p_prev, beta, mu_x, lam_x, mu0, lam0)
+                    else:
+                        f, p = pk.stress_div_beta_staggered(
+                            grid, r, p_prev, beta, mu_x, lam_x, mu0, lam0)
+                    # fused transpose-free fft+G0+ifft chain: u_hat never
+                    # hits HBM (g0_staggered_fused docstring)
+                    u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+                    if self._sweep_active:
+                        w, dot_raw = psw.eps_from_u_dot_sweep(
+                            grid, jnp.zeros(self.dim, dt), u, p)
+                    else:
+                        w, dot_raw = pk.eps_from_u_dot_staggered(
+                            grid, jnp.zeros(self.dim, dt), u, p)
                 else:
                     f, p = _smap(
                         lambda rr, pp, bb, m, l: pk.stress_div_beta_staggered(
