@@ -189,6 +189,65 @@ def cfft_mm(y, axis, sign):
     return lax.complex(jnp.moveaxis(re, -1, axis), jnp.moveaxis(im, -1, axis))
 
 
+def _apply_rot(re, im, spec, C, S, dt):
+    """One complex DFT stage as two real einsums per part, with the output
+    axis order chosen to be dot_general's NATURAL ordering (batch + lhs
+    free + rhs free) so XLA emits no transpose at all."""
+    C = jnp.asarray(C, dt)
+    S = jnp.asarray(S, dt)
+    rr = (jnp.einsum(spec, re, C, precision=_P)
+          - jnp.einsum(spec, im, S, precision=_P))
+    ii = (jnp.einsum(spec, re, S, precision=_P)
+          + jnp.einsum(spec, im, C, precision=_P))
+    return rr, ii
+
+
+def fftn_apply_ifftn_mm(x, apply_fn):
+    """ifftn(apply(fftn(x))) with every DFT stage an MXU matmul in a
+    cyclically ROTATING layout: each einsum's output axis order is
+    dot_general's natural order, so the whole chain — forward 3 stages,
+    the elementwise spectral ``apply_fn``, inverse 3 stages — compiles to
+    dots + fused elementwise with ZERO transpose/materialization between
+    them (the separate fftn/ifftn path pays a moveaxis round trip per
+    stage).  ``apply_fn(re, im)`` receives the half-spectrum parts in
+    (..., KZ, KY, KX) layout and must be elementwise/broadcast."""
+    nx, ny, nz = x.shape[-3:]
+    dt = x.dtype
+    scale = 1.0 / (nx * ny * nz)
+    Cz, Sz = _r2c_mats(nz)
+    # (..., X, Y, Z) -> (..., X, Y, KZ)
+    re = jnp.einsum("...xyz,kz->...xyk", x, jnp.asarray(Cz * scale, dt),
+                    precision=_P)
+    im = jnp.einsum("...xyz,kz->...xyk", x, jnp.asarray(Sz * scale, dt),
+                    precision=_P)
+    Cy, Sy = _c2c_mats(ny, -1)
+    # -> (..., X, KZ, KY)
+    re, im = _apply_rot(re, im, "...xyk,jy->...xkj", Cy, Sy, dt)
+    Cx, Sx = _c2c_mats(nx, -1)
+    # -> (..., KZ, KY, KX)
+    re, im = _apply_rot(re, im, "...xkj,ix->...kji", Cx, Sx, dt)
+
+    re, im = apply_fn(re, im)
+
+    Cxi, Sxi = _c2c_mats(nx, +1)
+    # -> (..., KZ, KY, X)
+    re, im = _apply_rot(re, im, "...kji,xi->...kjx", Cxi, Sxi, dt)
+    Cyi, Syi = _c2c_mats(ny, +1)
+    # -> (..., KZ, X, Y)
+    re, im = _apply_rot(re, im, "...kjx,yj->...kxy", Cyi, Syi, dt)
+    Cr, Sr = _c2r_mats(nz)
+    # -> (..., X, Y, Z)
+    return (jnp.einsum("...kxy,zk->...xyz", re, jnp.asarray(Cr, dt),
+                       precision=_P)
+            - jnp.einsum("...kxy,zk->...xyz", im, jnp.asarray(Sr, dt),
+                         precision=_P))
+
+
+def mm_enabled(shape):
+    """Public probe: does this grid use the matmul-DFT backend?"""
+    return _mm_enabled(shape)
+
+
 def fftn(x):
     """Forward FFT of a (ncomp, nx, ny, nz) real field; scaled by 1/N so the
     DC bin holds the field mean (fibergen.cpp:18481-18510)."""

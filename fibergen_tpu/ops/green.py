@@ -235,6 +235,53 @@ def _g0_staggered_general(grid: Grid, tau_hat, c10, c20):
     return _set_dc(eta, jnp.zeros((), eta.dtype))
 
 
+def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+    """u = ifftn(G0_staggered(fftn(f))) as ONE transpose-free chain.
+
+    The separate fftn/g0/ifftn path materializes the hat field twice and
+    pays a moveaxis round trip per DFT stage; this runs the whole
+    fft+scale+ifft in the matmul-DFT's cyclically rotating layout
+    (ops/fft.fftn_apply_ifftn_mm) with the G0 scaling (same math as
+    :func:`g0_staggered`, fibergen.cpp:19749-19927) applied elementwise
+    between the forward and inverse x-stages — u_hat never exists in HBM.
+    Falls back to the separate path off the matmul backend."""
+    from . import fft as fftmod
+
+    if not fftmod.mm_enabled(f.shape[-3:]):
+        f_hat = fftmod.fftn(f)
+        u_hat = g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
+        return fftmod.ifftn(u_hat, f.shape[-3:])
+
+    c10 = -alpha / mu_0
+    c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+
+    def apply(re, im):
+        # layout (..., KZ, KY, KX): permute the broadcastable k-factors
+        rdtype = re.dtype
+        kp0, kp1, kp2, n2 = _staggered_k(grid, rdtype)
+        # axes here are (KZ, KY, KX): kp0 varies along KX (last), kp1 along
+        # KY, kp2 along KZ (first)
+        kp = (kp0.reshape(1, 1, -1), kp1.reshape(1, -1, 1),
+              kp2.reshape(-1, 1, 1))
+        kpr = [jnp.real(k) for k in kp]
+        kpi = [jnp.imag(k) for k in kp]
+        n2p = jnp.transpose(n2, (2, 1, 0))
+        n2p = n2p.at[0, 0, 0].set(1.0)
+        c1 = (c10 / n2p).at[0, 0, 0].set(0.0)         # bakes the DC zero in
+        c2 = (c20 / (n2p * n2p)).at[0, 0, 0].set(0.0)
+        # fkp = sum_j tau_j kp_j ; eta_j = c1 tau_j - c2 fkp conj(kp_j)
+        fr = sum(re[j] * kpr[j] - im[j] * kpi[j] for j in range(3))
+        fi = sum(re[j] * kpi[j] + im[j] * kpr[j] for j in range(3))
+        cfr, cfi = c2 * fr, c2 * fi
+        re2 = jnp.stack([c1 * re[j] - (cfr * kpr[j] + cfi * kpi[j])
+                         for j in range(3)])
+        im2 = jnp.stack([c1 * im[j] - (cfi * kpr[j] - cfr * kpi[j])
+                         for j in range(3)])
+        return re2, im2
+
+    return fftmod.fftn_apply_ifftn_mm(f, apply)
+
+
 def g0_staggered_heat(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
     """Scalar staggered G0 (G0OperatorFourierStaggeredGeneralHeat,
     fibergen.cpp:19778-19830): eta = -alpha/(2 mu0 |k|^2) * tau."""

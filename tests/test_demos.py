@@ -95,6 +95,24 @@ def test_demo_hyper_mixed_bc():
     assert abs(P[0] - 1.0) < 1e-3       # prescribed P11 = 1.0
 
 
+@pytest.mark.skipif(not os.environ.get("FIBERGEN_TPU_SLOW_TESTS"),
+                    reason="full-resolution mixed_bc solve (~minutes)")
+def test_demo_hyper_mixed_bc_full_resolution_pinned():
+    """The demo at its shipped resolution (n=32, tol=1e-10) on CPU/f64
+    converges fully; these digits are the oracle the TPU-f32 run (which
+    stops at the precision floor) is compared against (PARITY.md).
+    Recorded 2026-08-17 from a clean f64 run (57 CG+Newton iterations,
+    final rel residual 1.97e-11)."""
+    f = run_demo("hyperelasticity/mixed_bc/project.xml")
+    F = np.array(f.get_mean_strain())
+    P = np.array(f.get_mean_stress())
+    assert abs(F[0] - 0.9886118258) < 1e-8   # free F11
+    assert abs(F[1] - 1.1) < 1e-12           # prescribed F22
+    assert abs(P[0] - 1.0) < 1e-8            # prescribed P11
+    assert abs(P[1] - 3.6713797927) < 1e-7   # free P22
+    assert abs(P[2] - 1.2379378454) < 1e-7   # free P33
+
+
 def test_demo_primitives(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     run_demo("geometry/primitives/project.xml", res=16)

@@ -317,3 +317,32 @@ def test_matmul_dft_backend_matches_fft():
     assert it_mm == it_x
     np.testing.assert_allclose(k_mm, k_x, rtol=1e-10)
     np.testing.assert_allclose(k_mm, 20.0 / 11.0, rtol=1e-9)
+
+
+def test_g0_staggered_fused_matches_separate():
+    """The transpose-free fft+G0+ifft chain (green.g0_staggered_fused)
+    equals ifftn(g0_staggered(fftn(f))) bit-tight on both the matmul-DFT
+    backend and the XLA-FFT fallback."""
+    import jax.numpy as jnp
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.ops import green
+
+    for shape, dxyz in [((17, 19, 21), (1.0, 1.0, 1.0)),
+                        ((16, 18, 20), (1.0, 2.0, 0.5))]:
+        grid = Grid(*shape, *dxyz)
+        rng = np.random.default_rng(3)
+        f = jnp.asarray(rng.standard_normal((3,) + shape))
+        for mu0, lam0 in [(2.25, 0.0), (1.7, 0.9)]:
+            ref = fftmod.ifftn(
+                green.g0_staggered(grid, mu0, lam0, fftmod.fftn(f), -1.0),
+                shape)
+            try:
+                fftmod.FFT_BACKEND = "matmul"
+                fused_mm = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+            finally:
+                fftmod.FFT_BACKEND = "auto"
+            fused_fb = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+            scale = float(jnp.abs(ref).max())
+            assert float(jnp.abs(fused_mm - ref).max()) < 1e-12 * scale
+            assert float(jnp.abs(fused_fb - ref).max()) < 1e-12 * scale
