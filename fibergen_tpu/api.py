@@ -166,8 +166,14 @@ class FG:
         nx = sol.attr("nx", n, int) * mult
         ny = sol.attr("ny", n, int) * mult
         nz = sol.attr("nz", n, int) * mult
-        # <dim>2</dim>: one-voxel-thick periodic cell (the reference
-        # instantiates a DIM=2 solver; here 2D is the nz=1 limit)
+        # <dim>2</dim>: one-voxel-thick periodic cell.  The staggered/
+        # collocated operators on nz=1 reduce EXACTLY to the 2-D plane-
+        # strain operators (a periodic size-1 axis has zero derivative), so
+        # this is a true 2-D solve carrying three dead strain components.
+        # The reference's own DIM=2 dispatch is disabled in its shipped
+        # source (fibergen.cpp:26558-26564, the RUN_TYPE_AND_DIM(..., 2)
+        # lines are commented out) and <dim>2</dim> throws there — this
+        # path is a superset of the reference's actual behavior.
         if s.value("dim", 3, int) == 2:
             nz = 1
         if min(nx, ny, nz) < 1:

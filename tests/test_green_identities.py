@@ -346,3 +346,26 @@ def test_g0_staggered_fused_matches_separate():
             scale = float(jnp.abs(ref).max())
             assert float(jnp.abs(fused_mm - ref).max()) < 1e-12 * scale
             assert float(jnp.abs(fused_fb - ref).max()) < 1e-12 * scale
+
+
+def test_g0_fused_large_axis():
+    """Fused-chain correctness on 256-point axes (the bench grid's axis
+    length) for both x- and y-dominant shapes."""
+    import jax.numpy as jnp
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.ops import green
+
+    for shape in [(256, 4, 4), (4, 256, 8)]:
+        grid = Grid(*shape)
+        rng = np.random.default_rng(7)
+        f = jnp.asarray(rng.standard_normal((3,) + shape))
+        ref = fftmod.ifftn(
+            green.g0_staggered(grid, 2.25, 0.0, fftmod.fftn(f), -1.0), shape)
+        try:
+            fftmod.FFT_BACKEND = "matmul"
+            fused = green.g0_staggered_fused(grid, 2.25, 0.0, f, -1.0)
+        finally:
+            fftmod.FFT_BACKEND = "auto"
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(fused - ref).max()) < 1e-11 * scale, shape
