@@ -257,3 +257,22 @@ def test_demo_sfrp_parameter_fit(monkeypatch, capsys):
     mod = runpy.run_path(script, run_name="not_main")
     e_fit = mod["identify"](mod["forward_c11"](73.0))
     assert abs(e_fit - 73.0) / 73.0 < 0.02
+
+
+@pytest.mark.skipif(not os.environ.get("FIBERGEN_TPU_SLOW_TESTS"),
+                    reason="full 128^3 six-load-case solve (~minutes)")
+@pytest.mark.skipif(not os.path.isdir(REF_ROCKS),
+                    reason="DRP benchmark data not available")
+def test_digital_rocks_effective_stiffness_pinned():
+    """Grosmont 128^3 Ceff pinned to the round-3 oracle table (PARITY.md):
+    C11 = 58.3185 was confirmed by an independent torch-f64 CPU
+    implementation to < 1e-5 relative and lies within 0.71 % of the
+    collocated-scheme solve; iso-fit K sits on the multiphase HS upper
+    bound to 2e-4."""
+    f = fg.FG()
+    f.load_xml(os.path.join(DEMO_DIR, "elasticity", "digital_rocks",
+                            "project.xml"))
+    assert f.run() == 0
+    C = np.array(f.get_effective_property())
+    assert abs(C[0, 0] - 58.3185) / 58.3185 < 2e-3
+    assert abs(C[3, 3] - 24.91) / 24.91 < 5e-3
