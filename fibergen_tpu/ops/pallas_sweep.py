@@ -258,7 +258,11 @@ def eps_from_u_dot_sweep(grid: Grid, E, u, p):
     denominator sum p : (p - w) (Kahan-compensated).  Returns (w, dot_raw).
 
     Equals pallas_kernels.eps_from_u_dot_staggered with zero halo-pad
-    traffic."""
+    traffic.  The inputs stream through ROLLING VMEM WINDOWS: each block's
+    DMA lands directly at row offset 2 (u) / 1 (p) of its window and the
+    x-stencil carry is a 2-plane copy from the other slot's tail — the
+    stencil rows are then pure slices, no per-block window concatenation
+    (which measured ~20% of the kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -270,37 +274,18 @@ def eps_from_u_dot_sweep(grid: Grid, E, u, p):
     hx = float(grid.nx / grid.dx)
     hy = float(grid.ny / grid.dy)
     hz = float(grid.nz / grid.dz)
-
-    def w_of(ue, Ev):
-        """w rows from a u window (3, k+2, ny, nz); Ev: 6 scalars."""
-        k = ue.shape[1] - 2
-        c = ue[:, 1:1 + k]
-        m = ue[:, 0:k]
-        q = ue[:, 2:2 + k]
-        dyp = lambda a: (_roll(a, -1, 1) - a) * hy
-        dym = lambda a: (a - _roll(a, 1, 1)) * hy
-        dzp = lambda a: (_roll(a, -1, 2) - a) * hz
-        dzm = lambda a: (a - _roll(a, 1, 2)) * hz
-        w0 = Ev[0] + (q[0] - c[0]) * hx
-        w1 = Ev[1] + dyp(c[1])
-        w2 = Ev[2] + dzp(c[2])
-        w3 = Ev[3] + 0.5 * (dym(c[2]) + dzm(c[1]))
-        w4 = Ev[4] + 0.5 * ((c[2] - m[2]) * hx + dzm(c[0]))
-        w5 = Ev[5] + 0.5 * ((c[1] - m[1]) * hx + dym(c[0]))
-        return jnp.stack([w0, w1, w2, w3, w4, w5])
-
     wv = (1.0, 1.0, 1.0, 2.0, 2.0, 2.0)
 
     def kernel(u_hbm, p_hbm, e_ref, w_hbm, dot_ref,
-               inb, outb, pro, carry, pcarry, acc, comp, isem, psem, osem):
+               uwin, pwin, outb, acc, comp, isem, psem, osem):
         Ev = [e_ref[ci, 0] for ci in range(6)]
 
         def in_copies(i, s):
             return (
                 pltpu.make_async_copy(u_hbm.at[:, pl.ds(i * bx, bx)],
-                                      inb.at[s, 0:3], isem.at[s, 0]),
+                                      uwin.at[s, :, 2:bx + 2], isem.at[s, 0]),
                 pltpu.make_async_copy(p_hbm.at[:, pl.ds(i * bx, bx)],
-                                      inb.at[s, 3:9], isem.at[s, 1]),
+                                      pwin.at[s, :, 1:bx + 1], isem.at[s, 1]),
             )
 
         def w_copy(i, s):
@@ -318,19 +303,17 @@ def eps_from_u_dot_sweep(grid: Grid, E, u, p):
                 outb.at[s, :, 1:bx], w_hbm.at[:, pl.ds(0, bx - 1)],
                 osem.at[s, 0])
 
-        # prologue: u(nx-2), u(nx-1) and p(nx-1)
+        # prologue: u(nx-2..nx-1) and p(nx-1) land straight in window 0
         c1 = pltpu.make_async_copy(u_hbm.at[:, pl.ds(nx - 2, 2)],
-                                   pro.at[0:3], psem.at[0])
+                                   uwin.at[0, :, 0:2], psem.at[0])
         c2 = pltpu.make_async_copy(p_hbm.at[:, pl.ds(nx - 1, 1)],
-                                   pro.at[3:9, 1:2], psem.at[1])
+                                   pwin.at[0, :, 0:1], psem.at[1])
         c1.start()
         c2.start()
         for cp in in_copies(0, 0):
             cp.start()
         c1.wait()
         c2.wait()
-        carry[...] = pro[0:3]
-        pcarry[...] = pro[3:9, 1:2]
         acc[...] = jnp.zeros((ny, nz), dt)
         comp[...] = jnp.zeros((ny, nz), dt)
 
@@ -339,23 +322,39 @@ def eps_from_u_dot_sweep(grid: Grid, E, u, p):
             for cp in in_copies(i, s):
                 cp.wait()
 
+            # carry rows from the other slot's tail (block i-1's last
+            # planes), BEFORE the i+1 prefetch overwrites that region
+            @pl.when(i > 0)
+            def _():
+                uwin[s, :, 0:2] = uwin[1 - s, :, bx:bx + 2]
+                pwin[s, :, 0:1] = pwin[1 - s, :, bx:bx + 1]
+
             @pl.when(i + 1 < nb)
             def _():
                 for cp in in_copies(i + 1, 1 - s):
                     cp.start()
 
-            ue = jnp.concatenate([carry[...], inb[s, 0:3]], axis=1)
-            wblk = w_of(ue, Ev)                 # rows i*bx-1 .. i*bx+bx-2
-            carry[...] = ue[:, bx:bx + 2]
-
-            # p rows aligned with wblk: carry(i*bx-1) + block rows
-            pe = jnp.concatenate([pcarry[...], inb[s, 3:9]], axis=1)
-            pblk = pe[:, 0:bx]
-            pcarry[...] = pe[:, bx:bx + 1]
+            # stencil rows are pure slices of the window
+            um = uwin[s, :, 0:bx]
+            uc = uwin[s, :, 1:bx + 1]
+            uq = uwin[s, :, 2:bx + 2]
+            pc = pwin[s, :, 0:bx]
+            dyp = lambda a: (_roll(a, -1, 1) - a) * hy
+            dym = lambda a: (a - _roll(a, 1, 1)) * hy
+            dzp = lambda a: (_roll(a, -1, 2) - a) * hz
+            dzm = lambda a: (a - _roll(a, 1, 2)) * hz
+            ws = (
+                Ev[0] + (uq[0] - uc[0]) * hx,
+                Ev[1] + dyp(uc[1]),
+                Ev[2] + dzp(uc[2]),
+                Ev[3] + 0.5 * (dym(uc[2]) + dzm(uc[1])),
+                Ev[4] + 0.5 * ((uc[2] - um[2]) * hx + dzm(uc[0])),
+                Ev[5] + 0.5 * ((uc[1] - um[1]) * hx + dym(uc[0])),
+            )
 
             # Kahan-accumulate sum_c wv_c * p_c * (p_c - w_c) over x rows
             contrib = sum(
-                (wv[ci] * pblk[ci] * (pblk[ci] - wblk[ci])).sum(axis=0)
+                (wv[ci] * pc[ci] * (pc[ci] - ws[ci])).sum(axis=0)
                 for ci in range(6))
             y = contrib - comp[...]
             t = acc[...] + y
@@ -372,7 +371,8 @@ def eps_from_u_dot_sweep(grid: Grid, E, u, p):
             def _():
                 w_copy(i, s).wait()
 
-            outb[s] = wblk
+            for ci in range(6):
+                outb[s, ci] = ws[ci]
 
             @pl.when(i == 0)
             def _():
@@ -405,11 +405,9 @@ def eps_from_u_dot_sweep(grid: Grid, E, u, p):
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)),
         scratch_shapes=[
-            pltpu.VMEM((2, 9, bx, ny, nz), dt),
+            pltpu.VMEM((2, 3, bx + 2, ny, nz), dt),
+            pltpu.VMEM((2, 6, bx + 1, ny, nz), dt),
             pltpu.VMEM((2, 6, bx, ny, nz), dt),
-            pltpu.VMEM((9, 2, ny, nz), dt),
-            pltpu.VMEM((3, 2, ny, nz), dt),
-            pltpu.VMEM((6, 1, ny, nz), dt),
             pltpu.VMEM((ny, nz), dt),
             pltpu.VMEM((ny, nz), dt),
             pltpu.SemaphoreType.DMA((2, 2)),

@@ -181,6 +181,8 @@ def test_schema_defaults_match_solver_options():
         "G0_solver": opt.g0_solver,
         "check_every": str(opt.check_every),
         "use_pallas": opt.use_pallas,
+        "use_sweep": opt.use_sweep,
+        "sharding_fallback": opt.sharding_fallback,
     }
     for key, expect in checks.items():
         e = s.lookup(f"solver.{key}")
