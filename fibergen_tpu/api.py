@@ -443,12 +443,47 @@ class FG:
         self._phases_initialized = True
 
     # ------------------------------------------------------------------ run
+    _compile_cache_ready = False
+
+    @classmethod
+    def _init_compile_cache(cls):
+        """TPU analogue of FFTW wisdom persistence (FG::run imports
+        ``~/.fibergen_fft_wisdom_<host>`` before planning,
+        fibergen.cpp:25259-25263): first compilation of each distinct
+        solver program costs 20-60 s on TPU, so persist XLA executables to
+        ``~/.cache/fibergen_tpu/xla-cache`` and replay them on re-runs.
+        Override the directory with FIBERGEN_TPU_COMPILE_CACHE=<dir>, or
+        disable with FIBERGEN_TPU_COMPILE_CACHE=off (also skipped when the
+        process already configured a jax compilation cache)."""
+        if cls._compile_cache_ready:
+            return
+        cls._compile_cache_ready = True
+        path = os.environ.get("FIBERGEN_TPU_COMPILE_CACHE", "")
+        if path.lower() in ("off", "0", "none"):
+            return
+        try:
+            import jax
+            if jax.config.jax_compilation_cache_dir:
+                return  # user/process already configured one
+            if not path:
+                path = os.path.join(os.path.expanduser("~"), ".cache",
+                                    "fibergen_tpu", "xla-cache")
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            # only cache programs worth the disk round trip (the per-grid
+            # solver iteration programs; not tiny reductions)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception as e:  # noqa: BLE001 — wisdom is best-effort
+            LOG.warn(f"compilation cache unavailable: {e}")
+
     def run(self, path: str = "actions") -> int:
         """Run the actions list (FG::run, fibergen.cpp:25195-25295).
         Returns 0 on success."""
         self._error = False
         self._cancel = False
         try:
+            self._init_compile_cache()
             self._init_python()
             elem = self.project.root.find(path) if path else None
             if elem is None:

@@ -607,15 +607,23 @@ class LSSolver:
         return ret
 
     def get_fft_time(self) -> float:
-        """Estimated FFT wall time of the last solve (the reference tracks
+        """Measured FFT wall time of the last solve (the reference tracks
         FFTW seconds directly, fibergen.cpp:15392-15393).  XLA fuses the
-        transforms into the single iteration program, so the split is
-        reconstructed as (measured wall time of one forward+inverse FFT
-        pair on this grid/dtype) x (iterations run); the sample is measured
-        once and cached."""
+        transforms into the single iteration program, so exact in-loop
+        attribution does not exist; instead ONE spectral round trip of the
+        ACTIVE backend is timed and multiplied by the iteration count:
+
+          * fused Pallas path: the transpose-free matmul-DFT chain with an
+            identity spectral apply (fft.fftn_apply_ifftn_mm) — the op the
+            hot loop actually runs;
+          * sharded path: the slab-decomposed forward+inverse pair
+            (includes the all-to-all transposes);
+          * otherwise: ops.fft.fftn/ifftn (auto matmul-DFT or XLA FFT).
+        """
         iters = len(self.residuals)
         if iters == 0 or self.eps is None:
             return 0.0
+        from ..ops import fft as fftmod
         # staggered schemes transform the force field (3 components for
         # vector modes, 1 for heat/porous); collocated/Willot transform the
         # full tensor
@@ -623,17 +631,35 @@ class LSSolver:
             ncomp = 1 if self.dim == 3 else 3
         else:
             ncomp = self.dim
-        key = (ncomp, self.grid.shape, str(self.dtype))
+        if self.par is not None:
+            backend = "slab"
+        elif (self._pallas_active
+                and fftmod.mm_enabled(self.grid.shape)):
+            backend = "chain"
+        else:
+            backend = "pair"
+        key = (ncomp, self.grid.shape, str(self.dtype), backend)
         if getattr(self, "_fft_pair_sample", None) != key:
             import time as _time
             import jax as _jax
-            from ..ops import fft as fftmod
 
-            @_jax.jit
-            def pair(x):
-                return fftmod.ifftn(fftmod.fftn(x), self.grid.shape)
+            if backend == "slab":
+                @_jax.jit
+                def pair(x):
+                    return self.par.ifftn(self.par.fftn(x), self.grid.shape)
+            elif backend == "chain":
+                @_jax.jit
+                def pair(x):
+                    return fftmod.fftn_apply_ifftn_mm(
+                        x, lambda re, im: (re, im))
+            else:
+                @_jax.jit
+                def pair(x):
+                    return fftmod.ifftn(fftmod.fftn(x), self.grid.shape)
 
             x = fields.const_field(self.grid, np.ones(ncomp), self.dtype)
+            if backend == "slab":
+                x = _jax.device_put(x, self.sharding)
             _jax.block_until_ready(pair(x))  # compile
             best = float("inf")
             for _ in range(3):

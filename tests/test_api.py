@@ -534,3 +534,39 @@ def test_write_lss_vtk_viscosity_fields(tmp_path):
     for name in (b"SCALARS epsilon_11", b"SCALARS sigma_11",
                  b"VECTORS u", b"SCALARS p "):
         assert name in data, f"missing {name!r}"
+
+
+def test_compile_cache_wisdom(tmp_path, monkeypatch):
+    """FG.run enables the persistent XLA compilation cache — the TPU
+    analogue of the reference's FFTW wisdom import (fibergen.cpp:25259)."""
+    import jax
+    prev = jax.config.jax_compilation_cache_dir
+    cache = tmp_path / "wisdom"
+    monkeypatch.setenv("FIBERGEN_TPU_COMPILE_CACHE", str(cache))
+    monkeypatch.setattr(fg.FG, "_compile_cache_ready", False)
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        f = fg.FG()
+        f.set_xml("""
+<settings>
+  <solver n="4" mode="heat">
+    <materials><matrix mu="1" /><inc mu="2" /></materials>
+  </solver>
+  <actions>
+    <select_material name="inc" />
+    <place_fiber R="0.3" />
+    <run_load_case e1="1" />
+  </actions>
+</settings>""")
+        assert f.run() == 0
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        assert cache.is_dir()
+        # opt-out respected
+        monkeypatch.setenv("FIBERGEN_TPU_COMPILE_CACHE", "off")
+        monkeypatch.setattr(fg.FG, "_compile_cache_ready", False)
+        jax.config.update("jax_compilation_cache_dir", None)
+        fg.FG._init_compile_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        fg.FG._compile_cache_ready = True

@@ -193,3 +193,22 @@ def test_sharded_mixed_bc_matches_single_device():
                                rtol=1e-8, atol=1e-11)
     # the stress control actually held
     np.testing.assert_allclose(sig_ref[0], 2.0, rtol=1e-6)
+
+
+def test_sharded_get_fft_time_samples_slab_backend():
+    """get_fft_time on a sharded solver times the slab-decomposed transform
+    (round-2 verdict: the sample must track the ACTIVE spectral backend,
+    not a generic single-device FFT pair)."""
+    devs = jax.devices()
+    grid = fg.Grid(16, 8, 8)
+    mesh = Mesh(np.array(devs[:8]), axis_names=("x",))
+    sharding = NamedSharding(mesh, P(None, "x", None, None))
+    s = make_problem(grid, 3, sharding=sharding)
+    assert s.par is not None
+    E = np.zeros(3)
+    E[0] = 1.0
+    s.set_strain(E)
+    assert not s.run()
+    t = s.get_fft_time()
+    assert t > 0.0
+    assert s._fft_pair_sample[-1] == "slab"
