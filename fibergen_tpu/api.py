@@ -55,6 +55,9 @@ class FG:
         self._convergence_callback = None
         self._loadstep_callback = None
         self._dtype = None
+        # module counter baseline: get_distance_evals reports THIS
+        # instance's voxelization work, not process-lifetime totals
+        self._dist_evals0 = int(discretize.DIST_EVALS)
 
     def reset(self):
         """Reset solver state and unload the project (PyFG::reset)."""
@@ -218,6 +221,8 @@ class FG:
             freq_hack=sol.value("freq_hack", False, bool),
             check_every=sol.value("check_every", 1, int),
             use_pallas=sol.value("use_pallas", "auto", str),
+            use_sweep=sol.value("use_sweep", "auto", str),
+            sharding_fallback=sol.value("sharding_fallback", "error", str),
             dtype=self._dtype_str(),
         )
         ls = sol.value("loadsteps", 1, int)
@@ -1130,17 +1135,20 @@ class FG:
             vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
                            [-v[1], v[0], 0]])
             R = np.eye(3) + vx + vx @ vx * ((1 - c) / (s * s))
-            # Euler XYZ (paraview Transform Rotate order) from R
-            sy = float(np.hypot(R[0, 0], R[1, 0]))
-            if sy > 1e-9:
-                rx = np.degrees(np.arctan2(R[2, 1], R[2, 2]))
-                ry = np.degrees(np.arctan2(-R[2, 0], sy))
+            # vtkTransform applies Rotate as Rz * Rx * Ry (Z-X-Y order),
+            # so decompose R = Rz(rz) Rx(rx) Ry(ry):
+            #   R[2,1] = sin(rx); R[2,0] = -cos(rx) sin(ry);
+            #   R[2,2] = cos(rx) cos(ry); R[0,1] = -sin(rz) cos(rx);
+            #   R[1,1] = cos(rz) cos(rx)
+            cx = float(np.hypot(R[2, 0], R[2, 2]))
+            rx = np.degrees(np.arctan2(R[2, 1], cx))
+            if cx > 1e-9:
+                ry = np.degrees(np.arctan2(-R[2, 0], R[2, 2]))
+                rz = np.degrees(np.arctan2(-R[0, 1], R[1, 1]))
+            else:  # gimbal: rx = +-90, fold everything into rz
+                ry = 0.0
                 rz = np.degrees(np.arctan2(R[1, 0], R[0, 0]))
-            else:
-                rx = np.degrees(np.arctan2(-R[1, 2], R[1, 1]))
-                ry = np.degrees(np.arctan2(-R[2, 0], sy))
-                rz = 0.0
-            return [rx, ry, rz]
+            return [float(rx), float(ry), float(rz)]
 
         def tri_source(name, tris):
             pts = []
@@ -1196,8 +1204,22 @@ class FG:
                 elif t == "HalfSpace":
                     nv = np.asarray(f.normal, dtype=np.float64)
                     nv = nv / (np.linalg.norm(nv) or 1.0)
-                    lines.append(f"s = Plane()")
-                    lines.append(f"s.Origin = {list(map(float, f.point))}")
+                    # span the boundary plane with two tangents so the
+                    # rendered Plane is actually oriented by the normal
+                    h = np.array([1.0, 0, 0]) if abs(nv[0]) < 0.9 \
+                        else np.array([0, 1.0, 0])
+                    t1 = np.cross(nv, h)
+                    t1 /= np.linalg.norm(t1)
+                    t2 = np.cross(nv, t1)
+                    p = np.asarray(f.point, dtype=np.float64)
+                    ext = 1.5  # half-extent; covers the unit cell
+                    lines.append("s = Plane()")
+                    lines.append(
+                        f"s.Origin = {list(map(float, p - ext * (t1 + t2)))}")
+                    lines.append(
+                        f"s.Point1 = {list(map(float, p + ext * (t1 - t2)))}")
+                    lines.append(
+                        f"s.Point2 = {list(map(float, p + ext * (t2 - t1)))}")
                     show(name)
                 elif t == "Triangle":
                     tri_source(name, [(f.v0, f.v1, f.v2)])
@@ -1386,8 +1408,9 @@ class FG:
         default build returns 0 (the counter is compiled out unless
         TEST_DIST_EVAL is defined); here it is a real count — one
         evaluation per primitive per (supersampled) voxel, which is
-        exactly the work the batched device kernels perform."""
-        return int(discretize.DIST_EVALS)
+        exactly the work the batched device kernels perform.  Counted
+        since this FG instance was created/reset."""
+        return int(discretize.DIST_EVALS) - self._dist_evals0
 
     def get_residuals(self) -> List[float]:
         return list(self.solver.residuals) if self.solver else []

@@ -154,7 +154,7 @@ class PreferencesDialog(QtWidgets.QDialog):
         hbox.addStretch(1)
         hbox.addWidget(cancel)
         hbox.addWidget(ok)
-        grid.addLayout(hbox, 3, 0, 3, 2)
+        grid.addLayout(hbox, 3, 0, 1, 2)
         self.setLayout(grid)
 
     def save(self):

@@ -36,10 +36,18 @@ from ..core.grid import Grid
 from . import pallas_kernels as pk
 
 # VMEM budget for scratch buffers (double-buffered slabs + carries).  The
-# Mosaic scoped limit is ~124 MB on v5e; compute temporaries (the tau/w
-# window concatenations and stencil stacks) take roughly another third on
-# top of the explicit scratch, so the scratch budget stays well below it.
-_VMEM_BUDGET = 64 * 1024 * 1024
+# Mosaic scoped limit is ~124 MB on v5e; compute temporaries (stencil
+# stacks, roll results) take roughly another third on top of the explicit
+# scratch, so the scratch budget stays well below it.  (68 MB keeps the
+# eps kernel at bx=8 for 256^3 — measured stable on v5e.)
+_VMEM_BUDGET = 68 * 1024 * 1024
+
+# exact explicit-scratch plane counts per kernel, as (per_bx, fixed):
+#   stress_div_beta: inb 2*14*bx + outb 2*9*bx + pro 14*2 + carry 6*2
+#   eps_from_u_dot:  uwin 2*3*(bx+2) + pwin 2*6*(bx+1) + outb 2*6*bx
+#                    + acc/comp 2
+_STRESS_PLANES = (46, 40)
+_EPS_PLANES = (30, 26)
 
 
 def _roll(a, shift, axis):
@@ -47,15 +55,16 @@ def _roll(a, shift, axis):
     return pltpu.roll(a, shift % a.shape[axis], axis=axis)
 
 
-def pick_bx(shape, n_in, n_out):
-    """Largest x-slab size whose double-buffered in/out scratch plus the
-    carry planes fit the VMEM budget; None if even bx=1 does not fit."""
+def pick_bx(shape, per_bx, fixed):
+    """Largest x-slab size whose explicit VMEM scratch (``per_bx * bx +
+    fixed`` planes — the exact per-kernel allocation) fits the budget;
+    None if even bx=1 does not fit."""
     nx, ny, nz = shape
     plane = ny * nz * 4
     for bx in (8, 4, 2, 1):
         if nx % bx != 0 or nx // bx < 3:
             continue
-        need = (2 * (n_in + n_out) * bx + 12) * plane
+        need = (per_bx * bx + fixed) * plane
         if need <= _VMEM_BUDGET:
             return bx
     return None
@@ -66,8 +75,8 @@ def supported(grid: Grid, dim: int, dtype) -> bool:
             and jnp.dtype(dtype) == jnp.float32):
         return False
     shape = (grid.nx, grid.ny, grid.nz)
-    return (pick_bx(shape, 14, 9) is not None
-            and pick_bx(shape, 9, 6) is not None)
+    return (pick_bx(shape, *_STRESS_PLANES) is not None
+            and pick_bx(shape, *_EPS_PLANES) is not None)
 
 
 def stress_div_beta_sweep(grid: Grid, r, p_prev, beta, mu_x, lam_x,
@@ -80,7 +89,7 @@ def stress_div_beta_sweep(grid: Grid, r, p_prev, beta, mu_x, lam_x,
     from jax.experimental.pallas import tpu as pltpu
 
     nx, ny, nz = r.shape[-3:]
-    bx = pick_bx((nx, ny, nz), 14, 9)
+    bx = pick_bx((nx, ny, nz), *_STRESS_PLANES)
     nb = nx // bx
     dt = r.dtype
 
@@ -267,7 +276,7 @@ def eps_from_u_dot_sweep(grid: Grid, E, u, p):
     from jax.experimental.pallas import tpu as pltpu
 
     nx, ny, nz = u.shape[-3:]
-    bx = pick_bx((nx, ny, nz), 9, 6)
+    bx = pick_bx((nx, ny, nz), *_EPS_PLANES)
     nb = nx // bx
     dt = u.dtype
 

@@ -322,9 +322,9 @@ class LSSolver:
             Ej = jnp.asarray(E, dt)
             if par is None:
                 f = pk.stress_div_staggered(grid, eps, mu_x, lam_x, mu0, lam0)
-                f_hat = fftmod.fftn(f)
-                u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
-                u = fftmod.ifftn(u_hat, grid.shape)
+                # transpose-free fft+G0+ifft chain (falls back to separate
+                # transforms off the matmul-DFT backend)
+                u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
                 return pk.eps_from_u_staggered(grid, Ej, u)
             f = _smap(
                 lambda e, m, l: pk.stress_div_staggered(
@@ -634,7 +634,12 @@ class LSSolver:
         if self.par is not None:
             backend = "slab"
         elif (self._pallas_active
-                and fftmod.mm_enabled(self.grid.shape)):
+                and fftmod.mm_enabled(self.grid.shape)
+                and self._bca() is None
+                and self.opt.method != "polarization"):
+            # the fused chain only runs on the trivial-BC fused path
+            # (basic_step/krylov/cg_step with bca None); mixed-BC and
+            # polarization solves transform with separate fftn/ifftn
             backend = "chain"
         else:
             backend = "pair"

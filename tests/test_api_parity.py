@@ -184,3 +184,109 @@ def test_write_pvpy_triangle_surface(tmp_path, monkeypatch):
     txt = (tmp_path / "tri.py").read_text()
     assert "ProgrammableSource" in txt
     compile(txt, "tri.py", "exec")
+
+
+def test_write_pvpy_rotation_order_and_plane_orientation(tmp_path,
+                                                         monkeypatch):
+    """The emitted Transform.Rotate angles must reconstruct the y->axis
+    rotation under VTK's Z-X-Y application order (R = Rz Rx Ry), and the
+    halfspace Plane must actually span the boundary plane of its normal."""
+    import re
+    monkeypatch.chdir(tmp_path)
+    ax = np.array([1.0, 1.0, 1.0]) / np.sqrt(3.0)
+    f = fg.FG()
+    f.set_xml(f"""
+    <settings>
+      <solver n="4">
+        <mode>heat</mode>
+        <materials><matrix mu="1" /><fiber mu="2" /></materials>
+      </solver>
+      <actions>
+        <select_material name="fiber" />
+        <place_fiber R="0.1" L="0.4" cx="0.5" cy="0.5" cz="0.5"
+                     ax="{ax[0]}" ay="{ax[1]}" az="{ax[2]}" />
+        <place_fiber type="halfspace" cx="0.9" cy="0.1" ax="-1" ay="-1" />
+        <init_phase />
+        <write_pvpy filename="geo.py" />
+      </actions>
+    </settings>
+    """)
+    assert f.run() == 0
+    txt = (tmp_path / "geo.py").read_text()
+
+    m = re.search(r"Transform\.Rotate = \[([^\]]+)\]", txt)
+    assert m, txt
+    rx, ry, rz = (np.radians(float(v)) for v in m.group(1).split(","))
+
+    def rot(a, axis):
+        c, s = np.cos(a), np.sin(a)
+        if axis == "x":
+            return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        if axis == "y":
+            return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    # vtkTransform: R = Rz * Rx * Ry
+    R = rot(rz, "z") @ rot(rx, "x") @ rot(ry, "y")
+    np.testing.assert_allclose(R @ np.array([0.0, 1.0, 0.0]), ax, atol=1e-9)
+
+    # halfspace: Plane() spans two tangents orthogonal to the normal
+    nv = np.array([-1.0, -1.0, 0.0]) / np.sqrt(2.0)
+    pts = {}
+    for key in ("Origin", "Point1", "Point2"):
+        m = re.search(rf"s\.{key} = \[([^\]]+)\]", txt)
+        assert m, (key, txt)
+        pts[key] = np.array([float(v) for v in m.group(1).split(",")])
+    e1 = pts["Point1"] - pts["Origin"]
+    e2 = pts["Point2"] - pts["Origin"]
+    assert np.linalg.norm(e1) > 0 and np.linalg.norm(e2) > 0
+    np.testing.assert_allclose(e1 @ nv, 0.0, atol=1e-9)
+    np.testing.assert_allclose(e2 @ nv, 0.0, atol=1e-9)
+    # the plane passes through the halfspace anchor point
+    center = pts["Origin"] + 0.5 * (e1 + e2)
+    np.testing.assert_allclose((center - np.array([0.9, 0.1, 0.0])) @ nv,
+                               0.0, atol=1e-9)
+
+
+def test_solver_xml_wires_use_sweep_and_sharding_fallback():
+    """use_sweep / sharding_fallback documented in doc/fileformat.xml must
+    actually reach SolverOptions from project XML."""
+    f = fg.FG()
+    f.set_xml("""
+    <settings>
+      <solver n="4" mode="heat">
+        <use_sweep>off</use_sweep>
+        <sharding_fallback>warn</sharding_fallback>
+        <materials><matrix mu="1" /><inc mu="2" /></materials>
+      </solver>
+      <actions>
+        <select_material name="inc" />
+        <place_fiber R="0.3" />
+        <run_load_case e1="1" />
+      </actions>
+    </settings>""")
+    assert f.run() == 0
+    assert f.solver.opt.use_sweep == "off"
+    assert f.solver.opt.sharding_fallback == "warn"
+
+
+def test_distance_evals_counted_per_instance():
+    """A fresh FG reports 0 distance evals even after another instance
+    voxelized (the counter is module-global; the API view is per-FG)."""
+    xml = """
+    <settings>
+      <solver n="4" mode="heat">
+        <materials><matrix mu="1" /><inc mu="2" /></materials>
+      </solver>
+      <actions>
+        <select_material name="inc" />
+        <place_fiber R="0.3" />
+        <init_phase />
+      </actions>
+    </settings>"""
+    f1 = fg.FG()
+    f1.set_xml(xml)
+    assert f1.run() == 0
+    assert f1.get_distance_evals() > 0
+    f2 = fg.FG()
+    assert f2.get_distance_evals() == 0
