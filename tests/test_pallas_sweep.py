@@ -93,3 +93,29 @@ def test_supported_shapes():
     assert not psw.supported(Grid(2, 8, 128), 6, jnp.float32)   # nb < 3
     assert not psw.supported(Grid(8, 8, 128), 3, jnp.float32)   # heat dim
     assert not psw.supported(Grid(8, 8, 128), 6, jnp.float64)
+
+
+def test_sweep_kernels_anisotropic_cell():
+    """Non-unit, anisotropic cell dimensions: pins the hx/hy/hz scale
+    factors of both sweep kernels against the BlockSpec kernels."""
+    nx, ny, nz = 8, 16, 128
+    grid = Grid(nx, ny, nz, dx=2.0, dy=0.5, dz=1.25)
+    r, pp, u, mu, lam = _rand_fields(nx, ny, nz, seed=2)
+    beta = jnp.float32(-0.8)
+    mu0, lam0 = 1.75, 0.0
+
+    f_ref, p_ref = pk.stress_div_beta_staggered(
+        grid, r, pp, beta, mu, lam, mu0, lam0)
+    f_new, p_new = psw.stress_div_beta_sweep(
+        grid, r, pp, beta, mu, lam, mu0, lam0)
+    np.testing.assert_allclose(np.asarray(p_new), np.asarray(p_ref),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
+                               rtol=1e-5, atol=2e-3)
+
+    E = np.array([0.0, -0.3, 0.0, 0.1, 0.0, 0.0])
+    w_ref, dot_ref = pk.eps_from_u_dot_staggered(grid, E, u, r)
+    w_new, dot_new = psw.eps_from_u_dot_sweep(grid, E, u, r)
+    np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_ref),
+                               rtol=1e-5, atol=2e-3)
+    assert float(dot_new) == pytest.approx(float(dot_ref), rel=1e-5)
