@@ -175,3 +175,33 @@ def test_wrong_axis_spec_refuses():
         Phase("b", laws.LinearIsotropic(mu=5, lam=2), 1 - phi1)], dim=6)
     with pytest.raises(SolverError, match="slab"):
         LSSolver(grid, mat, SolverOptions(), sharding=sharding)
+
+
+def test_warn_fallback_still_solves_correctly():
+    """sharding_fallback='warn' on a non-divisible grid proceeds with
+    replicated (GSPMD) FFTs — slower, but the ANSWER must match the
+    single-device solve."""
+    grid = fg.Grid(12, 8, 8)
+    x = (np.arange(grid.nx) + 0.5) / grid.nx
+    phi1 = jnp.asarray(np.broadcast_to(
+        (x < 0.5)[:, None, None], grid.shape).astype(np.float64))
+    def make(sharding=None, **kw):
+        mat = VoigtMixed([
+            Phase("a", laws.LinearIsotropic(mu=1, lam=1), phi1),
+            Phase("b", laws.LinearIsotropic(mu=5, lam=2), 1 - phi1)], dim=6)
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="elasticity", method="cg", tol=1e-10, maxiter=400, **kw),
+            sharding=sharding)
+        s.set_strain([1.0, 0, 0, 0, 0, 0])
+        return s
+
+    s_ref = make()
+    assert not s_ref.run()
+    sig_ref = s_ref.calc_mean_stress()
+
+    sharding = NamedSharding(mesh8(), P(None, "x", None, None))
+    s_warn = make(sharding, sharding_fallback="warn")
+    assert s_warn.par is None
+    assert not s_warn.run()
+    np.testing.assert_allclose(np.asarray(s_warn.calc_mean_stress()),
+                               np.asarray(sig_ref), rtol=1e-8, atol=1e-11)
