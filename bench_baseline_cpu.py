@@ -19,7 +19,7 @@ Usage:  python bench_baseline_cpu.py [n] [iters]
 Prints one JSON line with the measured sec/iter, the measured achieved
 memory bandwidth, and derived 64-core node estimates.
 
-Usage:  python bench_baseline_cpu.py --to-tol [n] [tol]
+Usage:  python bench_baseline_cpu.py --to-tol [n] [tol] [contrast]
 Runs the TRUE staggered CG (same shifted-form trajectory as
 runCGElasticity, fibergen.cpp:23153-23247) on the identical sphere RVE
 bench.py solves (30% sphere, mu 10/1, lam 5/1, E=[1,0,0,0,0,0]) to the
@@ -106,15 +106,16 @@ def one_iteration(p, mu_field, dmu, mu0, lam0, kr, ki, n):
     return w, eps_upd, r_upd, delta
 
 
-def make_sphere_problem(n, dtype=torch.float64):
+def make_sphere_problem(n, dtype=torch.float64, contrast=10.0):
     """The bench.py RVE: centered sphere of radius 0.3 (30.9% volume),
-    fiber mu=10 lam=5, matrix mu=1 lam=1, hard per-voxel indicator."""
+    fiber mu=contrast lam=contrast/2, matrix mu=1 lam=1, hard per-voxel
+    indicator (contrast=10 reproduces the headline bench)."""
     ax = [(np.arange(n) + 0.5) / n - 0.5 for _ in range(3)]
     X, Y, Z = np.meshgrid(*ax, indexing="ij")
     phi = torch.tensor(((X * X + Y * Y + Z * Z) < 0.09).astype(np.float64),
                        dtype=dtype)
-    mu_x = 1.0 + 9.0 * phi
-    lam_x = 1.0 + 4.0 * phi
+    mu_x = 1.0 + (contrast - 1.0) * phi
+    lam_x = 1.0 + (contrast / 2.0 - 1.0) * phi
     # reference material (fibergen.cpp:22283 + 12227): per-voxel tangent
     # eigenvalues {2 mu, 3 lam + 2 mu}; mu0 = 0.25 (lmin + lmax), lam0 = 0
     lmin = float(torch.minimum(2.0 * mu_x, 3.0 * lam_x + 2.0 * mu_x).min())
@@ -190,12 +191,12 @@ def krylov_staggered(p, mu_x, lam_x, mu0, lam0, kp, n):
     return w
 
 
-def run_cg_to_tol(n, tol):
+def run_cg_to_tol(n, tol, contrast=10.0):
     """True CG to sqrt(gamma/gamma0) <= tol, identical trajectory to the
     repo's _run_cg_elasticity (shifted direction form, beta_0 = 1 against
     p_prev = 0)."""
     dtype = torch.float64
-    mu_x, lam_x, mu0, lam0 = make_sphere_problem(n, dtype)
+    mu_x, lam_x, mu0, lam0 = make_sphere_problem(n, dtype, contrast)
     # staggered modified wavenumber k+ = (e^{i xi} - 1) / h, h = 1/n
     xi = 2.0 * np.pi * np.fft.fftfreq(n)
     kp = torch.tensor((np.exp(1j * xi) - 1.0) * n, dtype=torch.complex128)
@@ -231,10 +232,12 @@ def run_cg_to_tol(n, tol):
 def to_tol_main():
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     tol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-6
-    iters, rel, dt = run_cg_to_tol(n, tol)
+    contrast = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
+    iters, rel, dt = run_cg_to_tol(n, tol, contrast)
     sec_per_iter = dt / max(1, iters - 1)
     print(json.dumps({
         "metric": f"reference-proxy staggered CG to tol, {n}^3 sphere RVE f64",
+        "contrast": contrast,
         "iters_to_tol": iters,
         "tol": tol,
         "final_rel": rel,
