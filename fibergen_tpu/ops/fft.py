@@ -85,9 +85,28 @@ def _c2r_mats(n):
 
 _P = lax.Precision.HIGHEST
 
+# Complex-stage algorithm for the c2c matmul-DFT stages: "4m" is the plain
+# 4-real-matmul complex product; "3m" is the Karatsuba 3-matmul form
+# (m1 = re@C, m2 = im@S, m3 = (re+im)@(C+S); rr = m1-m2, ii = m3-m1-m2),
+# 25% fewer MXU FLOPs per c2c stage at the cost of one elementwise add of
+# the operands and a ~2-4x larger (but still f32-tiny) roundoff from the
+# m3-m1-m2 cancellation.  Overridable for experiments via
+# FIBERGEN_TPU_MM_ALG; the default is set by TPU measurement (see PARITY).
+MM_COMPLEX_ALG = "4m"
+
+
+def _mm_alg():
+    import os
+    return os.environ.get("FIBERGEN_TPU_MM_ALG", MM_COMPLEX_ALG)
+
 
 def _apply_last(re, im, C, S):
     """(re + i im) @ (C + i S)^T along the last axis."""
+    if _mm_alg() == "3m":
+        m1 = jnp.einsum("...z,kz->...k", re, C, precision=_P)
+        m2 = jnp.einsum("...z,kz->...k", im, S, precision=_P)
+        m3 = jnp.einsum("...z,kz->...k", re + im, C + S, precision=_P)
+        return m1 - m2, m3 - m1 - m2
     rr = (jnp.einsum("...z,kz->...k", re, C, precision=_P)
           - jnp.einsum("...z,kz->...k", im, S, precision=_P))
     ii = (jnp.einsum("...z,kz->...k", re, S, precision=_P)
@@ -190,11 +209,17 @@ def cfft_mm(y, axis, sign):
 
 
 def _apply_rot(re, im, spec, C, S, dt):
-    """One complex DFT stage as two real einsums per part, with the output
-    axis order chosen to be dot_general's NATURAL ordering (batch + lhs
-    free + rhs free) so XLA emits no transpose at all."""
+    """One complex DFT stage as real einsums, with the output axis order
+    chosen to be dot_general's NATURAL ordering (batch + lhs free + rhs
+    free) so XLA emits no transpose at all.  Two einsums per part ("4m"),
+    or the Karatsuba 3-matmul form when MM_COMPLEX_ALG == "3m"."""
     C = jnp.asarray(C, dt)
     S = jnp.asarray(S, dt)
+    if _mm_alg() == "3m":
+        m1 = jnp.einsum(spec, re, C, precision=_P)
+        m2 = jnp.einsum(spec, im, S, precision=_P)
+        m3 = jnp.einsum(spec, re + im, C + S, precision=_P)
+        return m1 - m2, m3 - m1 - m2
     rr = (jnp.einsum(spec, re, C, precision=_P)
           - jnp.einsum(spec, im, S, precision=_P))
     ii = (jnp.einsum(spec, re, S, precision=_P)

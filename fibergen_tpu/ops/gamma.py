@@ -73,6 +73,10 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
             if g0_solver == "multigrid":
                 from ..solvers.multigrid import g0_multigrid_staggered
                 u = g0_multigrid_staggered(grid, mu_0, lambda_0, f, alpha)
+            elif par is None:
+                # transpose-free fft+G0+ifft chain on the matmul-DFT
+                # backend (falls back to separate transforms off it)
+                u = green.g0_staggered_fused(grid, mu_0, lambda_0, f, alpha)
             else:
                 f_hat = _fftn(f)
                 u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
@@ -97,9 +101,14 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             f = staggered.div_staggered_heat(grid, tau)
-            f_hat = _fftn(f)
-            u_hat = green.g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
-            u = _ifftn(u_hat, grid.shape)
+            if par is None:
+                u = green.g0_staggered_heat_fused(grid, mu_0, lambda_0, f,
+                                                  alpha)
+            else:
+                f_hat = _fftn(f)
+                u_hat = green.g0_staggered_heat(grid, mu_0, lambda_0, f_hat,
+                                                alpha)
+                u = _ifftn(u_hat, grid.shape)
             eta = staggered.eps_staggered_heat(grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau
@@ -120,9 +129,14 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             f = staggered.div_staggered_hyper(grid, tau)
-            f_hat = _fftn(f)
-            u_hat = green.g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
-            u = _ifftn(u_hat, grid.shape)
+            if par is None:
+                u = green.g0_staggered_hyper_fused(grid, mu_0, lambda_0, f,
+                                                   alpha)
+            else:
+                f_hat = _fftn(f)
+                u_hat = green.g0_staggered_hyper(grid, mu_0, lambda_0, f_hat,
+                                                 alpha)
+                u = _ifftn(u_hat, grid.shape)
             eta = staggered.eps_staggered_hyper(grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau

@@ -195,6 +195,19 @@ def _staggered_k(grid: Grid, rdtype):
     return kp0, kp1, kp2, norm2
 
 
+def _staggered_dc(grid: Grid, rdtype):
+    """Per-axis DC-bin indicator vectors, broadcastable to the half-spectrum
+    (nx, ny, nzr) layout.  Their product is 1 at the DC bin and 0 elsewhere;
+    used to regularize 1/|k|^2 and zero the G0 output at DC WITHOUT
+    `.at[].set` scatters — a scatter forces XLA to materialize the full
+    spectral-constant buffer (0.8 GB of c1/c2/n2 at 512^3), while the
+    indicator product stays an elementwise fusion over 1-D inputs."""
+    dx = (jnp.arange(grid.nx) == 0).astype(rdtype).reshape(-1, 1, 1)
+    dy = (jnp.arange(grid.ny) == 0).astype(rdtype).reshape(-1, 1)
+    dz = (jnp.arange(grid.nz // 2 + 1) == 0).astype(rdtype)
+    return dx, dy, dz
+
+
 def g0_staggered(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
     """eta_hat = alpha * G0_hat(tau_hat) on 3-component (force) hat fields
     (G0OperatorFourierStaggered + General, fibergen.cpp:19749-19927):
@@ -219,20 +232,22 @@ def g0_staggered_hyper(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
 def _g0_staggered_general(grid: Grid, tau_hat, c10, c20):
     rdtype = jnp.real(tau_hat).dtype
     kp0, kp1, kp2, n2 = _staggered_k(grid, rdtype)
-    n2 = n2.at[0, 0, 0].set(1.0)
+    dx, dy, dz = _staggered_dc(grid, rdtype)
+    dc = dx * dy * dz
+    n2s = n2 + dc          # regularizes the n2=0 DC bin
+    ndc = 1.0 - dc         # zeroes the output there (was _set_dc)
 
-    c1 = c10 / n2
-    c2 = c20 / (n2 * n2)
+    c1 = c10 * ndc / n2s
+    c2 = c20 * ndc / (n2s * n2s)
 
     fkp = tau_hat[0] * kp0 + tau_hat[1] * kp1 + tau_hat[2] * kp2
     c2_fkp = c2 * fkp
     # k- = (-Re(k+), Im(k+)) = -conj(k+)
-    eta = jnp.stack([
+    return jnp.stack([
         c1 * tau_hat[0] - c2_fkp * jnp.conj(kp0),
         c1 * tau_hat[1] - c2_fkp * jnp.conj(kp1),
         c1 * tau_hat[2] - c2_fkp * jnp.conj(kp2),
     ])
-    return _set_dc(eta, jnp.zeros((), eta.dtype))
 
 
 def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
@@ -254,21 +269,78 @@ def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
 
     c10 = -alpha / mu_0
     c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+    return _g0_staggered_chain(grid, f, c10, c20)
+
+
+def g0_staggered_hyper_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+    """Fused-chain variant of :func:`g0_staggered_hyper` (full-gradient
+    scheme coefficients, fibergen.cpp:19768-19774)."""
+    from . import fft as fftmod
+
+    if not fftmod.mm_enabled(f.shape[-3:]):
+        f_hat = fftmod.fftn(f)
+        u_hat = g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
+        return fftmod.ifftn(u_hat, f.shape[-3:])
+
+    c10 = -alpha / (2.0 * mu_0)
+    with np.errstate(divide="ignore"):  # lambda_0 = 0 -> c20 = 0 (IEEE inf)
+        c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    return _g0_staggered_chain(grid, f, c10, c20)
+
+
+def g0_staggered_heat_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+    """Fused-chain variant of :func:`g0_staggered_heat` (scalar G0,
+    fibergen.cpp:19778-19830): one transpose-free fft+scale+ifft."""
+    from . import fft as fftmod
+
+    if not fftmod.mm_enabled(f.shape[-3:]):
+        f_hat = fftmod.fftn(f)
+        u_hat = g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
+        return fftmod.ifftn(u_hat, f.shape[-3:])
+
+    c10 = -alpha / (2.0 * mu_0)
+
+    def apply(re, im):
+        rdtype = re.dtype
+        kp0, kp1, kp2, _ = _staggered_k(grid, rdtype)
+        # (KZ, KY, KX) layout: rebuild |k|^2 from the 1-D factors and bake
+        # the DC zero in with the indicator mask (no materialized buffers)
+        kp = (kp2.reshape(-1, 1, 1), kp1.reshape(1, -1, 1),
+              kp0.reshape(1, 1, -1))
+        n2p = sum(jnp.real(k) ** 2 + jnp.imag(k) ** 2 for k in kp)
+        dx, dy, dz = _staggered_dc(grid, rdtype)
+        dc = (dz.reshape(-1, 1, 1) * dy.reshape(1, -1, 1)
+              * dx.reshape(1, 1, -1))
+        c1 = c10 * (1.0 - dc) / (n2p + dc)
+        return c1 * re, c1 * im
+
+    return fftmod.fftn_apply_ifftn_mm(f, apply)
+
+
+def _g0_staggered_chain(grid: Grid, f, c10, c20):
+    from . import fft as fftmod
 
     def apply(re, im):
         # layout (..., KZ, KY, KX): permute the broadcastable k-factors
         rdtype = re.dtype
-        kp0, kp1, kp2, n2 = _staggered_k(grid, rdtype)
+        kp0, kp1, kp2, _ = _staggered_k(grid, rdtype)
         # axes here are (KZ, KY, KX): kp0 varies along KX (last), kp1 along
         # KY, kp2 along KZ (first)
         kp = (kp0.reshape(1, 1, -1), kp1.reshape(1, -1, 1),
               kp2.reshape(-1, 1, 1))
         kpr = [jnp.real(k) for k in kp]
         kpi = [jnp.imag(k) for k in kp]
-        n2p = jnp.transpose(n2, (2, 1, 0))
-        n2p = n2p.at[0, 0, 0].set(1.0)
-        c1 = (c10 / n2p).at[0, 0, 0].set(0.0)         # bakes the DC zero in
-        c2 = (c20 / (n2p * n2p)).at[0, 0, 0].set(0.0)
+        # |k|^2 rebuilt from the 1-D factors IN this layout (|kp_a|^2 =
+        # s_a^2): a sum of 1-D broadcasts, so with the mask-based DC
+        # handling below none of n2/c1/c2 is ever a materialized buffer
+        n2p = sum(kpr[j] * kpr[j] + kpi[j] * kpi[j] for j in range(3))
+        dx, dy, dz = _staggered_dc(grid, rdtype)
+        dc = (dz.reshape(-1, 1, 1) * dy.reshape(1, -1, 1)
+              * dx.reshape(1, 1, -1))
+        n2s = n2p + dc
+        ndc = 1.0 - dc
+        c1 = c10 * ndc / n2s                          # bakes the DC zero in
+        c2 = c20 * ndc / (n2s * n2s)
         # fkp = sum_j tau_j kp_j ; eta_j = c1 tau_j - c2 fkp conj(kp_j)
         fr = sum(re[j] * kpr[j] - im[j] * kpi[j] for j in range(3))
         fi = sum(re[j] * kpi[j] + im[j] * kpr[j] for j in range(3))
@@ -287,10 +359,11 @@ def g0_staggered_heat(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
     fibergen.cpp:19778-19830): eta = -alpha/(2 mu0 |k|^2) * tau."""
     rdtype = jnp.real(tau_hat).dtype
     _, _, _, n2 = _staggered_k(grid, rdtype)
-    n2 = n2.at[0, 0, 0].set(1.0)
+    dx, dy, dz = _staggered_dc(grid, rdtype)
+    dc = dx * dy * dz
     c10 = -alpha / (2.0 * mu_0)
-    eta = (c10 / n2) * tau_hat[0]
-    return _set_dc(eta[None], jnp.zeros((), eta.dtype))
+    eta = (c10 * (1.0 - dc) / (n2 + dc)) * tau_hat[0]
+    return eta[None]
 
 
 # ---------------------------------------------------------------------------

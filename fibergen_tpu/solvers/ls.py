@@ -633,13 +633,12 @@ class LSSolver:
             ncomp = self.dim
         if self.par is not None:
             backend = "slab"
-        elif (self._pallas_active
-                and fftmod.mm_enabled(self.grid.shape)
-                and self._bca() is None
-                and self.opt.method != "polarization"):
-            # the fused chain only runs on the trivial-BC fused path
-            # (basic_step/krylov/cg_step with bca None); mixed-BC and
-            # polarization solves transform with separate fftn/ifftn
+        elif (self.scheme in ("staggered", "half_staggered", "full_staggered")
+                and self.opt.g0_solver == "fft"
+                and fftmod.mm_enabled(self.grid.shape)):
+            # every single-chip staggered G0 apply — fused Pallas path,
+            # jnp fallback, mixed BC, heat/hyper/viscosity — runs the
+            # transpose-free chain on the matmul backend (ops/gamma.py)
             backend = "chain"
         else:
             backend = "pair"

@@ -348,6 +348,73 @@ def test_g0_staggered_fused_matches_separate():
             assert float(jnp.abs(fused_fb - ref).max()) < 1e-12 * scale
 
 
+def test_g0_heat_and_hyper_fused_match_separate():
+    """The heat (scalar) and hyper (full-gradient) fused chains equal their
+    separate fftn/g0/ifftn forms on both backends."""
+    import jax.numpy as jnp
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.ops import green
+
+    rng = np.random.default_rng(5)
+    shape = (12, 10, 14)
+    grid = Grid(*shape, 1.0, 1.5, 0.75)
+
+    cases = [
+        ("heat", 1, green.g0_staggered_heat, green.g0_staggered_heat_fused,
+         (2.25, 0.0)),
+        ("hyper", 3, green.g0_staggered_hyper, green.g0_staggered_hyper_fused,
+         (1.7, 0.0)),
+        ("hyper", 3, green.g0_staggered_hyper, green.g0_staggered_hyper_fused,
+         (1.7, 0.9)),
+    ]
+    for name, ncomp, sep, fused, (mu0, lam0) in cases:
+        f = jnp.asarray(rng.standard_normal((ncomp,) + shape))
+        ref = fftmod.ifftn(sep(grid, mu0, lam0, fftmod.fftn(f), -1.0), shape)
+        try:
+            fftmod.FFT_BACKEND = "matmul"
+            got_mm = fused(grid, mu0, lam0, f, -1.0)
+        finally:
+            fftmod.FFT_BACKEND = "auto"
+        got_fb = fused(grid, mu0, lam0, f, -1.0)
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(got_mm - ref).max()) < 1e-12 * scale, name
+        assert float(jnp.abs(got_fb - ref).max()) < 1e-12 * scale, name
+
+
+def test_karatsuba_3m_stage_matches_4m():
+    """The Karatsuba 3-matmul complex stage (ops/fft.py MM_COMPLEX_ALG
+    '3m': m1=re@C, m2=im@S, m3=(re+im)@(C+S)) must reproduce the 4-matmul
+    transforms and the fused G0 chain to machine precision."""
+    import jax.numpy as jnp
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.ops import green
+
+    rng = np.random.default_rng(11)
+    shape = (12, 10, 14)
+    x = jnp.asarray(rng.standard_normal((3,) + shape))
+    yref = jnp.fft.rfftn(x, axes=(1, 2, 3), norm="forward")
+    grid = Grid(*shape)
+    gref = fftmod.ifftn(
+        green.g0_staggered(grid, 1.7, 0.9, fftmod.fftn(x), -1.0), shape)
+    try:
+        fftmod.MM_COMPLEX_ALG = "3m"
+        fftmod.FFT_BACKEND = "matmul"
+        y3 = fftmod._fftn_mm(x)
+        b3 = fftmod._ifftn_mm(y3, shape)
+        g3 = green.g0_staggered_fused(grid, 1.7, 0.9, x, -1.0)
+    finally:
+        fftmod.MM_COMPLEX_ALG = "4m"
+        fftmod.FFT_BACKEND = "auto"
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(yref),
+                               rtol=1e-11, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b3), np.asarray(x),
+                               rtol=1e-11, atol=1e-12)
+    scale = float(jnp.abs(gref).max())
+    assert float(jnp.abs(g3 - gref).max()) < 1e-12 * scale
+
+
 def test_g0_fused_large_axis():
     """Fused-chain correctness on 256-point axes (the bench grid's axis
     length) for both x- and y-dominant shapes."""

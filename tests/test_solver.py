@@ -161,6 +161,37 @@ def test_mixed_bc_stress_control():
     np.testing.assert_allclose(s.calc_mean_strain(), eps_expect, atol=1e-8)
 
 
+def test_mixed_bc_matmul_backend_matches_xla():
+    """The mixed-BC staggered solve runs the fused fft+G0+ifft chain on the
+    matmul-DFT backend (ops/gamma.py par-None path); its solution must match
+    the XLA-FFT backend bit-tight."""
+    from fibergen_tpu.ops import fft as fftmod
+
+    m1 = dict(mu=1.0, lam=1.0)
+    m2 = dict(mu=5.0, lam=2.0)
+    grid = Grid(16, 16, 16)
+    mat = elastic_material(grid, m1, m2)
+    S = np.array([1.0, 0, 0, 0, 0, 0])
+
+    def solve():
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="elasticity", method="cg", tol=1e-10, maxiter=500))
+        s.set_bc_projector(np.zeros((6, 6)))
+        s.set_stress(S)
+        s.set_strain(np.zeros(6))
+        assert not s.run()
+        return np.asarray(s.calc_mean_strain()), len(s.residuals)
+
+    try:
+        fftmod.FFT_BACKEND = "matmul"
+        eps_mm, it_mm = solve()
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+    eps_x, it_x = solve()
+    assert it_mm == it_x
+    np.testing.assert_allclose(eps_mm, eps_x, rtol=1e-9, atol=1e-12)
+
+
 def test_hyper_svk_small_strain_matches_linear():
     """SVK Newton-Krylov at tiny strain reproduces the linear elastic
     laminate response."""
