@@ -225,6 +225,15 @@ class FG:
             sharding_fallback=sol.value("sharding_fallback", "error", str),
             dtype=self._dtype_str(),
         )
+        # spectral-backend policy (process-global, like the reference's FFTW
+        # planner state): auto = MXU matmul-DFT on TPU where it wins, xla =
+        # force the FFT op, matmul = force the DFT
+        fb = sol.value("fft_backend", "auto", str)
+        if fb not in ("auto", "xla", "matmul"):
+            raise FGError(f"Unknown fft_backend '{fb}'"
+                          " (expected auto, xla or matmul)")
+        from .ops import fft as _fftmod
+        _fftmod.FFT_BACKEND = fb
         ls = sol.value("loadsteps", 1, int)
         opt.loadsteps = max(1, ls)
         self._smooth_levels = sol.value("smooth_levels", -1, int)

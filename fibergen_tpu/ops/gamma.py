@@ -53,6 +53,16 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
     bc_active = bc is not None
 
     if mode == "elasticity":
+        if scheme == "collocated" and par is None:
+            # fused chain: the DC bin (forward-normalized = field mean)
+            # carries E plus any BC mean correction
+            E_eff = jnp.asarray(E, tau.dtype)
+            if bc_active:
+                R = bcmod.bc_correction(bc, fields.mean(tau), F00)
+                E_eff = E_eff + alpha * R
+            return green.gamma_collocated_fused(
+                grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
+                freq_hack=freq_hack)
         if scheme == "collocated" or scheme == "willot":
             tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
@@ -91,6 +101,13 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
     elif mode in ("heat", "porous"):
         if scheme == "collocated":
+            if par is None:
+                E_eff = jnp.asarray(E, tau.dtype)
+                if bc_active:
+                    R = bcmod.bc_correction(bc, fields.mean(tau), F00)
+                    E_eff = E_eff + alpha * R
+                return green.gamma_collocated_heat_fused(
+                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta)
             tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
             eta_hat = green.gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
@@ -119,6 +136,13 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
     elif mode == "hyperelasticity":
         if scheme == "collocated":
+            if par is None:
+                E_eff = jnp.asarray(E, tau.dtype)
+                if bc_active:
+                    R = bcmod.bc_correction(bc, fields.mean(tau), F00)
+                    E_eff = E_eff + alpha * R
+                return green.gamma_collocated_hyper_fused(
+                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta)
             tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
             eta_hat = green.gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)

@@ -175,6 +175,150 @@ def gamma_collocated_hyper(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, b
     return _set_dc(eta, jnp.asarray(E, eta.dtype))
 
 
+# ------------------------------------------------- fused collocated chains
+# The collocated Gamma kernels apply REAL xi factors, so they act on the
+# real and imaginary spectrum parts independently — which lets them run
+# inside the transpose-free matmul-DFT chain (fft.fftn_apply_ifftn_mm)
+# exactly like the staggered G0: real-space tau in, real-space eta out,
+# eta_hat never materialized in HBM.
+
+def _xi_perm(grid: Grid, rdtype):
+    """xi broadcast vectors in the chain's (KZ, KY, KX) layout."""
+    fx, fy, fz = grid.xi(two_pi=False)
+    x0 = jnp.asarray(fx, rdtype).reshape(1, 1, -1)
+    x1 = jnp.asarray(fy, rdtype).reshape(1, -1, 1)
+    x2 = jnp.asarray(fz, rdtype).reshape(-1, 1, 1)
+    return x0, x1, x2
+
+
+def _dc_perm(grid: Grid, rdtype):
+    """DC indicator / complement in the chain's (KZ, KY, KX) layout."""
+    dx, dy, dz = _staggered_dc(grid, rdtype)
+    dc = (dz.reshape(-1, 1, 1) * dy.reshape(1, -1, 1)
+          * dx.reshape(1, 1, -1))
+    return dc, 1.0 - dc
+
+
+def _gamma_chain(grid: Grid, tau, E, beta, part_fn):
+    """Run ``ifftn(Gamma(fftn(tau)))`` as one chain.  ``part_fn(p, xis,
+    k2reg)`` applies the real-coefficient Gamma kernel to one spectrum part;
+    the DC bin is set to E in the real part (the reference's explicit
+    zero-frequency handling, incl. any BC mean correction folded into E)."""
+    from . import fft as fftmod
+
+    rdtype = tau.dtype
+    Ej = jnp.asarray(E, rdtype).reshape(-1, 1, 1, 1)
+
+    def apply(re, im):
+        xis = _xi_perm(grid, rdtype)
+        dc, ndc = _dc_perm(grid, rdtype)
+        k2 = xis[0] * xis[0] + xis[1] * xis[1] + xis[2] * xis[2] + dc
+        eta_re = part_fn(re, xis, k2)
+        eta_im = part_fn(im, xis, k2)
+        if beta != 0.0:
+            eta_re = eta_re + beta * re
+            eta_im = eta_im + beta * im
+        return eta_re * ndc + Ej * dc, eta_im * ndc
+
+    return fftmod.fftn_apply_ifftn_mm(tau, apply)
+
+
+def gamma_collocated_fused(grid: Grid, E, mu_0, lambda_0, tau, alpha=-1.0,
+                           beta=0.0, freq_hack=False):
+    """Fused-chain :func:`gamma_collocated`: real-space tau in, eta out.
+    Falls back to separate transforms off the matmul backend or when the
+    Nyquist freq_hack averaging is requested."""
+    from . import fft as fftmod
+
+    if not fftmod.mm_enabled(tau.shape[-3:]) or freq_hack:
+        tau_hat = fftmod.fftn(tau)
+        eta_hat = gamma_collocated(grid, E, mu_0, lambda_0, tau_hat, alpha,
+                                   beta, freq_hack)
+        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+
+    A = alpha / (2.0 * mu_0)
+    B = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+
+    def part(p, xis, k2):
+        x0, x1, x2 = xis
+        t0 = p[0] * x0 + p[5] * x1 + p[4] * x2
+        t1 = p[5] * x0 + p[1] * x1 + p[3] * x2
+        t2 = p[4] * x0 + p[3] * x1 + p[2] * x2
+        s = x0 * t0 + x1 * t1 + x2 * t2
+        a = A / k2
+        b = (B / (k2 * k2)) * s
+        return jnp.stack([
+            a * (2.0 * x0 * t0) + b * (x0 * x0),
+            a * (2.0 * x1 * t1) + b * (x1 * x1),
+            a * (2.0 * x2 * t2) + b * (x2 * x2),
+            a * (x1 * t2 + x2 * t1) + b * (x1 * x2),
+            a * (x0 * t2 + x2 * t0) + b * (x0 * x2),
+            a * (x0 * t1 + x1 * t0) + b * (x0 * x1),
+        ])
+
+    return _gamma_chain(grid, tau, E, beta, part)
+
+
+def gamma_collocated_heat_fused(grid: Grid, E, mu_0, lambda_0, tau,
+                                alpha=-1.0, beta=0.0):
+    """Fused-chain :func:`gamma_collocated_heat`."""
+    from . import fft as fftmod
+
+    if not fftmod.mm_enabled(tau.shape[-3:]):
+        tau_hat = fftmod.fftn(tau)
+        eta_hat = gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat,
+                                        alpha, beta)
+        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+
+    A = alpha / (2.0 * mu_0)
+
+    def part(p, xis, k2):
+        x0, x1, x2 = xis
+        c = A * (p[0] * x0 + p[1] * x1 + p[2] * x2) / k2
+        return jnp.stack([c * x0, c * x1, c * x2])
+
+    return _gamma_chain(grid, tau, E, beta, part)
+
+
+def gamma_collocated_hyper_fused(grid: Grid, E, mu_0, lambda_0, tau,
+                                 alpha=-1.0, beta=0.0):
+    """Fused-chain :func:`gamma_collocated_hyper` (9-component fields)."""
+    from . import fft as fftmod
+
+    if not fftmod.mm_enabled(tau.shape[-3:]):
+        tau_hat = fftmod.fftn(tau)
+        eta_hat = gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat,
+                                         alpha, beta)
+        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+
+    A = alpha / (2.0 * mu_0)
+    with np.errstate(divide="ignore"):
+        c2f = float(-alpha / (2.0 * mu_0
+                              * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+
+    def part(p, xis, k2):
+        x0, x1, x2 = xis
+        t0 = p[0] * x0 + p[5] * x1 + p[4] * x2
+        t1 = p[8] * x0 + p[1] * x1 + p[3] * x2
+        t2 = p[7] * x0 + p[6] * x1 + p[2] * x2
+        s = x0 * t0 + x1 * t1 + x2 * t2
+        c1 = A / k2
+        b = (c2f / (k2 * k2)) * s
+        return jnp.stack([
+            c1 * x0 * t0 + b * x0 * x0,
+            c1 * x1 * t1 + b * x1 * x1,
+            c1 * x2 * t2 + b * x2 * x2,
+            c1 * x2 * t1 + b * x1 * x2,
+            c1 * x2 * t0 + b * x0 * x2,
+            c1 * x1 * t0 + b * x0 * x1,
+            c1 * x1 * t2 + b * x2 * x1,
+            c1 * x0 * t2 + b * x2 * x0,
+            c1 * x0 * t1 + b * x1 * x0,
+        ])
+
+    return _gamma_chain(grid, tau, E, beta, part)
+
+
 # ---------------------------------------------------------------------------
 # Staggered-grid G0 operators (modified wavenumbers)
 # ---------------------------------------------------------------------------

@@ -633,12 +633,18 @@ class LSSolver:
             ncomp = self.dim
         if self.par is not None:
             backend = "slab"
-        elif (self.scheme in ("staggered", "half_staggered", "full_staggered")
-                and self.opt.g0_solver == "fft"
-                and fftmod.mm_enabled(self.grid.shape)):
+        elif (fftmod.mm_enabled(self.grid.shape)
+                and ((self.scheme in ("staggered", "half_staggered",
+                                      "full_staggered")
+                      and self.opt.g0_solver == "fft")
+                     or (self.scheme == "collocated"
+                         and self.mode != "viscosity"
+                         and not self.opt.freq_hack))):
             # every single-chip staggered G0 apply — fused Pallas path,
-            # jnp fallback, mixed BC, heat/hyper/viscosity — runs the
-            # transpose-free chain on the matmul backend (ops/gamma.py)
+            # jnp fallback, mixed BC, heat/hyper/viscosity — and the
+            # collocated Gamma run the transpose-free chain on the matmul
+            # backend (ops/gamma.py); willot, freq_hack and the zero-trace
+            # viscosity collocated path use separate transforms
             backend = "chain"
         else:
             backend = "pair"

@@ -118,6 +118,33 @@ def test_heat_laminate_effective_properties():
     np.testing.assert_allclose(K[2, 2], parallel, rtol=1e-6)
 
 
+def test_fft_backend_xml_knob():
+    """<fft_backend> selects the spectral backend (doc/fileformat.xml);
+    'matmul' forces the MXU DFT chain and must solve to the same answer;
+    an unknown value raises."""
+    from fibergen_tpu.ops import fft as fftmod
+
+    xml = HEAT_LAMINATE_XML.replace(
+        "</mode>", "</mode><fft_backend>matmul</fft_backend>")
+    assert "fft_backend" in xml
+    f = fg.FG()
+    f.set_xml(xml)
+    try:
+        assert f.run() == 0
+        assert fftmod.FFT_BACKEND == "matmul"
+        K = np.array(f.get_effective_property())
+        np.testing.assert_allclose(K[0, 0], 20.0 / 11.0, rtol=1e-6)
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+
+    f_bad = fg.FG()
+    f_bad.set_xml(HEAT_LAMINATE_XML.replace(
+        "</mode>", "</mode><fft_backend>fftw</fft_backend>"))
+    with pytest.raises(Exception, match="fft_backend"):
+        f_bad.run()
+    fftmod.FFT_BACKEND = "auto"
+
+
 LAMINATE_XML = """
 <settings>
   <solver nx="16" ny="4" nz="4">

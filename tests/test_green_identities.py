@@ -348,6 +348,38 @@ def test_g0_staggered_fused_matches_separate():
             assert float(jnp.abs(fused_fb - ref).max()) < 1e-12 * scale
 
 
+def test_gamma_collocated_fused_matches_separate():
+    """The fused collocated chains (elasticity 6-comp, heat 3-comp, hyper
+    9-comp) equal ifftn(gamma(fftn(tau))) incl. DC = E and beta terms."""
+    import jax.numpy as jnp
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.ops import green
+
+    rng = np.random.default_rng(9)
+    shape = (12, 10, 14)
+    grid = Grid(*shape, 1.0, 2.0, 0.5)
+
+    cases = [
+        (6, green.gamma_collocated, green.gamma_collocated_fused),
+        (3, green.gamma_collocated_heat, green.gamma_collocated_heat_fused),
+        (9, green.gamma_collocated_hyper, green.gamma_collocated_hyper_fused),
+    ]
+    for ncomp, sep, fused in cases:
+        tau = jnp.asarray(rng.standard_normal((ncomp,) + shape))
+        E = jnp.asarray(rng.standard_normal(ncomp))
+        for beta in (0.0, 0.3):
+            ref = fftmod.ifftn(
+                sep(grid, E, 1.7, 0.9, fftmod.fftn(tau), -1.0, beta), shape)
+            try:
+                fftmod.FFT_BACKEND = "matmul"
+                got = fused(grid, E, 1.7, 0.9, tau, -1.0, beta)
+            finally:
+                fftmod.FFT_BACKEND = "auto"
+            scale = float(jnp.abs(ref).max())
+            assert float(jnp.abs(got - ref).max()) < 1e-12 * scale, ncomp
+
+
 def test_g0_heat_and_hyper_fused_match_separate():
     """The heat (scalar) and hyper (full-gradient) fused chains equal their
     separate fftn/g0/ifftn forms on both backends."""
