@@ -169,14 +169,19 @@ class FG:
         nx = sol.attr("nx", n, int) * mult
         ny = sol.attr("ny", n, int) * mult
         nz = sol.attr("nz", n, int) * mult
-        # <dim>2</dim>: one-voxel-thick periodic cell.  The staggered/
-        # collocated operators on nz=1 reduce EXACTLY to the 2-D plane-
-        # strain operators (a periodic size-1 axis has zero derivative), so
-        # this is a true 2-D solve carrying three dead strain components.
+        # <dim>2</dim>: true two-dimensional instantiation on a one-voxel-
+        # thick periodic cell.  When the solve qualifies (staggered or
+        # collocated scheme, trivial BCs, no out-of-plane loading;
+        # isotropic linear phases for elasticity) LSSolver runs the real
+        # DIM=2 build: in-plane-only stencils, 2-component force fields and
+        # a 2-D half-spectrum matmul-DFT chain (SolverOptions.use_dim2,
+        # proven field-identical to the nz=1 3-D operators in
+        # tests/test_dim2.py).  Otherwise the nz=1 3-D superset path runs —
+        # still exact, since a periodic size-1 axis has zero derivative.
         # The reference's own DIM=2 dispatch is disabled in its shipped
         # source (fibergen.cpp:26558-26564, the RUN_TYPE_AND_DIM(..., 2)
-        # lines are commented out) and <dim>2</dim> throws there — this
-        # path is a superset of the reference's actual behavior.
+        # lines are commented out) and <dim>2</dim> throws there — both
+        # paths are a superset of the reference's actual behavior.
         if s.value("dim", 3, int) == 2:
             nz = 1
         if min(nx, ny, nz) < 1:
@@ -222,6 +227,7 @@ class FG:
             check_every=sol.value("check_every", 1, int),
             use_pallas=sol.value("use_pallas", "auto", str),
             use_sweep=sol.value("use_sweep", "auto", str),
+            use_dim2=sol.value("use_dim2", "auto", str),
             sharding_fallback=sol.value("sharding_fallback", "error", str),
             dtype=self._dtype_str(),
         )

@@ -279,6 +279,55 @@ def mm_enabled(shape):
     return _mm_enabled(shape)
 
 
+def mm2d_enabled(shape):
+    """Eligibility of the true-2-D matmul-DFT chain: a one-voxel-thick
+    (nx, ny, 1) grid — the <dim>2</dim> instantiation — with in-plane axis
+    sizes in the measured matmul-DFT win window.  Forced on/off by
+    FFT_BACKEND exactly like the 3-D backend."""
+    nx, ny, nz = shape
+    if nz != 1 or FFT_BACKEND == "xla":
+        return False
+    if FFT_BACKEND == "matmul":
+        return True
+    return (jax.default_backend() not in ("cpu",)
+            and max(nx, ny) <= _MM_MAX_AXIS and min(nx, ny) >= 16)
+
+
+def fft2_apply_ifft2_mm(x, apply_fn):
+    """irfft2(apply(rfft2(x))) for one-voxel-thick (..., nx, ny, 1) fields —
+    the true DIM=2 instantiation of the transpose-free spectral chain
+    (:func:`fftn_apply_ifftn_mm`): R2C along y (the half-spectrum axis),
+    C2C along x, ``apply_fn(re, im)`` elementwise in (..., KY, KX) layout,
+    then the inverse stages.  Every stage is an MXU matmul in dot_general's
+    natural output order, so the hat field never materializes in HBM.
+
+    The reference's (disabled) 2-D dispatch would run 2-D FFTW plans over
+    (nx, ny) here (fibergen.cpp:26550-26565); norm='forward' so the DC bin
+    is the field mean, like the 3-D chain."""
+    nx, ny = x.shape[-3], x.shape[-2]
+    dt = x.dtype
+    x2 = x[..., 0]                                   # (..., X, Y)
+    scale = 1.0 / (nx * ny)
+    Cy, Sy = _r2c_mats(ny)
+    re = jnp.einsum("...xy,ky->...xk", x2, jnp.asarray(Cy * scale, dt),
+                    precision=_P)
+    im = jnp.einsum("...xy,ky->...xk", x2, jnp.asarray(Sy * scale, dt),
+                    precision=_P)
+    # -> (..., KY, KX)
+    re, im = _stage(re, im, "...xk,ix->...ki", nx, -1, dt)
+
+    re, im = apply_fn(re, im)
+
+    # -> (..., KY, X)
+    re, im = _stage(re, im, "...ki,xi->...kx", nx, +1, dt)
+    Cr, Sr = _c2r_mats(ny)
+    out = (jnp.einsum("...kx,yk->...xy", re, jnp.asarray(Cr, dt),
+                      precision=_P)
+           - jnp.einsum("...kx,yk->...xy", im, jnp.asarray(Sr, dt),
+                        precision=_P))
+    return out[..., None]
+
+
 def fftn(x):
     """Forward FFT of a (ncomp, nx, ny, nz) real field; scaled by 1/N so the
     DC bin holds the field mean (fibergen.cpp:18481-18510)."""

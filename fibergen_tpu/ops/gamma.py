@@ -30,7 +30,8 @@ def _apply_mean_correction(eta, R, alpha):
 
 def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | None",
                    E, mu_0, lambda_0, tau, alpha=-1.0, beta=0.0, F00=None,
-                   g0_solver: str = "fft", freq_hack: bool = False, par=None):
+                   g0_solver: str = "fft", freq_hack: bool = False, par=None,
+                   dim2: bool = False):
     """eta = alpha * Gamma : tau + beta * tau with mean handling.
 
     ``tau`` is the real-space polarization field; returns the real-space eta.
@@ -40,6 +41,13 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
     even-grid Nyquist symmetrization of the collocated elasticity Gamma —
     the only operator where the reference's flag is active
     (fibergen.cpp:19396; the other sites are compiled out).
+
+    ``dim2`` runs the true DIM=2 staggered pipeline on one-voxel-thick
+    grids — in-plane-only divergence, 2-D spectral chain, in-plane
+    gradient with constant out-of-plane components.  The caller (LSSolver)
+    guarantees the qualification: nz == 1, trivial-or-mean-only BCs with no
+    out-of-plane loading, and (for elasticity) z-monoclinic materials, so
+    the dropped components are identically zero, not approximated.
     """
     if mode == "viscosity":
         return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha,
@@ -54,6 +62,11 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
     if mode == "elasticity":
         if scheme == "collocated" and par is None:
+            if dim2 and not bc_active and beta == 0.0 and not freq_hack:
+                # true DIM=2 collocated pipeline: 3-component 2-D chain
+                return green.gamma_collocated_fused_2d(
+                    grid, jnp.asarray(E, tau.dtype), mu_0, lambda_0, tau,
+                    alpha)
             # fused chain: the DC bin (forward-normalized = field mean)
             # carries E plus any BC mean correction
             E_eff = jnp.asarray(E, tau.dtype)
@@ -79,19 +92,30 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
             return _ifftn(eta_hat, grid.shape)
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
-            f = staggered.div_staggered(grid, tau)
-            if g0_solver == "multigrid":
-                from ..solvers.multigrid import g0_multigrid_staggered
-                u = g0_multigrid_staggered(grid, mu_0, lambda_0, f, alpha)
-            elif par is None:
-                # transpose-free fft+G0+ifft chain on the matmul-DFT
-                # backend (falls back to separate transforms off it)
-                u = green.g0_staggered_fused(grid, mu_0, lambda_0, f, alpha)
+            if dim2 and par is None and g0_solver == "fft":
+                # true DIM=2 pipeline: 2-component force, 2-D spectral chain
+                f = staggered.div_staggered_2d(grid, tau)
+                u = green.g0_staggered_fused_2d(grid, mu_0, lambda_0, f,
+                                                alpha)
+                eta = staggered.eps_staggered_2d(
+                    grid, jnp.asarray(E, tau.dtype), u)
             else:
-                f_hat = _fftn(f)
-                u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
-                u = _ifftn(u_hat, grid.shape)
-            eta = staggered.eps_staggered(grid, jnp.asarray(E, tau.dtype), u)
+                f = staggered.div_staggered(grid, tau)
+                if g0_solver == "multigrid":
+                    from ..solvers.multigrid import g0_multigrid_staggered
+                    u = g0_multigrid_staggered(grid, mu_0, lambda_0, f, alpha)
+                elif par is None:
+                    # transpose-free fft+G0+ifft chain on the matmul-DFT
+                    # backend (falls back to separate transforms off it)
+                    u = green.g0_staggered_fused(grid, mu_0, lambda_0, f,
+                                                 alpha)
+                else:
+                    f_hat = _fftn(f)
+                    u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat,
+                                               alpha)
+                    u = _ifftn(u_hat, grid.shape)
+                eta = staggered.eps_staggered(grid, jnp.asarray(E, tau.dtype),
+                                              u)
             if beta != 0.0:
                 eta = eta + beta * tau
             if bc_active:
@@ -101,6 +125,10 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
     elif mode in ("heat", "porous"):
         if scheme == "collocated":
+            if dim2 and par is None and not bc_active and beta == 0.0:
+                return green.gamma_collocated_heat_fused_2d(
+                    grid, jnp.asarray(E, tau.dtype), mu_0, lambda_0, tau,
+                    alpha)
             if par is None:
                 E_eff = jnp.asarray(E, tau.dtype)
                 if bc_active:
@@ -117,16 +145,26 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
             return _ifftn(eta_hat, grid.shape)
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
-            f = staggered.div_staggered_heat(grid, tau)
-            if par is None:
+            if dim2 and par is None:
+                f = staggered.div_staggered_heat_2d(grid, tau)
+                u = green.g0_staggered_heat_fused_2d(grid, mu_0, lambda_0, f,
+                                                     alpha)
+                eta = staggered.eps_staggered_heat_2d(
+                    grid, jnp.asarray(E, tau.dtype), u)
+            elif par is None:
+                f = staggered.div_staggered_heat(grid, tau)
                 u = green.g0_staggered_heat_fused(grid, mu_0, lambda_0, f,
                                                   alpha)
+                eta = staggered.eps_staggered_heat(
+                    grid, jnp.asarray(E, tau.dtype), u)
             else:
+                f = staggered.div_staggered_heat(grid, tau)
                 f_hat = _fftn(f)
                 u_hat = green.g0_staggered_heat(grid, mu_0, lambda_0, f_hat,
                                                 alpha)
                 u = _ifftn(u_hat, grid.shape)
-            eta = staggered.eps_staggered_heat(grid, jnp.asarray(E, tau.dtype), u)
+                eta = staggered.eps_staggered_heat(
+                    grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau
             if bc_active:

@@ -498,6 +498,256 @@ def _g0_staggered_chain(grid: Grid, f, c10, c20):
     return fftmod.fftn_apply_ifftn_mm(f, apply)
 
 
+# ------------------------------------------------- true-2-D (dim=2) chains
+# The <dim>2</dim> instantiation: in-plane force fields only (2 components
+# for elasticity, 1 for heat), spectral factors built over (KY, KX) — the
+# 2-D chain's layout (ops/fft.fft2_apply_ifft2_mm).  These are the operators
+# the reference's disabled DIM=2 dispatch would instantiate
+# (fibergen.cpp:26550-26565): a periodic one-voxel z axis has kz = 0
+# identically, so dropping the z row/column is exact, not an approximation.
+
+def _staggered_k_2d(grid: Grid, rdtype):
+    """1-D staggered wavenumber factors for the (KY, KX) chain layout:
+    kpx over the full x axis, kpy over the y half-spectrum axis
+    (same modified wavenumbers as :func:`_staggered_k`)."""
+    from ..core.grid import _freq_index, _rfreq_index
+    fx = _freq_index(grid.nx)
+    fy = _rfreq_index(grid.ny)
+    xix = jnp.asarray(fx * (np.pi / grid.nx), rdtype)
+    xiy = jnp.asarray(fy * (np.pi / grid.ny), rdtype)
+    hx, hy, _ = grid.staggered_h()
+    sx = jnp.sin(xix) / hx
+    sy = jnp.sin(xiy) / hy
+    cd = jnp.result_type(rdtype, jnp.complex64)
+    kpx = (sx * jnp.exp(1j * xix.astype(cd))).reshape(1, -1)
+    kpy = (sy * jnp.exp(1j * xiy.astype(cd))).reshape(-1, 1)
+    n2 = (sx * sx).reshape(1, -1) + (sy * sy).reshape(-1, 1)
+    return kpx, kpy, n2
+
+
+def _dc_2d(grid: Grid, rdtype):
+    """DC indicator / complement in the (KY, KX) layout (mask-based, no
+    scatters — see :func:`_staggered_dc`)."""
+    dcx = (jnp.arange(grid.nx) == 0).astype(rdtype).reshape(1, -1)
+    dcy = (jnp.arange(grid.ny // 2 + 1) == 0).astype(rdtype).reshape(-1, 1)
+    dc = dcy * dcx
+    return dc, 1.0 - dc
+
+
+def _xi_2d(grid: Grid, rdtype):
+    """Continuous wavenumber vectors in the 2-D chain's (KY, KX) layout:
+    x along the full KX axis, y along the half-spectrum KY axis."""
+    from ..core.grid import _freq_index, _rfreq_index
+    fx = _freq_index(grid.nx) / grid.dx
+    fy = _rfreq_index(grid.ny) / grid.dy
+    return (jnp.asarray(fx, rdtype).reshape(1, -1),
+            jnp.asarray(fy, rdtype).reshape(-1, 1))
+
+
+def gamma_collocated_fused_2d(grid: Grid, E, mu_0, lambda_0, tau,
+                              alpha=-1.0):
+    """True-2-D collocated Gamma chain (beta = 0, trivial BC): only the
+    in-plane components [xx, yy, xy] ride the 2-D half-spectrum chain —
+    at kz = 0 the out-of-plane rows of :func:`gamma_collocated` vanish
+    identically, so those components are exactly the constants E[2..4].
+    Falls back to the full 6-component separate transforms off the 2-D
+    matmul backend."""
+    from . import fft as fftmod
+
+    rdtype = tau.dtype
+    Ej = jnp.asarray(E, rdtype)
+    if not fftmod.mm2d_enabled(tau.shape[-3:]):
+        tau_hat = fftmod.fftn(tau)
+        eta_hat = gamma_collocated(grid, Ej, mu_0, lambda_0, tau_hat, alpha)
+        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+
+    A = alpha / (2.0 * mu_0)
+    B = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+    Er = Ej[jnp.array([0, 1, 5])].reshape(3, 1, 1)
+
+    def apply(re, im):
+        x0, x1 = _xi_2d(grid, re.dtype)
+        dc, ndc = _dc_2d(grid, re.dtype)
+        k2 = x0 * x0 + x1 * x1 + dc
+
+        def part(p, xx0):
+            t0 = p[0] * xx0 + p[2] * x1
+            t1 = p[2] * xx0 + p[1] * x1
+            s = xx0 * t0 + x1 * t1
+            a = A / k2
+            b = (B / (k2 * k2)) * s
+            return jnp.stack([
+                a * (2.0 * xx0 * t0) + b * (xx0 * xx0),
+                a * (2.0 * x1 * t1) + b * (x1 * x1),
+                a * (xx0 * t1 + x1 * t0) + b * (xx0 * x1),
+            ])
+
+        def sym(p):
+            # x-Nyquist sign ambiguity (even nx): the nz=1 3-D path's final
+            # real-part projection averages the collocated Gamma over the
+            # two Nyquist sign choices (killing the x0-odd cross terms);
+            # reproduce that here so the 2-D chain is bit-equivalent in
+            # exact arithmetic (the staggered k+ needs none of this —
+            # sin(t)e^{it} is sign-invariant at t = pi/2)
+            out = part(p, x0)
+            if grid.nx % 2 == 0:
+                nyq = (jnp.arange(grid.nx) == grid.nx // 2).astype(
+                    p.dtype).reshape(1, -1)
+                if grid.ny % 2 == 0:
+                    # the double-Nyquist bin is self-conjugate: the 3-D
+                    # path applies Gamma there unaveraged (real in, real
+                    # out — nothing is projected away)
+                    nyq = nyq * (1.0 - (jnp.arange(grid.ny // 2 + 1)
+                                        == grid.ny // 2).astype(
+                        p.dtype).reshape(-1, 1))
+                out = out + 0.5 * nyq * (part(p, -x0) - out)
+            return out
+
+        return sym(re) * ndc + Er * dc, sym(im) * ndc
+
+    taur = jnp.stack([tau[0], tau[1], tau[5]])
+    eta = fftmod.fft2_apply_ifft2_mm(taur, apply)
+    shp = eta.shape[1:]
+    return jnp.stack([
+        eta[0], eta[1],
+        jnp.broadcast_to(Ej[2], shp),
+        jnp.broadcast_to(Ej[3], shp),
+        jnp.broadcast_to(Ej[4], shp),
+        eta[2],
+    ])
+
+
+def gamma_collocated_heat_fused_2d(grid: Grid, E, mu_0, lambda_0, tau,
+                                   alpha=-1.0):
+    """True-2-D collocated heat Gamma chain (beta = 0, trivial BC); the z
+    component of :func:`gamma_collocated_heat` is c * xi_z * s = 0 at
+    kz = 0, so it is exactly the constant E[2]."""
+    from . import fft as fftmod
+
+    rdtype = tau.dtype
+    Ej = jnp.asarray(E, rdtype)
+    if not fftmod.mm2d_enabled(tau.shape[-3:]):
+        tau_hat = fftmod.fftn(tau)
+        eta_hat = gamma_collocated_heat(grid, Ej, mu_0, lambda_0, tau_hat,
+                                        alpha)
+        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+
+    A = alpha / (2.0 * mu_0)
+    Er = Ej[:2].reshape(2, 1, 1)
+
+    def apply(re, im):
+        x0, x1 = _xi_2d(grid, re.dtype)
+        dc, ndc = _dc_2d(grid, re.dtype)
+        k2 = x0 * x0 + x1 * x1 + dc
+
+        def part(p, xx0):
+            c = A * (p[0] * xx0 + p[1] * x1) / k2
+            return jnp.stack([c * xx0, c * x1])
+
+        def sym(p):
+            # x-Nyquist symmetrization, as in gamma_collocated_fused_2d
+            out = part(p, x0)
+            if grid.nx % 2 == 0:
+                nyq = (jnp.arange(grid.nx) == grid.nx // 2).astype(
+                    p.dtype).reshape(1, -1)
+                if grid.ny % 2 == 0:
+                    # the double-Nyquist bin is self-conjugate: the 3-D
+                    # path applies Gamma there unaveraged (real in, real
+                    # out — nothing is projected away)
+                    nyq = nyq * (1.0 - (jnp.arange(grid.ny // 2 + 1)
+                                        == grid.ny // 2).astype(
+                        p.dtype).reshape(-1, 1))
+                out = out + 0.5 * nyq * (part(p, -x0) - out)
+            return out
+
+        return sym(re) * ndc + Er * dc, sym(im) * ndc
+
+    eta = fftmod.fft2_apply_ifft2_mm(tau[:2], apply)
+    return jnp.concatenate(
+        [eta, jnp.broadcast_to(Ej[2], eta.shape[1:])[None]], axis=0)
+
+
+def g0_staggered_fused_2d(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+    """u = irfft2(G0_staggered_2d(rfft2(f))) on in-plane (2, nx, ny, 1)
+    force fields as one transpose-free 2-D chain — the true DIM=2 staggered
+    G0 (same c1/c2 coefficients as :func:`g0_staggered`,
+    fibergen.cpp:19749-19927, restricted to the kz = 0 plane where the z
+    row decouples exactly).  Falls back to the zero-padded 3-component path
+    off the 2-D matmul backend."""
+    from . import fft as fftmod
+
+    c10 = -alpha / mu_0
+    c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+
+    if not fftmod.mm2d_enabled(f.shape[-3:]):
+        # separate transforms, still only the 2 in-plane components
+        f_hat = fftmod.fftn(f)
+        u_hat = _g0_staggered_2d_hat(grid, f_hat, c10, c20)
+        return fftmod.ifftn(u_hat, f.shape[-3:])
+
+    def apply(re, im):
+        rdtype = re.dtype
+        kpx, kpy, n2 = _staggered_k_2d(grid, rdtype)
+        kpr = (jnp.real(kpx), jnp.real(kpy))
+        kpi = (jnp.imag(kpx), jnp.imag(kpy))
+        dc, ndc = _dc_2d(grid, rdtype)
+        n2s = n2 + dc
+        c1 = c10 * ndc / n2s
+        c2 = c20 * ndc / (n2s * n2s)
+        fr = sum(re[j] * kpr[j] - im[j] * kpi[j] for j in range(2))
+        fi = sum(re[j] * kpi[j] + im[j] * kpr[j] for j in range(2))
+        cfr, cfi = c2 * fr, c2 * fi
+        re2 = jnp.stack([c1 * re[j] - (cfr * kpr[j] + cfi * kpi[j])
+                         for j in range(2)])
+        im2 = jnp.stack([c1 * im[j] - (cfi * kpr[j] - cfr * kpi[j])
+                         for j in range(2)])
+        return re2, im2
+
+    return fftmod.fft2_apply_ifft2_mm(f, apply)
+
+
+def _g0_staggered_2d_hat(grid: Grid, tau_hat, c10, c20):
+    """Separate-transform variant of the true-2-D staggered G0: 2-component
+    (nx, ny, 1) hat fields in the standard rfftn layout (the z half-axis is
+    trivial), kp_z = 0 exactly."""
+    rdtype = jnp.real(tau_hat).dtype
+    kp0, kp1, _, n2 = _staggered_k(grid, rdtype)
+    dx, dy, dz = _staggered_dc(grid, rdtype)
+    dc = dx * dy * dz
+    n2s = n2 + dc
+    ndc = 1.0 - dc
+    c1 = c10 * ndc / n2s
+    c2 = c20 * ndc / (n2s * n2s)
+    fkp = tau_hat[0] * kp0 + tau_hat[1] * kp1
+    c2_fkp = c2 * fkp
+    return jnp.stack([
+        c1 * tau_hat[0] - c2_fkp * jnp.conj(kp0),
+        c1 * tau_hat[1] - c2_fkp * jnp.conj(kp1),
+    ])
+
+
+def g0_staggered_heat_fused_2d(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+    """True-2-D scalar staggered G0 chain on (1, nx, ny, 1) force fields
+    (:func:`g0_staggered_heat` restricted to kz = 0)."""
+    from . import fft as fftmod
+
+    if not fftmod.mm2d_enabled(f.shape[-3:]):
+        f_hat = fftmod.fftn(f)
+        u_hat = g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
+        return fftmod.ifftn(u_hat, f.shape[-3:])
+
+    c10 = -alpha / (2.0 * mu_0)
+
+    def apply(re, im):
+        rdtype = re.dtype
+        _, _, n2 = _staggered_k_2d(grid, rdtype)
+        dc, ndc = _dc_2d(grid, rdtype)
+        c1 = c10 * ndc / (n2 + dc)
+        return c1 * re, c1 * im
+
+    return fftmod.fft2_apply_ifft2_mm(f, apply)
+
+
 def g0_staggered_heat(grid: Grid, mu_0, lambda_0, tau_hat, alpha=-1.0):
     """Scalar staggered G0 (G0OperatorFourierStaggeredGeneralHeat,
     fibergen.cpp:19778-19830): eta = -alpha/(2 mu0 |k|^2) * tau."""

@@ -85,6 +85,60 @@ def div_staggered_heat(grid, tau):
     return d[None]
 
 
+def div_staggered_2d(grid, tau):
+    """True-2-D staggered divergence (<dim>2</dim> instantiation): only the
+    in-plane rows of :func:`div_staggered` survive on a one-voxel-thick
+    periodic grid (every z difference is identically zero, and the z row is
+    zero for in-plane loading of z-monoclinic materials — the same subspace
+    the reference's disabled DIM=2 build would instantiate,
+    fibergen.cpp:26550-26565).  tau: (6, nx, ny, 1) with in-plane comps
+    [xx, yy, xy] = [0, 1, 5]; returns the (2, nx, ny, 1) in-plane force."""
+    hx, hy, _ = _hs(grid)
+    return jnp.stack([
+        _dm(tau[0], 0, hx) + _dp(tau[5], 1, hy),
+        _dp(tau[5], 0, hx) + _dm(tau[1], 1, hy),
+    ])
+
+
+def eps_staggered_2d(grid, E, u):
+    """True-2-D symmetrized staggered gradient: in-plane comps from the
+    (2, nx, ny, 1) displacement, out-of-plane comps exactly the constants
+    E[2..4] (zz is the prescribed plane-strain value; yz/xz are zero by the
+    dim=2 qualification).  Returns the full (6, nx, ny, 1) Voigt field so
+    everything downstream (laws, estimators, actions) is unchanged."""
+    hx, hy, _ = _hs(grid)
+    ux, uy = u[0], u[1]
+    shp = ux.shape
+    return jnp.stack([
+        E[0] + _dp(ux, 0, hx),
+        E[1] + _dp(uy, 1, hy),
+        jnp.broadcast_to(E[2], shp),
+        jnp.broadcast_to(E[3], shp),
+        jnp.broadcast_to(E[4], shp),
+        E[5] + 0.5 * (_dm(uy, 0, hx) + _dm(ux, 1, hy)),
+    ])
+
+
+def div_staggered_heat_2d(grid, tau):
+    """True-2-D scalar staggered divergence: the z term of
+    :func:`div_staggered_heat` is identically zero on nz=1 for ANY
+    conductivity law (it is a z difference).  Returns (1, nx, ny, 1)."""
+    hx, hy, _ = _hs(grid)
+    return (_dm(tau[0], 0, hx) + _dm(tau[1], 1, hy))[None]
+
+
+def eps_staggered_heat_2d(grid, E, u):
+    """True-2-D staggered gradient of a scalar potential; the z component
+    is exactly the prescribed constant E[2]."""
+    hx, hy, _ = _hs(grid)
+    p = u[0]
+    return jnp.stack([
+        E[0] + _dp(p, 0, hx),
+        E[1] + _dp(p, 1, hy),
+        jnp.broadcast_to(E[2], p.shape),
+    ])
+
+
 def eps_staggered_hyper(grid, E, u):
     """Full (unsymmetrized) staggered gradient + mean F for finite strain
     (fibergen.cpp:18763-18847).  Returns 9 components ordered per core.voigt."""

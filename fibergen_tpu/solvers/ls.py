@@ -89,6 +89,16 @@ class SolverOptions:
     # every device, the round-1 replication pathology), "warn" logs loudly
     # and proceeds with the replicated-FFT fallback anyway
     sharding_fallback: str = "error"
+    # true DIM=2 instantiation on one-voxel-thick grids (<dim>2</dim>):
+    # in-plane-only staggered pipeline (2-component force, 2-D spectral
+    # chain, constant out-of-plane components).  "auto" engages it per
+    # solve when the qualification holds exactly (staggered scheme, trivial
+    # BCs, no out-of-plane loading; elasticity additionally requires
+    # isotropic linear phases so in-plane strain cannot excite out-of-plane
+    # shear); "off" keeps the nz=1 3-D superset path.  The reference's own
+    # DIM=2 dispatch is disabled in its shipped source
+    # (fibergen.cpp:26558-26564) — this path instantiates what it would.
+    use_dim2: str = "auto"
     # staggered G0 applicator: "fft" or "multigrid" (G0_solver setting)
     g0_solver: str = "fft"
     # even-grid Nyquist symmetrization of the collocated Gamma
@@ -253,11 +263,29 @@ class LSSolver:
                 else:
                     raise SolverError(msg)
 
-        def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0):
+        def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0, beta=0.0,
+                     dim2=False):
             return gammamod.gamma_operator(
                 grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta,
                 g0_solver=self.opt.g0_solver, freq_hack=self.opt.freq_hack,
-                par=self.par)
+                par=self.par, dim2=dim2)
+
+        # true DIM=2 capability (the per-solve loading qualification is
+        # checked in _dim2_ok): one-voxel-thick grid, staggered scheme,
+        # single device, and a mode/material combination where the
+        # out-of-plane components provably stay constant
+        self._dim2_capable = (
+            self.opt.use_dim2 != "off" and grid.nz == 1
+            and self.sharding is None
+            and scheme in ("staggered", "half_staggered", "full_staggered",
+                           "collocated")
+            and not (scheme == "collocated" and self.opt.freq_hack)
+            and self.opt.method != "polarization"
+            and (mode in ("heat", "porous")
+                 or (mode == "elasticity"
+                     and (scheme == "collocated"
+                          or self.opt.g0_solver == "fft")
+                     and getattr(mat, "_iso_linear", False))))
 
         def shard(x):
             if self.sharding is not None:
@@ -338,24 +366,24 @@ class LSSolver:
                     grid, ee, uu, axis_name=_ax),
                 (_fs, _rs), _fs)(u, Ej)
 
-        def basic_step(eps, E, bca, mu0, lam0):
-            if self._pallas_active and bca is None:
+        def basic_step(eps, E, bca, mu0, lam0, dim2=False):
+            if self._pallas_active and bca is None and not dim2:
                 eta = shard(fused_basic(eps, E, mu0, lam0))
             else:
                 tau = stress_diff(eps, mu0, lam0)
-                eta = shard(gamma_op(E, tau, mu0, lam0, bca))
+                eta = shard(gamma_op(E, tau, mu0, lam0, bca, dim2=dim2))
             return eta, metric(eta)
 
-        def krylov(eps, bca, mu0, lam0):
+        def krylov(eps, bca, mu0, lam0, dim2=False):
             """-Gamma (C-C0) eps with zero mean (krylovOperator,
             fibergen.cpp:20583-20587)."""
-            if self._pallas_active and bca is None:
+            if self._pallas_active and bca is None and not dim2:
                 return fused_basic(eps, jnp.zeros(self.dim, dt), mu0, lam0)
             zero = jnp.zeros(self.dim, dt)
             tau = stress_diff(eps, mu0, lam0)
-            return gamma_op(zero, tau, mu0, lam0, bca)
+            return gamma_op(zero, tau, mu0, lam0, bca, dim2=dim2)
 
-        def cg_init(E, bca, mu0, lam0):
+        def cg_init(E, bca, mu0, lam0, dim2=False):
             """Initial CG state in the SHIFTED form: the conjugate direction
             is built at the START of each step as p_k = r_k + beta_k p_{k-1}
             with beta_k = gamma_k / gamma_{k-1} (identical trajectory to the
@@ -364,16 +392,17 @@ class LSSolver:
             (eps, r, p_prev=0, gamma, gamma_prev) with gamma_prev = gamma so
             beta_0 = 1 against p_prev = 0 gives p_0 = r."""
             eps = shard(fields.const_field(grid, E, dt))
-            r = krylov(eps, bca, mu0, lam0)
+            r = krylov(eps, bca, mu0, lam0, dim2)
             r = shard(r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps))
             gamma0 = fields.inner_l2(r, r) + tiny
             return eps, r, jnp.zeros_like(r), gamma0, gamma0, metric(eps)
 
         nxyz = float(np.prod(grid.shape))
 
-        def cg_step(eps, r, p_prev, gamma, gamma_prev, bca, mu0, lam0):
+        def cg_step(eps, r, p_prev, gamma, gamma_prev, bca, mu0, lam0,
+                    dim2=False):
             beta = gamma / gamma_prev
-            if self._pallas_active and bca is None:
+            if self._pallas_active and bca is None and not dim2:
                 # fully fused hot path: direction update + stress + div in
                 # one Pallas pass; gradient + CG denominator in another
                 from ..ops import fft as fftmod
@@ -414,7 +443,7 @@ class LSSolver:
                 denom = dot_raw / nxyz + tiny
             else:
                 p = shard(r + beta * p_prev)
-                w = krylov(p, bca, mu0, lam0)
+                w = krylov(p, bca, mu0, lam0, dim2)
                 denom = fields.inner_l2_diff(p, p, w) + tiny
             alpha = gamma / denom
             eps2 = shard(eps + alpha * p)
@@ -423,13 +452,14 @@ class LSSolver:
             delta = fields.inner_l2(r2, r2) + tiny
             return eps2, r2, p, delta, gamma, met
 
-        def cg_multi(eps, r, p, gamma, gamma_prev, bca, mu0, lam0):
+        def cg_multi(eps, r, p, gamma, gamma_prev, bca, mu0, lam0,
+                     dim2=False):
             """check_every CG iterations fused into one device program;
             returns per-iteration (gamma, metric) stacks."""
             def body(carry, _):
                 eps, r, p, gamma, gamma_prev = carry
                 eps2, r2, p2, delta, g, met = cg_step(
-                    eps, r, p, gamma, gamma_prev, bca, mu0, lam0)
+                    eps, r, p, gamma, gamma_prev, bca, mu0, lam0, dim2)
                 return (eps2, r2, p2, delta, g), (gamma, met)
 
             (eps, r, p, gamma, gamma_prev), (gammas, mets) = jax.lax.scan(
@@ -437,11 +467,11 @@ class LSSolver:
                 length=max(1, self.opt.check_every))
             return eps, r, p, gamma, gamma_prev, gammas, mets
 
-        def cg_recompute_residual(eps, E, bca, mu0, lam0):
+        def cg_recompute_residual(eps, E, bca, mu0, lam0, dim2=False):
             """Exact residual (cg_reinit path, fibergen.cpp:23231-23245);
             the conjugate update p = r + (delta/gamma) p happens in the
             next step's direction build."""
-            r = krylov(eps, bca, mu0, lam0)
+            r = krylov(eps, bca, mu0, lam0, dim2)
             r = r + (jnp.asarray(E, dt).reshape(-1, 1, 1, 1) - eps)
             delta = fields.inner_l2(r, r) + tiny
             return r, delta
@@ -464,9 +494,10 @@ class LSSolver:
         def polar_finish(eps, mu0):
             return mat.polarization(mu0, eps, inv=True)
 
-        def nesterov_step(tau, eps_in, q_old, n, E, bca, mu0, lam0):
+        def nesterov_step(tau, eps_in, q_old, n, E, bca, mu0, lam0,
+                          dim2=False):
             """One Nesterov iteration (runNesterov, fibergen.cpp:21999-22043)."""
-            tau2, met = basic_step(tau, E, bca, mu0, lam0)
+            tau2, met = basic_step(tau, E, bca, mu0, lam0, dim2)
             eps2 = eps_in - tau2
             q = fields.inner_l2(tau2, tau2) * (grid.dx * grid.dy * grid.dz)
             return tau2, eps2, q, met
@@ -492,12 +523,13 @@ class LSSolver:
             wrapped.__name__ = getattr(fn, "__name__", "kernel")
             return jax.jit(wrapped, **kw)
 
-        jit = partial(mjit, static_argnames=("mu0", "lam0"))
+        jit = partial(mjit, static_argnames=("mu0", "lam0", "dim2"))
         self._k_basic = jit(basic_step)
         self._k_krylov = jit(krylov)
         self._k_cg_init = jit(cg_init)
         self._k_cg_step = jit(cg_step)
-        self._k_cg_multi = mjit(cg_multi, static_argnames=("mu0", "lam0"),
+        self._k_cg_multi = mjit(cg_multi,
+                                static_argnames=("mu0", "lam0", "dim2"),
                                 donate_argnums=(1, 2, 3))
         self._k_cg_reinit = jit(cg_recompute_residual)
         self._k_means = mjit(mean_values)
@@ -510,6 +542,32 @@ class LSSolver:
 
     def _bca(self):
         return bcmod.to_arrays(self._bc, self.dtype)
+
+    def _dim2_ok(self, bca, E) -> bool:
+        """Per-solve qualification of the true DIM=2 pipeline: a capable
+        solver (see _dim2_capable), trivial BCs (no per-iteration mean
+        corrections), and no out-of-plane shear loading — with those, the
+        out-of-plane components provably stay at their prescribed constants
+        and dropping them from the hot path is exact."""
+        if not getattr(self, "_dim2_capable", False) or bca is not None:
+            return False
+        if self.dim == 6:
+            if float(E[3]) != 0.0 or float(E[4]) != 0.0:
+                return False
+            # _iso_linear is a class-level capability flag; ACTUAL per-law
+            # isotropy (required so in-plane strain cannot excite the
+            # out-of-plane shear rows) is decided by _all_iso()
+            try:
+                ok = self.mat._all_iso() is not None
+            except (AttributeError, NotImplementedError, TypeError):
+                ok = False
+        else:
+            ok = True
+        if ok and not getattr(self, "_dim2_logged", False):
+            LOG.info("true DIM=2 pipeline active (in-plane staggered ops, "
+                     "2-D spectral chain)")
+            self._dim2_logged = True
+        return ok
 
     # --------------------------------------------------------- ref material
     def calc_ref_material(self):
@@ -633,6 +691,12 @@ class LSSolver:
             ncomp = self.dim
         if self.par is not None:
             backend = "slab"
+        elif (getattr(self, "_dim2_last", False)
+                and fftmod.mm2d_enabled(self.grid.shape)):
+            # true DIM=2 solve on the 2-D chain: 2 force comps (elasticity)
+            # or 1 (heat/porous)
+            ncomp = 1 if self.dim == 3 else 2
+            backend = "chain2d"
         elif (fftmod.mm_enabled(self.grid.shape)
                 and ((self.scheme in ("staggered", "half_staggered",
                                       "full_staggered")
@@ -657,6 +721,11 @@ class LSSolver:
                 @_jax.jit
                 def pair(x):
                     return self.par.ifftn(self.par.fftn(x), self.grid.shape)
+            elif backend == "chain2d":
+                @_jax.jit
+                def pair(x):
+                    return fftmod.fft2_apply_ifft2_mm(
+                        x, lambda re, im: (re, im))
             elif backend == "chain":
                 @_jax.jit
                 def pair(x):
@@ -811,12 +880,14 @@ class LSSolver:
         ee.start(self._k_metric(self.mat.fields(), self.eps))
         bca = self._bca()
         mu0, lam0 = self.mu_0, self.lambda_0
+        dim2 = self._dim2_ok(bca, E)
+        self._dim2_last = dim2
         Ej = jnp.asarray(E, self.dtype)
 
         it = 1
         while True:
             self.eps, met = self._k_basic(self.mat.fields(), self.eps, Ej, bca,
-                                          mu0=mu0, lam0=lam0)
+                                          mu0=mu0, lam0=lam0, dim2=dim2)
             ee.update(np.asarray(met))
             it, done = self._converged(it, ee.abs_error(), ee.rel_error())
             if done:
@@ -835,10 +906,12 @@ class LSSolver:
         ee = make_estimator(self.opt.error_estimator)
         bca = self._bca()
         mu0, lam0 = self.mu_0, self.lambda_0
+        dim2 = self._dim2_ok(bca, E)
+        self._dim2_last = dim2
         Ej = jnp.asarray(E, self.dtype)
 
         eps, r, p, gamma, gamma_prev, met0 = self._k_cg_init(
-            self.mat.fields(), Ej, bca, mu0=mu0, lam0=lam0)
+            self.mat.fields(), Ej, bca, mu0=mu0, lam0=lam0, dim2=dim2)
         ee.start(np.asarray(met0))
         gamma0 = float(gamma)
         if self.opt.check_every <= 1:
@@ -859,7 +932,7 @@ class LSSolver:
             if K > 1:
                 eps, r, p, delta, gamma_prev, gammas, mets = self._k_cg_multi(
                     self.mat.fields(), eps, r, p, gamma, gamma_prev, bca,
-                    mu0=mu0, lam0=lam0)
+                    mu0=mu0, lam0=lam0, dim2=dim2)
                 self.eps = eps
                 gamma = delta  # device scalar; no host sync
                 done = False
@@ -880,7 +953,7 @@ class LSSolver:
                 continue
             eps, r, p, delta, gp, met = self._k_cg_step(
                 self.mat.fields(), eps, r, p, gamma, gamma_prev, bca,
-                mu0=mu0, lam0=lam0)
+                mu0=mu0, lam0=lam0, dim2=dim2)
             self.eps = eps  # keep live state visible to bc_error/callbacks
             if ee.metric_kind == "residual":
                 ee.update_cg(gamma, gamma0)
@@ -891,7 +964,8 @@ class LSSolver:
                 break
             if self.opt.cg_reinit > 0 and (it % self.opt.cg_reinit) == 0:
                 r, delta = self._k_cg_reinit(
-                    self.mat.fields(), eps, Ej, bca, mu0=mu0, lam0=lam0)
+                    self.mat.fields(), eps, Ej, bca, mu0=mu0, lam0=lam0,
+                    dim2=dim2)
             gamma_prev = float(gp) if not isinstance(gp, float) else gp
             gamma = float(delta)
 
@@ -940,6 +1014,8 @@ class LSSolver:
         ee.start(self._k_metric(self.mat.fields(), self.eps))
         bca = self._bca()
         mu0, lam0 = self.mu_0, self.lambda_0
+        dim2 = self._dim2_ok(bca, E)
+        self._dim2_last = dim2
         Ej = jnp.asarray(E, self.dtype)
 
         tau = self.eps
@@ -952,7 +1028,7 @@ class LSSolver:
         while True:
             n += 1
             tau, met = self._k_basic(self.mat.fields(), tau, Ej, bca,
-                                     mu0=mu0, lam0=lam0)
+                                     mu0=mu0, lam0=lam0, dim2=dim2)
             eps = eps - tau
             q_old = q
             q = float(fields.inner_l2(tau, tau)) * (
@@ -978,18 +1054,20 @@ class LSSolver:
         mu0, lam0 = self.mu_0, self.lambda_0
         zero = jnp.zeros(self.dim, self.dtype)
 
-        self.eps = fields.const_field(self.grid, self._fit_vec(np.asarray(E0)),
-                                      self.dtype)
+        E0v = self._fit_vec(np.asarray(E0))
+        dim2 = self._dim2_ok(bca, E0v)
+        self._dim2_last = dim2
+        self.eps = fields.const_field(self.grid, E0v, self.dtype)
         ee.start(self._k_metric(self.mat.fields(), self.eps))
         deps, _ = self._k_basic(self.mat.fields(), self.eps, zero, bca,
-                                mu0=mu0, lam0=lam0)
+                                mu0=mu0, lam0=lam0, dim2=dim2)
 
         it = 1
         while True:
             alpha = float(self._k_calc_step(self.mat.fields(), self.eps, deps))
             self.eps = self.eps + alpha * deps
             deps, met = self._k_basic(self.mat.fields(), deps, zero, bca,
-                                      mu0=mu0, lam0=lam0)
+                                      mu0=mu0, lam0=lam0, dim2=dim2)
             ee.update(np.asarray(self._k_metric(self.mat.fields(), self.eps)))
             it, done = self._converged(it, ee.abs_error(), ee.rel_error())
             if done:
