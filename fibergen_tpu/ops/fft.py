@@ -228,13 +228,111 @@ def _apply_rot(re, im, spec, C, S, dt):
 
 
 def _stage(re, im, spec, n, sign, dt):
-    """One c2c chain stage.  (A radix-2 Cooley-Tukey split — two n/2
-    matmuls + twiddle combine — was measured SLOWER at 256^3 on v5e,
-    17.4 ms vs 12.6 ms for the whole chain: the stride-2 even/odd slices
-    and the output concatenate cost more HBM/layout traffic than the
-    halved MXU FLOPs save, so the plain full-length matmul stays.)"""
+    """One c2c chain stage as a single full-length matmul pair."""
     C, S = _c2c_mats(n, sign)
     return _apply_rot(re, im, spec, C, S, dt)
+
+
+# ------------------------------------------------------- DIF radix-2 stages
+# A radix-2 Cooley-Tukey DIT split (stride-2 even/odd INPUT slices + an
+# explicit twiddle pass) was measured SLOWER at 256^3 on v5e (17.4 vs
+# 12.6 ms per chain): strided slices and the output concatenate cost more
+# HBM/layout traffic than the halved MXU FLOPs save.  The DIF
+# (decimation-in-frequency) form below avoids both costs:
+#   * the input splits into CONTIGUOUS halves a, b (free slices), combined
+#     elementwise once: u = a+b feeds the even-bin DFT, w = a-b the odd-bin
+#     DFT — XLA fuses the single a+-b pass with neighbouring elementwise
+#     work between the dots;
+#   * the radix twiddles FOLD INTO the half-size DFT matrices (the odd-bin
+#     rows e^{-2 pi i (2m+1) j / n} ARE twiddle x half-DFT), so no separate
+#     twiddle multiply exists;
+#   * the output stays in [even-bins | odd-bins] BLOCK order — legal inside
+#     fftn_apply_ifftn_mm because the spectral apply is elementwise: the
+#     per-axis constant vectors are simply reordered with chain_perm(), and
+#     the inverse stage consumes the block order directly, emitting natural
+#     spatial order.
+# Net effect: each c2c stage runs 2 half-size matmul pairs = HALF the MXU
+# FLOPs at full systolic utilization (contraction n/2 >= 128 for n >= 256).
+#
+# MEASURED (v5e, 256^3, scripts/bench_dif_stage.py + bench_dif_chain.py):
+# an ISOLATED DIF stage wins (3.29 vs 3.67 ms, and the concatenate is free
+# when the consumer is elementwise), but in the CHAIN each concat feeds the
+# next stage's MATMUL OPERANDS, which XLA must materialize — two extra
+# full-field HBM round trips per stage boundary that overwhelm the matmul
+# saving (chain 14.5 vs 13.0 ms; solve 42.6 vs 45.2 iter/s).  A
+# block-structured chain (blocks kept separate through apply, no concats)
+# models out to <= 1 ms net because the forward y-split add cannot fuse
+# into the pure-dot z-stage and the final spatial assembly pays a pass —
+# the same economics that made the Karatsuba 3m stage lose to 4m here.
+# Default therefore OFF; the implementation, knob, and equivalence tests
+# stay for future hardware where the FLOP:byte ratio shifts.
+
+MM_DIF = "off"  # "auto" (on for even n >= 256) | "on" | "off"
+
+
+def _dif_on(n):
+    import os
+    v = os.environ.get("FIBERGEN_TPU_MM_DIF", MM_DIF)
+    if v == "off" or n % 2 != 0:
+        return False
+    if v == "on":
+        return True
+    return n >= 256
+
+
+def chain_perm(n):
+    """Frequency-bin ordering along a c2c axis of the fused 3-D chain, or
+    None for natural order.  Builders of spectral constants consumed by
+    fftn_apply_ifftn_mm's apply_fn MUST reorder their per-axis kx/ky
+    vectors with this (the z half-spectrum axis is never reordered)."""
+    if _dif_on(n):
+        return np.concatenate([np.arange(0, n, 2), np.arange(1, n, 2)])
+    return None
+
+
+def _dif_mats(n, sign):
+    """Half-size DFT matrices for one DIF stage.  Forward (sign=-1) maps
+    space j -> block bins [even m' | odd m'] (matrix [out=bin, in=j]);
+    inverse (+1) maps block bins -> space (matrix [out=j, in=bin])."""
+    def build():
+        h = n // 2
+        j = np.arange(h)
+        me, mo = 2.0 * j, 2.0 * j + 1.0
+        if sign < 0:
+            ae = -2.0 * np.pi * np.outer(me, j) / n
+            ao = -2.0 * np.pi * np.outer(mo, j) / n
+        else:
+            ae = 2.0 * np.pi * np.outer(j, me) / n
+            ao = 2.0 * np.pi * np.outer(j, mo) / n
+        return np.cos(ae), np.sin(ae), np.cos(ao), np.sin(ao)
+    return _mats(("dif", n, sign), build)
+
+
+def _stage_dif(re, im, spec, n, sign, dt, in_axis):
+    """One DIF-split c2c chain stage (see the block comment above).
+    ``in_axis`` is the position of the contracted axis in the INPUT layout;
+    the output axis is always last (dot_general natural order)."""
+    CeC, CeS, CoC, CoS = _dif_mats(n, sign)
+    a_re, b_re = jnp.split(re, 2, axis=in_axis)
+    a_im, b_im = jnp.split(im, 2, axis=in_axis)
+    if sign < 0:
+        e_re, e_im = _apply_rot(a_re + b_re, a_im + b_im, spec, CeC, CeS, dt)
+        o_re, o_im = _apply_rot(a_re - b_re, a_im - b_im, spec, CoC, CoS, dt)
+    else:
+        # input halves are the even/odd bin blocks; p + t / p - t recombine
+        # them into the two contiguous spatial halves
+        p_re, p_im = _apply_rot(a_re, a_im, spec, CeC, CeS, dt)
+        t_re, t_im = _apply_rot(b_re, b_im, spec, CoC, CoS, dt)
+        e_re, e_im = p_re + t_re, p_im + t_im
+        o_re, o_im = p_re - t_re, p_im - t_im
+    return (jnp.concatenate([e_re, o_re], axis=-1),
+            jnp.concatenate([e_im, o_im], axis=-1))
+
+
+def _stage_auto(re, im, spec, n, sign, dt, in_axis):
+    if _dif_on(n):
+        return _stage_dif(re, im, spec, n, sign, dt, in_axis)
+    return _stage(re, im, spec, n, sign, dt)
 
 
 def fftn_apply_ifftn_mm(x, apply_fn):
@@ -245,7 +343,10 @@ def fftn_apply_ifftn_mm(x, apply_fn):
     dots + fused elementwise with ZERO transpose/materialization between
     them (the separate fftn/ifftn path pays a moveaxis round trip per
     stage).  ``apply_fn(re, im)`` receives the half-spectrum parts in
-    (..., KZ, KY, KX) layout and must be elementwise/broadcast."""
+    (..., KZ, KY, KX) layout and must be elementwise/broadcast; the KY and
+    KX axes carry bins in ``chain_perm`` order (DIF block order when the
+    radix-2 split is active), so per-axis constant vectors must be
+    reordered accordingly — KZ is always natural rfft order."""
     nx, ny, nz = x.shape[-3:]
     dt = x.dtype
     scale = 1.0 / (nx * ny * nz)
@@ -255,17 +356,17 @@ def fftn_apply_ifftn_mm(x, apply_fn):
                     precision=_P)
     im = jnp.einsum("...xyz,kz->...xyk", x, jnp.asarray(Sz * scale, dt),
                     precision=_P)
-    # -> (..., X, KZ, KY)
-    re, im = _stage(re, im, "...xyk,jy->...xkj", ny, -1, dt)
-    # -> (..., KZ, KY, KX)
-    re, im = _stage(re, im, "...xkj,ix->...kji", nx, -1, dt)
+    # -> (..., X, KZ, KY)   (KY in chain_perm order under DIF)
+    re, im = _stage_auto(re, im, "...xyk,jy->...xkj", ny, -1, dt, -2)
+    # -> (..., KZ, KY, KX)   (KX in chain_perm order under DIF)
+    re, im = _stage_auto(re, im, "...xkj,ix->...kji", nx, -1, dt, -3)
 
     re, im = apply_fn(re, im)
 
     # -> (..., KZ, KY, X)
-    re, im = _stage(re, im, "...kji,xi->...kjx", nx, +1, dt)
+    re, im = _stage_auto(re, im, "...kji,xi->...kjx", nx, +1, dt, -1)
     # -> (..., KZ, X, Y)
-    re, im = _stage(re, im, "...kjx,yj->...kxy", ny, +1, dt)
+    re, im = _stage_auto(re, im, "...kjx,yj->...kxy", ny, +1, dt, -2)
     Cr, Sr = _c2r_mats(nz)
     # -> (..., X, Y, Z)
     return (jnp.einsum("...kxy,zk->...xyz", re, jnp.asarray(Cr, dt),

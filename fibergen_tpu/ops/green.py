@@ -182,20 +182,34 @@ def gamma_collocated_hyper(grid: Grid, E, mu_0, lambda_0, tau_hat, alpha=-1.0, b
 # exactly like the staggered G0: real-space tau in, real-space eta out,
 # eta_hat never materialized in HBM.
 
+def _chain_ax(v, n):
+    """Reorder a per-axis 1-D spectral vector to the fused chain's bin
+    order along a c2c axis (fft.chain_perm: DIF block order when the
+    radix-2 split is active, natural otherwise).  Trace-time take on a
+    length-n constant — folded by XLA."""
+    from . import fft as fftmod
+    p = fftmod.chain_perm(n)
+    v = jnp.reshape(v, (-1,))
+    return v if p is None else jnp.take(v, jnp.asarray(p), axis=0)
+
+
 def _xi_perm(grid: Grid, rdtype):
     """xi broadcast vectors in the chain's (KZ, KY, KX) layout."""
     fx, fy, fz = grid.xi(two_pi=False)
-    x0 = jnp.asarray(fx, rdtype).reshape(1, 1, -1)
-    x1 = jnp.asarray(fy, rdtype).reshape(1, -1, 1)
+    x0 = _chain_ax(jnp.asarray(fx, rdtype), grid.nx).reshape(1, 1, -1)
+    x1 = _chain_ax(jnp.asarray(fy, rdtype), grid.ny).reshape(1, -1, 1)
     x2 = jnp.asarray(fz, rdtype).reshape(-1, 1, 1)
     return x0, x1, x2
 
 
 def _dc_perm(grid: Grid, rdtype):
-    """DC indicator / complement in the chain's (KZ, KY, KX) layout."""
+    """DC indicator / complement in the chain's (KZ, KY, KX) layout.
+    (chain_perm always maps bin 0 to position 0, so the reorder is a
+    mathematical no-op here — applied for correctness-by-construction.)"""
     dx, dy, dz = _staggered_dc(grid, rdtype)
-    dc = (dz.reshape(-1, 1, 1) * dy.reshape(1, -1, 1)
-          * dx.reshape(1, 1, -1))
+    dc = (dz.reshape(-1, 1, 1)
+          * _chain_ax(dy, grid.ny).reshape(1, -1, 1)
+          * _chain_ax(dx, grid.nx).reshape(1, 1, -1))
     return dc, 1.0 - dc
 
 
@@ -448,13 +462,13 @@ def g0_staggered_heat_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
         rdtype = re.dtype
         kp0, kp1, kp2, _ = _staggered_k(grid, rdtype)
         # (KZ, KY, KX) layout: rebuild |k|^2 from the 1-D factors and bake
-        # the DC zero in with the indicator mask (no materialized buffers)
-        kp = (kp2.reshape(-1, 1, 1), kp1.reshape(1, -1, 1),
-              kp0.reshape(1, 1, -1))
+        # the DC zero in with the indicator mask (no materialized buffers);
+        # kx/ky vectors reordered to the chain's bin order (_chain_ax)
+        kp = (kp2.reshape(-1, 1, 1),
+              _chain_ax(kp1, grid.ny).reshape(1, -1, 1),
+              _chain_ax(kp0, grid.nx).reshape(1, 1, -1))
         n2p = sum(jnp.real(k) ** 2 + jnp.imag(k) ** 2 for k in kp)
-        dx, dy, dz = _staggered_dc(grid, rdtype)
-        dc = (dz.reshape(-1, 1, 1) * dy.reshape(1, -1, 1)
-              * dx.reshape(1, 1, -1))
+        dc, _ = _dc_perm(grid, rdtype)
         c1 = c10 * (1.0 - dc) / (n2p + dc)
         return c1 * re, c1 * im
 
@@ -469,8 +483,10 @@ def _g0_staggered_chain(grid: Grid, f, c10, c20):
         rdtype = re.dtype
         kp0, kp1, kp2, _ = _staggered_k(grid, rdtype)
         # axes here are (KZ, KY, KX): kp0 varies along KX (last), kp1 along
-        # KY, kp2 along KZ (first)
-        kp = (kp0.reshape(1, 1, -1), kp1.reshape(1, -1, 1),
+        # KY, kp2 along KZ (first); kx/ky vectors reordered to the chain's
+        # bin order (_chain_ax)
+        kp = (_chain_ax(kp0, grid.nx).reshape(1, 1, -1),
+              _chain_ax(kp1, grid.ny).reshape(1, -1, 1),
               kp2.reshape(-1, 1, 1))
         kpr = [jnp.real(k) for k in kp]
         kpi = [jnp.imag(k) for k in kp]
@@ -478,9 +494,7 @@ def _g0_staggered_chain(grid: Grid, f, c10, c20):
         # s_a^2): a sum of 1-D broadcasts, so with the mask-based DC
         # handling below none of n2/c1/c2 is ever a materialized buffer
         n2p = sum(kpr[j] * kpr[j] + kpi[j] * kpi[j] for j in range(3))
-        dx, dy, dz = _staggered_dc(grid, rdtype)
-        dc = (dz.reshape(-1, 1, 1) * dy.reshape(1, -1, 1)
-              * dx.reshape(1, 1, -1))
+        dc, _ = _dc_perm(grid, rdtype)
         n2s = n2p + dc
         ndc = 1.0 - dc
         c1 = c10 * ndc / n2s                          # bakes the DC zero in

@@ -468,3 +468,107 @@ def test_g0_fused_large_axis():
             fftmod.FFT_BACKEND = "auto"
         scale = float(jnp.abs(ref).max())
         assert float(jnp.abs(fused - ref).max()) < 1e-11 * scale, shape
+
+
+def test_dif_radix2_chain_matches_separate():
+    """The DIF radix-2 chain stages (ops/fft.py MM_DIF: contiguous-half
+    input split, radix twiddles folded into half-size DFT matrices,
+    [even|odd] block bin order absorbed by chain_perm-reordered spectral
+    constants) must reproduce the separate-transform path to 1e-12 for
+    every fused-chain operator family, including mixed even/odd grids
+    where only one axis is split."""
+    import jax.numpy as jnp
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.ops import green
+
+    rng = np.random.default_rng(13)
+    # even/even (both axes split), even-x/odd-y, odd-x/even-y (one axis),
+    # anisotropic cells
+    shapes = [((16, 18, 20), (1.0, 2.0, 0.5)),
+              ((16, 9, 7), (1.0, 1.0, 1.0)),
+              ((9, 16, 5), (0.5, 1.0, 2.0))]
+    try:
+        fftmod.FFT_BACKEND = "matmul"
+        fftmod.MM_DIF = "on"
+        for shape, dxyz in shapes:
+            grid = Grid(*shape, *dxyz)
+            # pure round trip: identity spectral apply == the input
+            x = jnp.asarray(rng.standard_normal((3,) + shape))
+            rt = fftmod.fftn_apply_ifftn_mm(x, lambda re, im: (re, im))
+            np.testing.assert_allclose(np.asarray(rt), np.asarray(x),
+                                       atol=1e-12)
+            # staggered vector G0 + scalar heat G0
+            for mu0, lam0 in [(2.25, 0.0), (1.7, 0.9)]:
+                f = jnp.asarray(rng.standard_normal((3,) + shape))
+                ref = fftmod.ifftn(green.g0_staggered(
+                    grid, mu0, lam0, fftmod.fftn(f), -1.0), shape)
+                got = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+                scale = float(jnp.abs(ref).max())
+                assert float(jnp.abs(got - ref).max()) < 1e-12 * scale, shape
+            fh = jnp.asarray(rng.standard_normal((1,) + shape))
+            refh = fftmod.ifftn(green.g0_staggered_heat(
+                grid, 2.0, 0.0, fftmod.fftn(fh), -1.0), shape)
+            goth = green.g0_staggered_heat_fused(grid, 2.0, 0.0, fh, -1.0)
+            scale = float(jnp.abs(refh).max())
+            assert float(jnp.abs(goth - refh).max()) < 1e-12 * scale, shape
+            # collocated Gamma family (elasticity / heat / hyper), with E
+            # and beta so the DC handling is covered under the permutation
+            for ncomp, sep, fused in [
+                (6, green.gamma_collocated, green.gamma_collocated_fused),
+                (3, green.gamma_collocated_heat,
+                 green.gamma_collocated_heat_fused),
+                (9, green.gamma_collocated_hyper,
+                 green.gamma_collocated_hyper_fused),
+            ]:
+                tau = jnp.asarray(rng.standard_normal((ncomp,) + shape))
+                E = jnp.asarray(rng.standard_normal(ncomp))
+                ref = fftmod.ifftn(sep(grid, E, 1.7, 0.9, fftmod.fftn(tau),
+                                       -1.0, 0.3), shape)
+                got = fused(grid, E, 1.7, 0.9, tau, -1.0, 0.3)
+                scale = float(jnp.abs(ref).max())
+                assert float(jnp.abs(got - ref).max()) < 1e-12 * scale, \
+                    (shape, ncomp)
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+        fftmod.MM_DIF = "auto"
+
+
+def test_dif_radix2_solver_equivalence():
+    """A full CG solve with the DIF split forced on equals the natural-order
+    matmul chain solve: identical iteration counts, 1e-10-equal effective
+    conductivity."""
+    import jax.numpy as jnp
+    import fibergen_tpu as fg
+    from fibergen_tpu.materials import laws
+    from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.solvers.ls import LSSolver, SolverOptions
+
+    def solve():
+        grid = fg.Grid(16, 8, 8)
+        xg = (np.arange(grid.nx) + 0.5) / grid.nx
+        phi1 = jnp.asarray(np.broadcast_to(
+            (xg < 0.5)[:, None, None], grid.shape).astype(np.float64))
+        mat = VoigtMixed([
+            Phase("a", laws.ScalarLinearIsotropic(mu=1.0, dim=3), phi1),
+            Phase("b", laws.ScalarLinearIsotropic(mu=10.0, dim=3),
+                  1 - phi1)], dim=3)
+        s = LSSolver(grid, mat, SolverOptions(mode="heat", method="cg",
+                                              tol=1e-11, maxiter=500))
+        s.set_strain([1.0, 0, 0])
+        assert not s.run()
+        return float(s.calc_mean_stress()[0]), len(s.residuals)
+
+    try:
+        fftmod.FFT_BACKEND = "matmul"
+        fftmod.MM_DIF = "on"
+        k_dif, it_dif = solve()
+        fftmod.MM_DIF = "off"
+        k_nat, it_nat = solve()
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+        fftmod.MM_DIF = "auto"
+    assert it_dif == it_nat
+    np.testing.assert_allclose(k_dif, k_nat, rtol=1e-10)
+    np.testing.assert_allclose(k_dif, 20.0 / 11.0, rtol=1e-9)
