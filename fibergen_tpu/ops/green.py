@@ -558,6 +558,28 @@ def _xi_2d(grid: Grid, rdtype):
             jnp.asarray(fy, rdtype).reshape(-1, 1))
 
 
+def _sym_nyquist_x_2d(grid: Grid, part, p, x0):
+    """x-Nyquist sign symmetrization for the 2-D collocated chains: the
+    nz=1 3-D path's final real-part projection averages the collocated
+    Gamma over the two Nyquist sign choices of an even nx (killing the
+    x0-odd cross terms); reproduce that so the 2-D chain is bit-equivalent
+    in exact arithmetic.  The double-Nyquist bin (even nx AND even ny) is
+    self-conjugate — the 3-D path applies Gamma there unaveraged (real in,
+    real out — nothing is projected away), so it is excluded.  (The
+    staggered k+ needs none of this: sin(t)e^{it} is sign-invariant at
+    t = pi/2.)"""
+    out = part(p, x0)
+    if grid.nx % 2 == 0:
+        nyq = (jnp.arange(grid.nx) == grid.nx // 2).astype(
+            p.dtype).reshape(1, -1)
+        if grid.ny % 2 == 0:
+            nyq = nyq * (1.0 - (jnp.arange(grid.ny // 2 + 1)
+                                == grid.ny // 2).astype(
+                p.dtype).reshape(-1, 1))
+        out = out + 0.5 * nyq * (part(p, -x0) - out)
+    return out
+
+
 def gamma_collocated_fused_2d(grid: Grid, E, mu_0, lambda_0, tau,
                               alpha=-1.0):
     """True-2-D collocated Gamma chain (beta = 0, trivial BC): only the
@@ -597,25 +619,7 @@ def gamma_collocated_fused_2d(grid: Grid, E, mu_0, lambda_0, tau,
             ])
 
         def sym(p):
-            # x-Nyquist sign ambiguity (even nx): the nz=1 3-D path's final
-            # real-part projection averages the collocated Gamma over the
-            # two Nyquist sign choices (killing the x0-odd cross terms);
-            # reproduce that here so the 2-D chain is bit-equivalent in
-            # exact arithmetic (the staggered k+ needs none of this —
-            # sin(t)e^{it} is sign-invariant at t = pi/2)
-            out = part(p, x0)
-            if grid.nx % 2 == 0:
-                nyq = (jnp.arange(grid.nx) == grid.nx // 2).astype(
-                    p.dtype).reshape(1, -1)
-                if grid.ny % 2 == 0:
-                    # the double-Nyquist bin is self-conjugate: the 3-D
-                    # path applies Gamma there unaveraged (real in, real
-                    # out — nothing is projected away)
-                    nyq = nyq * (1.0 - (jnp.arange(grid.ny // 2 + 1)
-                                        == grid.ny // 2).astype(
-                        p.dtype).reshape(-1, 1))
-                out = out + 0.5 * nyq * (part(p, -x0) - out)
-            return out
+            return _sym_nyquist_x_2d(grid, part, p, x0)
 
         return sym(re) * ndc + Er * dc, sym(im) * ndc
 
@@ -659,20 +663,7 @@ def gamma_collocated_heat_fused_2d(grid: Grid, E, mu_0, lambda_0, tau,
             return jnp.stack([c * xx0, c * x1])
 
         def sym(p):
-            # x-Nyquist symmetrization, as in gamma_collocated_fused_2d
-            out = part(p, x0)
-            if grid.nx % 2 == 0:
-                nyq = (jnp.arange(grid.nx) == grid.nx // 2).astype(
-                    p.dtype).reshape(1, -1)
-                if grid.ny % 2 == 0:
-                    # the double-Nyquist bin is self-conjugate: the 3-D
-                    # path applies Gamma there unaveraged (real in, real
-                    # out — nothing is projected away)
-                    nyq = nyq * (1.0 - (jnp.arange(grid.ny // 2 + 1)
-                                        == grid.ny // 2).astype(
-                        p.dtype).reshape(-1, 1))
-                out = out + 0.5 * nyq * (part(p, -x0) - out)
-            return out
+            return _sym_nyquist_x_2d(grid, part, p, x0)
 
         return sym(re) * ndc + Er * dc, sym(im) * ndc
 

@@ -693,9 +693,15 @@ class LSSolver:
             backend = "slab"
         elif (getattr(self, "_dim2_last", False)
                 and fftmod.mm2d_enabled(self.grid.shape)):
-            # true DIM=2 solve on the 2-D chain: 2 force comps (elasticity)
-            # or 1 (heat/porous)
-            ncomp = 1 if self.dim == 3 else 2
+            # true DIM=2 solve on the 2-D chain.  Staggered transforms the
+            # in-plane force (2 comps elasticity, 1 heat); the collocated
+            # 2-D Gamma chains carry the in-plane tau components instead
+            # (3 = [xx, yy, xy] elasticity, 2 heat — green.py *_fused_2d)
+            if self.scheme in ("staggered", "half_staggered",
+                               "full_staggered"):
+                ncomp = 1 if self.dim == 3 else 2
+            else:
+                ncomp = 2 if self.dim == 3 else 3
             backend = "chain2d"
         elif (fftmod.mm_enabled(self.grid.shape)
                 and ((self.scheme in ("staggered", "half_staggered",

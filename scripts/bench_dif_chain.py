@@ -51,7 +51,7 @@ def main():
         dt = (time.perf_counter() - t0) / (reps * 10) * 1e3
         err = float(jnp.abs(y - x).max())
         print(f"MM_DIF={mode}: {dt:.2f} ms/chain (roundtrip-err {err:.2e})")
-    fftmod.MM_DIF = "auto"
+    fftmod.MM_DIF = "off"
     fftmod.FFT_BACKEND = "auto"
 
 

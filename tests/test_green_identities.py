@@ -531,7 +531,7 @@ def test_dif_radix2_chain_matches_separate():
                     (shape, ncomp)
     finally:
         fftmod.FFT_BACKEND = "auto"
-        fftmod.MM_DIF = "auto"
+        fftmod.MM_DIF = "off"
 
 
 def test_dif_radix2_solver_equivalence():
@@ -568,7 +568,7 @@ def test_dif_radix2_solver_equivalence():
         k_nat, it_nat = solve()
     finally:
         fftmod.FFT_BACKEND = "auto"
-        fftmod.MM_DIF = "auto"
+        fftmod.MM_DIF = "off"
     assert it_dif == it_nat
     np.testing.assert_allclose(k_dif, k_nat, rtol=1e-10)
     np.testing.assert_allclose(k_dif, 20.0 / 11.0, rtol=1e-9)
