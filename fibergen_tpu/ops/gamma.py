@@ -31,7 +31,7 @@ def _apply_mean_correction(eta, R, alpha):
 def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | None",
                    E, mu_0, lambda_0, tau, alpha=-1.0, beta=0.0, F00=None,
                    g0_solver: str = "fft", freq_hack: bool = False, par=None,
-                   dim2: bool = False):
+                   dim2: bool = False, pallas_mid: bool = True):
     """eta = alpha * Gamma : tau + beta * tau with mean handling.
 
     ``tau`` is the real-space polarization field; returns the real-space eta.
@@ -108,7 +108,7 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                     # transpose-free fft+G0+ifft chain on the matmul-DFT
                     # backend (falls back to separate transforms off it)
                     u = green.g0_staggered_fused(grid, mu_0, lambda_0, f,
-                                                 alpha)
+                                                 alpha, pallas_mid=pallas_mid)
                 else:
                     f_hat = _fftn(f)
                     u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat,
@@ -154,7 +154,8 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
             elif par is None:
                 f = staggered.div_staggered_heat(grid, tau)
                 u = green.g0_staggered_heat_fused(grid, mu_0, lambda_0, f,
-                                                  alpha)
+                                                  alpha,
+                                                  pallas_mid=pallas_mid)
                 eta = staggered.eps_staggered_heat(
                     grid, jnp.asarray(E, tau.dtype), u)
             else:
@@ -193,7 +194,8 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
             f = staggered.div_staggered_hyper(grid, tau)
             if par is None:
                 u = green.g0_staggered_hyper_fused(grid, mu_0, lambda_0, f,
-                                                   alpha)
+                                                   alpha,
+                                                   pallas_mid=pallas_mid)
             else:
                 f_hat = _fftn(f)
                 u_hat = green.g0_staggered_hyper(grid, mu_0, lambda_0, f_hat,

@@ -408,7 +408,8 @@ def _g0_staggered_general(grid: Grid, tau_hat, c10, c20):
     ])
 
 
-def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
+                       pallas_mid=True):
     """u = ifftn(G0_staggered(fftn(f))) as ONE transpose-free chain.
 
     The separate fftn/g0/ifftn path materializes the hat field twice and
@@ -417,7 +418,11 @@ def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
     (ops/fft.fftn_apply_ifftn_mm) with the G0 scaling (same math as
     :func:`g0_staggered`, fibergen.cpp:19749-19927) applied elementwise
     between the forward and inverse x-stages — u_hat never exists in HBM.
-    Falls back to the separate path off the matmul backend."""
+    On qualifying single-chip shapes the four c2c stages + scaling run as
+    one radix-2 Pallas kernel instead (ops/pallas_chain.py); pass
+    ``pallas_mid=False`` when the field may be sharded (pallas_call does
+    not run under GSPMD).  Falls back to the separate path off the matmul
+    backend."""
     from . import fft as fftmod
 
     if not fftmod.mm_enabled(f.shape[-3:]):
@@ -427,10 +432,14 @@ def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
 
     c10 = -alpha / mu_0
     c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+    from . import pallas_chain
+    if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
+        return pallas_chain.g0_staggered_middle(grid, f, c10, c20)
     return _g0_staggered_chain(grid, f, c10, c20)
 
 
-def g0_staggered_hyper_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+def g0_staggered_hyper_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
+                             pallas_mid=True):
     """Fused-chain variant of :func:`g0_staggered_hyper` (full-gradient
     scheme coefficients, fibergen.cpp:19768-19774)."""
     from . import fft as fftmod
@@ -443,10 +452,14 @@ def g0_staggered_hyper_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
     c10 = -alpha / (2.0 * mu_0)
     with np.errstate(divide="ignore"):  # lambda_0 = 0 -> c20 = 0 (IEEE inf)
         c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    from . import pallas_chain
+    if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
+        return pallas_chain.g0_staggered_middle(grid, f, c10, c20)
     return _g0_staggered_chain(grid, f, c10, c20)
 
 
-def g0_staggered_heat_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
+def g0_staggered_heat_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
+                            pallas_mid=True):
     """Fused-chain variant of :func:`g0_staggered_heat` (scalar G0,
     fibergen.cpp:19778-19830): one transpose-free fft+scale+ifft."""
     from . import fft as fftmod
@@ -457,6 +470,9 @@ def g0_staggered_heat_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0):
         return fftmod.ifftn(u_hat, f.shape[-3:])
 
     c10 = -alpha / (2.0 * mu_0)
+    from . import pallas_chain
+    if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
+        return pallas_chain.g0_staggered_heat_middle(grid, f, c10)
 
     def apply(re, im):
         rdtype = re.dtype

@@ -1,0 +1,326 @@
+"""Pallas-fused spectral middle of the matmul-DFT chain (single chip).
+
+The transpose-free chain (ops/fft.fftn_apply_ifftn_mm) runs six XLA einsum
+stages with the elementwise spectral apply between them.  Profiling at
+256^3 x 3 components on v5e (scripts/bench_pallas_middle3.py) shows the
+chain is MXU-bound at HIGHEST precision (12.6 ms) while its three
+full-field HBM passes floor at ~6.1 ms — so the only lever left is MXU
+FLOPs, and the XLA-level radix-2 split loses them back to HBM concats
+(ops/fft.py MM_DIF notes).
+
+This module keeps the z r2c/c2r stages as XLA einsums in a (KZ, C, X, Y)
+natural-dot layout (zero transposes) and replaces the four c2c stages +
+apply with ONE Pallas kernel gridded over the KZ half-spectrum.  Per
+kz-slab, each component's (X, Y) plane runs four 2-D MXU matmul stages
+with
+
+  * an in-VMEM radix-2 DIF split per stage — HALF the MXU FLOPs at full
+    128-lane tile utilization; the even/odd pre-adds and block
+    recombinations are VPU ops on VMEM values, so unlike the XLA DIF the
+    split costs no HBM traffic (the even|odd block bin order is absorbed
+    by permuting the apply's per-axis constant vectors);
+  * the Karatsuba 3m complex product (m1 = re.C, m2 = im.S,
+    m3 = (re+im).(C+S)) — 25% fewer MXU FLOPs again, with the C+S
+    matrices precomputed host-side;
+  * the G0 scaling applied in-register between the forward and inverse
+    x-stages (u_hat never exists in HBM, as in the XLA chain).
+
+Measured 256^3 x 3 f32 (v5e): 12.6 ms (XLA chain) -> 8.2 ms per chain;
+roundtrip error identical to the XLA chain (~7e-6 relative).
+
+This is the same G0 math as green._g0_staggered_chain
+(G0OperatorFourierStaggeredGeneral, fibergen.cpp:19834-19927); equivalence
+is pinned by tests/test_pallas_chain.py in Pallas interpret mode.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.grid import Grid
+
+# Knob: "auto" enables the Pallas middle on TPU-class backends for shapes
+# where it measures faster than the XLA chain (even nx/ny >= 256 — the
+# radix-2 halves must fill the 128x128 MXU tile); "on" forces it (tests,
+# with INTERPRET on CPU); "off" disables.  Env: FIBERGEN_TPU_MM_MIDDLE.
+MM_MIDDLE = "auto"
+# Run the kernel in Pallas interpret mode (CPU tests).
+INTERPRET = False
+
+_P = lax.Precision.HIGHEST
+
+
+def _knob():
+    return os.environ.get("FIBERGEN_TPU_MM_MIDDLE", MM_MIDDLE)
+
+
+def middle_enabled(shape) -> bool:
+    """Policy: use the Pallas spectral middle for this grid shape?"""
+    v = _knob()
+    if v == "off":
+        return False
+    nx, ny, nz = shape
+    even = nx % 2 == 0 and ny % 2 == 0
+    if v == "on":
+        return even
+    return (even
+            and jax.default_backend() not in ("cpu",)
+            and min(nx, ny) >= 256 and max(nx, ny) <= 512
+            and nz >= 16)
+
+
+def _perm(n):
+    """Bin order of a radix-2 DIF axis: [even bins | odd bins]."""
+    return np.concatenate([np.arange(0, n, 2), np.arange(1, n, 2)])
+
+
+def _difmats3(n, sign, transpose, dt):
+    """Half-size DIF stage matrices as (C, S, C+S) triplets for the even
+    and odd blocks (6 arrays).  ``transpose`` selects the contract-last
+    form (y stages); otherwise contract-first (x stages)."""
+    from . import fft as fftmod
+    CeC, CeS, CoC, CoS = fftmod._dif_mats(n, sign)
+    if transpose:
+        CeC, CeS, CoC, CoS = CeC.T, CeS.T, CoC.T, CoS.T
+    return tuple(jnp.asarray(a, dt)
+                 for a in (CeC, CeS, CeC + CeS, CoC, CoS, CoC + CoS))
+
+
+def _c3m_last(vr, vi, m):
+    """(vr + i vi) @ (C + i S), contracting the LAST axis (Karatsuba)."""
+    C, S, CS = m
+    dot = functools.partial(jnp.dot, precision=_P,
+                            preferred_element_type=vr.dtype)
+    m1 = dot(vr, C)
+    m2 = dot(vi, S)
+    m3 = dot(vr + vi, CS)
+    return m1 - m2, m3 - m1 - m2
+
+
+def _c3m_first(m, vr, vi):
+    """(C + i S) @ (vr + i vi), contracting the FIRST axis (Karatsuba)."""
+    C, S, CS = m
+    dot = functools.partial(jnp.dot, precision=_P,
+                            preferred_element_type=vr.dtype)
+    m1 = dot(C, vr)
+    m2 = dot(S, vi)
+    m3 = dot(CS, vr + vi)
+    return m1 - m2, m3 - m1 - m2
+
+
+def _middle(re, im, xc, yc, zc, apply_fn, interpret):
+    """Run the fused middle: four radix-2 c2c stages + ``apply_fn`` on one
+    Pallas grid over KZ.
+
+    re/im: (KZ, C, X, Y) z-transformed parts.  xc: (3, nx, 1) per-KX-bin
+    [kp_re, kp_im, dc] rows in DIF block order; yc: (3, 1, ny) per-KY-bin;
+    zc: (3, KZ) per-slab scalars.  ``apply_fn(G, xs, ys, zs)`` maps a list
+    of C (re, im) block pairs plus the constants to the scaled list —
+    called once per KX block (rows = that block's bins, cols = all KY bins
+    in block order)."""
+    kz, C, nx, ny = re.shape
+    hx, hy = nx // 2, ny // 2
+    dt = re.dtype
+    ye = _difmats3(ny, -1, True, dt)
+    yo_f = ye[3:]
+    ye = ye[:3]
+    xef = _difmats3(nx, -1, False, dt)
+    xof = xef[3:]
+    xef = xef[:3]
+    xei = _difmats3(nx, +1, False, dt)
+    xoi = xei[3:]
+    xei = xei[:3]
+    yei = _difmats3(ny, +1, True, dt)
+    yoi = yei[3:]
+    yei = yei[:3]
+    mats = (*ye, *yo_f, *xef, *xof, *xei, *xoi, *yei, *yoi)
+
+    def kernel(re_ref, im_ref, xc_ref, yc_ref, zc_ref, *rest):
+        mrefs = rest[:len(mats)]
+        ore_ref, oim_ref = rest[len(mats):]
+        m = [r[...] for r in mrefs]
+        k_ye, k_yo = m[0:3], m[3:6]
+        k_xe, k_xo = m[6:9], m[9:12]
+        k_xei, k_xoi = m[12:15], m[15:18]
+        k_yei, k_yoi = m[18:21], m[21:24]
+        k = pl.program_id(0)
+        zs = (zc_ref[0, k], zc_ref[1, k], zc_ref[2, k])
+        ys = (yc_ref[0], yc_ref[1], yc_ref[2])
+        xs_e = (xc_ref[0, :hx], xc_ref[1, :hx], xc_ref[2, :hx])
+        xs_o = (xc_ref[0, hx:], xc_ref[1, hx:], xc_ref[2, hx:])
+
+        Ge, Go = [], []
+        for c in range(C):
+            vr = re_ref[0, c]
+            vi = im_ref[0, c]
+            # S1: contract Y (radix-2) -> [even | odd] KY blocks
+            ur, ui = vr[:, :hy] + vr[:, hy:], vi[:, :hy] + vi[:, hy:]
+            wr, wi = vr[:, :hy] - vr[:, hy:], vi[:, :hy] - vi[:, hy:]
+            Er, Ei = _c3m_last(ur, ui, k_ye)
+            Or, Oi = _c3m_last(wr, wi, k_yo)
+            W1r = jnp.concatenate([Er, Or], axis=-1)      # (nx, ny)
+            W1i = jnp.concatenate([Ei, Oi], axis=-1)
+            # S2: contract X (radix-2) -> even/odd KX row blocks (hx, ny)
+            u2r, u2i = W1r[:hx] + W1r[hx:], W1i[:hx] + W1i[hx:]
+            w2r, w2i = W1r[:hx] - W1r[hx:], W1i[:hx] - W1i[hx:]
+            Ge.append(_c3m_first(k_xe, u2r, u2i))
+            Go.append(_c3m_first(k_xo, w2r, w2i))
+
+        Ge = apply_fn(Ge, xs_e, ys, zs)
+        Go = apply_fn(Go, xs_o, ys, zs)
+
+        for c in range(C):
+            # S3: inverse over KX blocks -> spatial X halves
+            pr, pi = _c3m_first(k_xei, *Ge[c])
+            tr, ti = _c3m_first(k_xoi, *Go[c])
+            W3r = jnp.concatenate([pr + tr, pr - tr], axis=0)   # (nx, ny)
+            W3i = jnp.concatenate([pi + ti, pi - ti], axis=0)
+            # S4: inverse over KY blocks -> spatial Y halves
+            pr, pi = _c3m_last(W3r[:, :hy], W3i[:, :hy], k_yei)
+            tr, ti = _c3m_last(W3r[:, hy:], W3i[:, hy:], k_yoi)
+            ore_ref[0, c, :, :hy] = pr + tr
+            oim_ref[0, c, :, :hy] = pi + ti
+            ore_ref[0, c, :, hy:] = pr - tr
+            oim_ref[0, c, :, hy:] = pi - ti
+
+    fspec = pl.BlockSpec((1, C, nx, ny), lambda k: (k, 0, 0, 0))
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda k, _nd=a.ndim: (0,) * _nd)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(kz,),
+        in_specs=[fspec, fspec, full(xc), full(yc),
+                  pl.BlockSpec(zc.shape, lambda k: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  *[full(a) for a in mats]],
+        out_specs=(fspec, fspec),
+        out_shape=(jax.ShapeDtypeStruct((kz, C, nx, ny), dt),
+                   jax.ShapeDtypeStruct((kz, C, nx, ny), dt)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(re, im, xc, yc, zc, *mats)
+
+
+def _z_fwd(x):
+    """Forward r2c z-stage in the (KZ, C, X, Y) natural-dot layout,
+    norm='forward' (total 1/N folded into the matrices)."""
+    from . import fft as fftmod
+    nx, ny, nz = x.shape[-3:]
+    dt = x.dtype
+    scale = 1.0 / (nx * ny * nz)
+    Cz, Sz = fftmod._r2c_mats(nz)
+    re = jnp.einsum("kz,cxyz->kcxy", jnp.asarray(Cz * scale, dt), x,
+                    precision=_P)
+    im = jnp.einsum("kz,cxyz->kcxy", jnp.asarray(Sz * scale, dt), x,
+                    precision=_P)
+    return re, im
+
+
+def _z_inv(re, im, nz):
+    """Inverse c2r z-stage consuming the (KZ, C, X, Y) layout."""
+    from . import fft as fftmod
+    dt = re.dtype
+    Cr, Sr = fftmod._c2r_mats(nz)
+    return (jnp.einsum("kcxy,zk->cxyz", re, jnp.asarray(Cr, dt),
+                       precision=_P)
+            - jnp.einsum("kcxy,zk->cxyz", im, jnp.asarray(Sr, dt),
+                         precision=_P))
+
+
+def _staggered_consts(grid: Grid, rdtype):
+    """Per-axis staggered wavenumber constants in the kernel's layouts:
+    xc (3, nx, 1) = [Re kp0, Im kp0, dc] in DIF block order, yc (3, 1, ny)
+    likewise for kp1, zc (3, KZ) for kp2 (natural rfft order)."""
+    from . import green
+    kp0, kp1, kp2, _ = green._staggered_k(grid, rdtype)
+    px = _perm(grid.nx)
+    py = _perm(grid.ny)
+    kzr = grid.nz // 2 + 1
+
+    def row(kp, n, perm):
+        kp = jnp.reshape(kp, (-1,))
+        dc = (jnp.arange(n) == 0).astype(rdtype)
+        r = jnp.stack([jnp.real(kp), jnp.imag(kp), dc])
+        if perm is not None:
+            r = jnp.take(r, jnp.asarray(perm), axis=1)
+        return r
+
+    xc = row(kp0, grid.nx, px).reshape(3, grid.nx, 1)
+    yc = row(kp1, grid.ny, py).reshape(3, 1, grid.ny)
+    zc = row(kp2, kzr, None)
+    return xc, yc, zc
+
+
+def _g0_apply(c10, c20):
+    """Staggered-grid G0 on one KX block: eta = c1 tau + c2 (tau . k+) k-
+    with c1 = c10/|k|^2, c2 = c20/|k|^4 and the DC bin zeroed — the same
+    math as green._g0_staggered_chain (fibergen.cpp:19834-19927), expressed
+    on explicit (re, im) parts and 1-D broadcast constants."""
+
+    def apply(G, xs, ys, zs):
+        kxr, kxi, dcx = xs          # (hx, 1)
+        kyr, kyi, dcy = ys          # (1, ny)
+        kzr_, kzi, dcz = zs         # scalars
+        n2 = (kxr * kxr + kxi * kxi + kyr * kyr + kyi * kyi
+              + kzr_ * kzr_ + kzi * kzi)
+        dc = dcx * dcy * dcz
+        n2s = n2 + dc
+        ndc = 1.0 - dc
+        c1 = c10 * ndc / n2s
+        c2 = c20 * ndc / (n2s * n2s)
+        kpr = (kxr, kyr, kzr_)
+        kpi = (kxi, kyi, kzi)
+        fr = sum(G[j][0] * kpr[j] - G[j][1] * kpi[j] for j in range(3))
+        fi = sum(G[j][0] * kpi[j] + G[j][1] * kpr[j] for j in range(3))
+        cfr, cfi = c2 * fr, c2 * fi
+        return [(c1 * G[j][0] - (cfr * kpr[j] + cfi * kpi[j]),
+                 c1 * G[j][1] - (cfi * kpr[j] - cfr * kpi[j]))
+                for j in range(3)]
+
+    return apply
+
+
+def _g0_heat_apply(c10):
+    """Scalar staggered G0 (heat/porous): eta = c10 tau / |k|^2, DC zeroed
+    (fibergen.cpp:19778-19830)."""
+
+    def apply(G, xs, ys, zs):
+        kxr, kxi, dcx = xs
+        kyr, kyi, dcy = ys
+        kzr_, kzi, dcz = zs
+        n2 = (kxr * kxr + kxi * kxi + kyr * kyr + kyi * kyi
+              + kzr_ * kzr_ + kzi * kzi)
+        dc = dcx * dcy * dcz
+        c1 = c10 * (1.0 - dc) / (n2 + dc)
+        return [(c1 * G[0][0], c1 * G[0][1])]
+
+    return apply
+
+
+def g0_staggered_middle(grid: Grid, f, c10, c20):
+    """u = ifftn(G0_staggered(fftn(f))) with the Pallas-fused middle; f is
+    the 3-component staggered force field.  Equivalent to
+    green._g0_staggered_chain (tests/test_pallas_chain.py)."""
+    re, im = _z_fwd(f)
+    xc, yc, zc = _staggered_consts(grid, f.dtype)
+    re, im = _middle(re, im, xc, yc, zc, _g0_apply(c10, c20), INTERPRET)
+    return _z_inv(re, im, grid.nz)
+
+
+def g0_staggered_heat_middle(grid: Grid, f, c10):
+    """Scalar-G0 variant of :func:`g0_staggered_middle` (heat/porous)."""
+    re, im = _z_fwd(f)
+    xc, yc, zc = _staggered_consts(grid, f.dtype)
+    re, im = _middle(re, im, xc, yc, zc, _g0_heat_apply(c10), INTERPRET)
+    return _z_inv(re, im, grid.nz)

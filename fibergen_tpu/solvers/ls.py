@@ -268,7 +268,11 @@ class LSSolver:
             return gammamod.gamma_operator(
                 grid, mode, scheme, bca, E, mu0, lam0, tau, alpha, beta,
                 g0_solver=self.opt.g0_solver, freq_hack=self.opt.freq_hack,
-                par=self.par, dim2=dim2)
+                par=self.par, dim2=dim2,
+                # pallas_call cannot run under GSPMD: when a sharded solver
+                # fell back to replicated FFTs (sharding set, no slab
+                # layout) the chain must stay in XLA einsums
+                pallas_mid=self.sharding is None)
 
         # true DIM=2 capability (the per-solve loading qualification is
         # checked in _dim2_ok): one-voxel-thick grid, staggered scheme,
@@ -714,8 +718,17 @@ class LSSolver:
             # jnp fallback, mixed BC, heat/hyper/viscosity — and the
             # collocated Gamma run the transpose-free chain on the matmul
             # backend (ops/gamma.py); willot, freq_hack and the zero-trace
-            # viscosity collocated path use separate transforms
-            backend = "chain"
+            # viscosity collocated path use separate transforms.  Staggered
+            # chains on qualifying shapes run the Pallas spectral middle
+            # (ops/pallas_chain.py) — sample that op, not the XLA chain.
+            from ..ops import pallas_chain
+            if (self.scheme in ("staggered", "half_staggered",
+                                "full_staggered")
+                    and self.sharding is None
+                    and pallas_chain.middle_enabled(self.grid.shape)):
+                backend = "chain_mid"
+            else:
+                backend = "chain"
         else:
             backend = "pair"
         key = (ncomp, self.grid.shape, str(self.dtype), backend)
@@ -732,6 +745,18 @@ class LSSolver:
                 def pair(x):
                     return fftmod.fft2_apply_ifft2_mm(
                         x, lambda re, im: (re, im))
+            elif backend == "chain_mid":
+                from ..ops import green as greenmod
+                if ncomp == 1:
+                    @_jax.jit
+                    def pair(x):
+                        return greenmod.g0_staggered_heat_fused(
+                            self.grid, 1.0, 0.0, x)
+                else:
+                    @_jax.jit
+                    def pair(x):
+                        return greenmod.g0_staggered_fused(
+                            self.grid, 1.0, 0.0, x)
             elif backend == "chain":
                 @_jax.jit
                 def pair(x):

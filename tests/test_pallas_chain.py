@@ -1,0 +1,140 @@
+"""Equivalence of the Pallas-fused spectral middle (ops/pallas_chain.py)
+with the XLA chain it replaces (green._g0_staggered_chain), in Pallas
+interpret mode on CPU float64."""
+import contextlib
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import fibergen_tpu as fg
+from fibergen_tpu.core.grid import Grid
+from fibergen_tpu.ops import fft as fftmod
+from fibergen_tpu.ops import green
+from fibergen_tpu.ops import pallas_chain as pc
+
+
+@contextlib.contextmanager
+def _forced_middle():
+    old = (pc.MM_MIDDLE, pc.INTERPRET, fftmod.FFT_BACKEND)
+    pc.MM_MIDDLE, pc.INTERPRET = "on", True
+    fftmod.FFT_BACKEND = "matmul"
+    try:
+        yield
+    finally:
+        pc.MM_MIDDLE, pc.INTERPRET, fftmod.FFT_BACKEND = old
+
+
+@pytest.mark.parametrize("shape,cell", [
+    ((8, 6, 10), (1.0, 1.0, 1.0)),
+    ((6, 8, 7), (2.0, 0.5, 1.3)),     # odd nz, anisotropic cell
+    ((4, 4, 4), (1.0, 2.0, 3.0)),
+])
+def test_g0_staggered_middle_matches_chain(shape, cell):
+    grid = Grid(*shape, dx=cell[0], dy=cell[1], dz=cell[2])
+    rng = np.random.default_rng(3)
+    f = jnp.asarray(rng.standard_normal((3, *shape)))
+    for c10, c20 in ((-1.0 / 0.7, -0.9), (2.0, 0.0)):
+        ref = green._g0_staggered_chain(grid, f, c10, c20)
+        with _forced_middle():
+            out = pc.g0_staggered_middle(grid, f, c10, c20)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_g0_staggered_heat_middle_matches_chain():
+    shape = (8, 6, 5)
+    grid = Grid(*shape, dx=1.5, dy=0.7, dz=1.0)
+    rng = np.random.default_rng(4)
+    f = jnp.asarray(rng.standard_normal((1, *shape)))
+    c10 = 1.0 / 1.3          # -alpha / (2 mu_0) with alpha = -1, mu_0 = 0.65
+    ref_hat = green.g0_staggered_heat(grid, 0.65, 0.0, fftmod.fftn(f), -1.0)
+    ref = fftmod.ifftn(ref_hat, shape)
+    with _forced_middle():
+        out = pc.g0_staggered_heat_middle(grid, f, c10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_fused_dispatch_uses_middle(monkeypatch):
+    """g0_staggered_fused routes through the Pallas middle when enabled and
+    stays bit-compatible with the XLA chain."""
+    shape = (8, 8, 6)
+    grid = Grid(*shape)
+    rng = np.random.default_rng(5)
+    f = jnp.asarray(rng.standard_normal((3, *shape)))
+    fftmod.FFT_BACKEND = "matmul"
+    try:
+        ref = green.g0_staggered_fused(grid, 0.8, 0.3, f)
+        called = {}
+        orig = pc.g0_staggered_middle
+
+        def spy(*a, **k):
+            called["yes"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(pc, "g0_staggered_middle", spy)
+        with _forced_middle():
+            out = green.g0_staggered_fused(grid, 0.8, 0.3, f)
+        assert called.get("yes")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+        # pallas_mid=False (GSPMD fallback) must keep the XLA chain
+        called.clear()
+        with _forced_middle():
+            out2 = green.g0_staggered_fused(grid, 0.8, 0.3, f,
+                                            pallas_mid=False)
+        assert not called
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                                   rtol=1e-12)
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+
+
+def test_middle_policy():
+    # CPU backend: auto never enables the Pallas middle
+    assert pc._knob() in ("auto", "on", "off")
+    assert not pc.middle_enabled((256, 256, 256)) or pc._knob() == "on"
+    old = pc.MM_MIDDLE
+    try:
+        pc.MM_MIDDLE = "on"
+        assert pc.middle_enabled((8, 6, 10))
+        assert not pc.middle_enabled((9, 6, 10))   # odd nx: no radix-2 split
+        assert not pc.middle_enabled((8, 7, 10))
+        pc.MM_MIDDLE = "off"
+        assert not pc.middle_enabled((256, 256, 256))
+    finally:
+        pc.MM_MIDDLE = old
+
+
+def test_solver_equivalence_with_middle():
+    """A staggered CG elasticity solve is identical (iterations and
+    effective stiffness) with the Pallas middle on and off."""
+    grid = fg.Grid(8, 8, 7)
+    x = (np.arange(8) + 0.5) / 8
+    phi = jnp.asarray(np.broadcast_to((x < 0.5)[:, None, None],
+                                      grid.shape).astype(np.float64))
+    mat = fg.VoigtMixed([
+        fg.Phase("a", fg.LinearIsotropic(mu=1.0, lam=1.0), phi),
+        fg.Phase("b", fg.LinearIsotropic(mu=5.0, lam=2.0), 1.0 - phi),
+    ], dim=6)
+
+    def solve():
+        s = fg.LSSolver(grid, mat, fg.SolverOptions(
+            mode="elasticity", method="cg", gamma_scheme="staggered",
+            tol=1e-10, maxiter=200, dtype="float64", use_dim2="off"))
+        s.set_strain([1.0, 0, 0, 0, 0, 0])
+        assert not s.run()
+        return np.asarray(s.calc_mean_stress()), len(s.residuals)
+
+    fftmod.FFT_BACKEND = "matmul"
+    try:
+        with _forced_middle():
+            sig_mid, it_mid = solve()
+        sig_ref, it_ref = solve()
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+    assert it_mid == it_ref
+    np.testing.assert_allclose(sig_mid, sig_ref, rtol=1e-9, atol=1e-14)
+    # series laminate: C11 = 2*M1*M2/(M1+M2), M = lam + 2 mu
+    np.testing.assert_allclose(sig_mid[0], 2 * 3.0 * 12.0 / 15.0, rtol=1e-8)
