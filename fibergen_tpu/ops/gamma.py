@@ -51,7 +51,7 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
     """
     if mode == "viscosity":
         return delta_operator(grid, scheme, bc, E, mu_0, lambda_0, tau, alpha,
-                              F00, par=par)
+                              F00, par=par, pallas_mid=pallas_mid)
 
     # distributed slab FFTs when the solver runs on a device mesh
     # (parallel/fft.py); otherwise the plain single-program transforms
@@ -75,7 +75,7 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                 E_eff = E_eff + alpha * R
             return green.gamma_collocated_fused(
                 grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
-                freq_hack=freq_hack)
+                freq_hack=freq_hack, pallas_mid=pallas_mid)
         if scheme == "collocated" or scheme == "willot":
             tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
@@ -135,7 +135,8 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                     R = bcmod.bc_correction(bc, fields.mean(tau), F00)
                     E_eff = E_eff + alpha * R
                 return green.gamma_collocated_heat_fused(
-                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta)
+                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
+                    pallas_mid=pallas_mid)
             tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
             eta_hat = green.gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
@@ -181,7 +182,8 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                     R = bcmod.bc_correction(bc, fields.mean(tau), F00)
                     E_eff = E_eff + alpha * R
                 return green.gamma_collocated_hyper_fused(
-                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta)
+                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
+                    pallas_mid=pallas_mid)
             tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
             eta_hat = green.gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
@@ -213,7 +215,7 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
 
 def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau,
-                   alpha=-1.0, F00=None, par=None):
+                   alpha=-1.0, F00=None, par=None, pallas_mid=True):
     """Viscosity dual (fluidity) operator:
         eta = 2*alpha*mu0v*(tau - mu0v * Gamma^0 : tau),  mean(eta) = E
     where mu0v = 1/(4*mu_0) converts fluidity to viscosity and Gamma^0 uses
@@ -240,7 +242,7 @@ def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau,
         sub = "willot" if scheme == "willot" else "staggered"
         eta = gamma_operator(grid, "elasticity", sub, bc, adj,
                              -1.0 / (4.0 * mu0v), float("inf"), tau, alpha,
-                             0.0, F00, par=par)
+                             0.0, F00, par=par, pallas_mid=pallas_mid)
         return eta + 2.0 * alpha * mu0v * tau
 
     raise ValueError(f"Unknown delta scheme '{scheme}'")

@@ -213,12 +213,20 @@ def _dc_perm(grid: Grid, rdtype):
     return dc, 1.0 - dc
 
 
-def _gamma_chain(grid: Grid, tau, E, beta, part_fn):
+def _gamma_chain(grid: Grid, tau, E, beta, part_fn, pallas_mid=True):
     """Run ``ifftn(Gamma(fftn(tau)))`` as one chain.  ``part_fn(p, xis,
     k2reg)`` applies the real-coefficient Gamma kernel to one spectrum part;
     the DC bin is set to E in the real part (the reference's explicit
-    zero-frequency handling, incl. any BC mean correction folded into E)."""
+    zero-frequency handling, incl. any BC mean correction folded into E).
+    On qualifying single-chip shapes the chain's middle runs as the
+    radix-2 Pallas kernel (ops/pallas_chain.py) with the same part_fn."""
     from . import fft as fftmod
+    from . import pallas_chain
+
+    if pallas_mid and pallas_chain.middle_enabled(tau.shape[-3:],
+                                                  tau.shape[0]):
+        return pallas_chain.gamma_collocated_middle(grid, tau, E, beta,
+                                                    part_fn)
 
     rdtype = tau.dtype
     Ej = jnp.asarray(E, rdtype).reshape(-1, 1, 1, 1)
@@ -238,7 +246,7 @@ def _gamma_chain(grid: Grid, tau, E, beta, part_fn):
 
 
 def gamma_collocated_fused(grid: Grid, E, mu_0, lambda_0, tau, alpha=-1.0,
-                           beta=0.0, freq_hack=False):
+                           beta=0.0, freq_hack=False, pallas_mid=True):
     """Fused-chain :func:`gamma_collocated`: real-space tau in, eta out.
     Falls back to separate transforms off the matmul backend or when the
     Nyquist freq_hack averaging is requested."""
@@ -270,11 +278,12 @@ def gamma_collocated_fused(grid: Grid, E, mu_0, lambda_0, tau, alpha=-1.0,
             a * (x0 * t1 + x1 * t0) + b * (x0 * x1),
         ])
 
-    return _gamma_chain(grid, tau, E, beta, part)
+    return _gamma_chain(grid, tau, E, beta, part,
+                        pallas_mid=pallas_mid)
 
 
 def gamma_collocated_heat_fused(grid: Grid, E, mu_0, lambda_0, tau,
-                                alpha=-1.0, beta=0.0):
+                                alpha=-1.0, beta=0.0, pallas_mid=True):
     """Fused-chain :func:`gamma_collocated_heat`."""
     from . import fft as fftmod
 
@@ -291,11 +300,12 @@ def gamma_collocated_heat_fused(grid: Grid, E, mu_0, lambda_0, tau,
         c = A * (p[0] * x0 + p[1] * x1 + p[2] * x2) / k2
         return jnp.stack([c * x0, c * x1, c * x2])
 
-    return _gamma_chain(grid, tau, E, beta, part)
+    return _gamma_chain(grid, tau, E, beta, part,
+                        pallas_mid=pallas_mid)
 
 
 def gamma_collocated_hyper_fused(grid: Grid, E, mu_0, lambda_0, tau,
-                                 alpha=-1.0, beta=0.0):
+                                 alpha=-1.0, beta=0.0, pallas_mid=True):
     """Fused-chain :func:`gamma_collocated_hyper` (9-component fields)."""
     from . import fft as fftmod
 
@@ -330,7 +340,8 @@ def gamma_collocated_hyper_fused(grid: Grid, E, mu_0, lambda_0, tau,
             c1 * x0 * t1 + b * x1 * x0,
         ])
 
-    return _gamma_chain(grid, tau, E, beta, part)
+    return _gamma_chain(grid, tau, E, beta, part,
+                        pallas_mid=pallas_mid)
 
 
 # ---------------------------------------------------------------------------

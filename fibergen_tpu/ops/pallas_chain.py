@@ -61,7 +61,7 @@ def _knob():
     return os.environ.get("FIBERGEN_TPU_MM_MIDDLE", MM_MIDDLE)
 
 
-def middle_enabled(shape) -> bool:
+def middle_enabled(shape, ncomp=3) -> bool:
     """Policy: use the Pallas spectral middle for this grid shape?"""
     v = _knob()
     if v == "off":
@@ -70,10 +70,13 @@ def middle_enabled(shape) -> bool:
     even = nx % 2 == 0 and ny % 2 == 0
     if v == "on":
         return even
+    # one (C, X, Y) f32 plane-set must fit the kernel's VMEM working set
+    # (~10 buffered copies of it next to the stage matrices)
+    plane_mb = ncomp * nx * ny * 4 / 2**20
     return (even
             and jax.default_backend() not in ("cpu",)
             and min(nx, ny) >= 256 and max(nx, ny) <= 512
-            and nz >= 16)
+            and nz >= 16 and plane_mb <= 8.0)
 
 
 def _perm(n):
@@ -115,16 +118,17 @@ def _c3m_first(m, vr, vi):
     return m1 - m2, m3 - m1 - m2
 
 
-def _middle(re, im, xc, yc, zc, apply_fn, interpret):
+def _middle(re, im, xc, yc, zc, apply_fn, interpret, ec=None):
     """Run the fused middle: four radix-2 c2c stages + ``apply_fn`` on one
     Pallas grid over KZ.
 
-    re/im: (KZ, C, X, Y) z-transformed parts.  xc: (3, nx, 1) per-KX-bin
-    [kp_re, kp_im, dc] rows in DIF block order; yc: (3, 1, ny) per-KY-bin;
-    zc: (3, KZ) per-slab scalars.  ``apply_fn(G, xs, ys, zs)`` maps a list
-    of C (re, im) block pairs plus the constants to the scaled list —
-    called once per KX block (rows = that block's bins, cols = all KY bins
-    in block order)."""
+    re/im: (KZ, C, X, Y) z-transformed parts.  xc: (R, nx, 1) per-KX-bin
+    constant rows in DIF block order; yc: (R, 1, ny) per-KY-bin; zc:
+    (R, KZ) per-slab scalars; ``ec`` an optional small SMEM vector (e.g.
+    the DC-bin injection values).  ``apply_fn(G, xs, ys, zs, ec)`` maps a
+    list of C (re, im) block pairs plus the constant tuples to the scaled
+    list — called once per KX block (rows = that block's bins, cols = all
+    KY bins in block order)."""
     kz, C, nx, ny = re.shape
     hx, hy = nx // 2, ny // 2
     dt = re.dtype
@@ -142,19 +146,23 @@ def _middle(re, im, xc, yc, zc, apply_fn, interpret):
     yei = yei[:3]
     mats = (*ye, *yo_f, *xef, *xof, *xei, *xoi, *yei, *yoi)
 
+    nrow = xc.shape[0]
+    nec = 1 if ec is not None else 0
+
     def kernel(re_ref, im_ref, xc_ref, yc_ref, zc_ref, *rest):
-        mrefs = rest[:len(mats)]
-        ore_ref, oim_ref = rest[len(mats):]
+        ec_ref = rest[0] if nec else None
+        mrefs = rest[nec:nec + len(mats)]
+        ore_ref, oim_ref = rest[nec + len(mats):]
         m = [r[...] for r in mrefs]
         k_ye, k_yo = m[0:3], m[3:6]
         k_xe, k_xo = m[6:9], m[9:12]
         k_xei, k_xoi = m[12:15], m[15:18]
         k_yei, k_yoi = m[18:21], m[21:24]
         k = pl.program_id(0)
-        zs = (zc_ref[0, k], zc_ref[1, k], zc_ref[2, k])
-        ys = (yc_ref[0], yc_ref[1], yc_ref[2])
-        xs_e = (xc_ref[0, :hx], xc_ref[1, :hx], xc_ref[2, :hx])
-        xs_o = (xc_ref[0, hx:], xc_ref[1, hx:], xc_ref[2, hx:])
+        zs = tuple(zc_ref[i, k] for i in range(nrow))
+        ys = tuple(yc_ref[i] for i in range(nrow))
+        xs_e = tuple(xc_ref[i, :hx] for i in range(nrow))
+        xs_o = tuple(xc_ref[i, hx:] for i in range(nrow))
 
         Ge, Go = [], []
         for c in range(C):
@@ -173,8 +181,8 @@ def _middle(re, im, xc, yc, zc, apply_fn, interpret):
             Ge.append(_c3m_first(k_xe, u2r, u2i))
             Go.append(_c3m_first(k_xo, w2r, w2i))
 
-        Ge = apply_fn(Ge, xs_e, ys, zs)
-        Go = apply_fn(Go, xs_o, ys, zs)
+        Ge = apply_fn(Ge, xs_e, ys, zs, ec_ref)
+        Go = apply_fn(Go, xs_o, ys, zs, ec_ref)
 
         for c in range(C):
             # S3: inverse over KX blocks -> spatial X halves
@@ -195,21 +203,28 @@ def _middle(re, im, xc, yc, zc, apply_fn, interpret):
     def full(a):
         return pl.BlockSpec(a.shape, lambda k, _nd=a.ndim: (0,) * _nd)
 
+    ecs = []
+    ein = []
+    if ec is not None:
+        ecs = [pl.BlockSpec(ec.shape, lambda k: (0,),
+                            memory_space=pltpu.SMEM)]
+        ein = [ec]
     return pl.pallas_call(
         kernel,
         grid=(kz,),
         in_specs=[fspec, fspec, full(xc), full(yc),
                   pl.BlockSpec(zc.shape, lambda k: (0, 0),
                                memory_space=pltpu.SMEM),
+                  *ecs,
                   *[full(a) for a in mats]],
         out_specs=(fspec, fspec),
         out_shape=(jax.ShapeDtypeStruct((kz, C, nx, ny), dt),
                    jax.ShapeDtypeStruct((kz, C, nx, ny), dt)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=118 * 1024 * 1024),
         interpret=interpret,
-    )(re, im, xc, yc, zc, *mats)
+    )(re, im, xc, yc, zc, *ein, *mats)
 
 
 def _z_fwd(x):
@@ -268,7 +283,7 @@ def _g0_apply(c10, c20):
     math as green._g0_staggered_chain (fibergen.cpp:19834-19927), expressed
     on explicit (re, im) parts and 1-D broadcast constants."""
 
-    def apply(G, xs, ys, zs):
+    def apply(G, xs, ys, zs, ec):
         kxr, kxi, dcx = xs          # (hx, 1)
         kyr, kyi, dcy = ys          # (1, ny)
         kzr_, kzi, dcz = zs         # scalars
@@ -295,7 +310,7 @@ def _g0_heat_apply(c10):
     """Scalar staggered G0 (heat/porous): eta = c10 tau / |k|^2, DC zeroed
     (fibergen.cpp:19778-19830)."""
 
-    def apply(G, xs, ys, zs):
+    def apply(G, xs, ys, zs, ec):
         kxr, kxi, dcx = xs
         kyr, kyi, dcy = ys
         kzr_, kzi, dcz = zs
@@ -306,6 +321,68 @@ def _g0_heat_apply(c10):
         return [(c1 * G[0][0], c1 * G[0][1])]
 
     return apply
+
+
+def _xi_consts(grid: Grid, rdtype):
+    """Per-axis collocated xi constants in the kernel's layouts: rows
+    [xi, dc] per axis, x/y in DIF block order, z natural rfft order."""
+    fx, fy, fz = grid.xi(two_pi=False)
+
+    def row(v, n, perm):
+        v = jnp.reshape(jnp.asarray(v, rdtype), (-1,))
+        dc = (jnp.arange(n) == 0).astype(rdtype)
+        r = jnp.stack([v, dc])
+        if perm is not None:
+            r = jnp.take(r, jnp.asarray(perm), axis=1)
+        return r
+
+    xc = row(fx, grid.nx, _perm(grid.nx)).reshape(2, grid.nx, 1)
+    yc = row(fy, grid.ny, _perm(grid.ny)).reshape(2, 1, grid.ny)
+    zc = row(fz, grid.nz // 2 + 1, None)
+    return xc, yc, zc
+
+
+def _gamma_collocated_apply(part_fn, beta, C):
+    """Collocated Gamma on one KX block: green's real-coefficient
+    ``part_fn(p, xis, k2)`` applied to the re and im parts independently,
+    with the DC bin replaced by the prescribed mean E (green._gamma_chain,
+    fibergen.cpp:19302-19609)."""
+
+    def apply(G, xs, ys, zs, ec):
+        x0, dcx = xs                # (hx, 1)
+        x1, dcy = ys                # (1, ny)
+        x2, dcz = zs                # scalars
+        dc = dcx * dcy * dcz
+        ndc = 1.0 - dc
+        k2 = x0 * x0 + x1 * x1 + x2 * x2 + dc
+        xis = (x0, x1, x2)
+        pr = part_fn([g[0] for g in G], xis, k2)
+        pi = part_fn([g[1] for g in G], xis, k2)
+        out = []
+        for j in range(C):
+            er, ei = pr[j], pi[j]
+            if beta != 0.0:
+                er = er + beta * G[j][0]
+                ei = ei + beta * G[j][1]
+            out.append((er * ndc + ec[j] * dc, ei * ndc))
+        return out
+
+    return apply
+
+
+def gamma_collocated_middle(grid: Grid, tau, E, beta, part_fn):
+    """eta = ifftn(Gamma_collocated(fftn(tau))) with the Pallas-fused
+    middle; ``part_fn`` is the same real-coefficient kernel green's
+    _gamma_chain uses.  Equivalent to green._gamma_chain
+    (tests/test_pallas_chain.py)."""
+    C = tau.shape[0]
+    re, im = _z_fwd(tau)
+    xc, yc, zc = _xi_consts(grid, tau.dtype)
+    ec = jnp.reshape(jnp.asarray(E, tau.dtype), (-1,))
+    re, im = _middle(re, im, xc, yc, zc,
+                     _gamma_collocated_apply(part_fn, beta, C),
+                     INTERPRET, ec=ec)
+    return _z_inv(re, im, grid.nz)
 
 
 def g0_staggered_middle(grid: Grid, f, c10, c20):

@@ -1,7 +1,7 @@
 """Steady-state iter/s for the non-headline hot paths (real TPU):
 heat 256^3 staggered CG and any-mode/size via args.
 
-Usage: python scripts/bench_modes.py [mode] [n]
+Usage: python scripts/bench_modes.py [mode] [n] [scheme]
 """
 import os
 import sys
@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "heat"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    scheme = sys.argv[3] if len(sys.argv) > 3 else "staggered"
     import jax
     import jax.numpy as jnp
     import fibergen_tpu as fg
@@ -39,7 +40,7 @@ def main():
             fg.Phase("b", fg.LinearIsotropic(mu=1.0, lam=1.0), 1.0 - phi1),
         ], dim=6)
     solver = fg.LSSolver(grid, mat, fg.SolverOptions(
-        mode=mode, method="cg", gamma_scheme="staggered",
+        mode=mode, method="cg", gamma_scheme=scheme,
         dtype="float32", check_every=8))
     solver.eps = fields.const_field(grid, np.zeros(dim), solver.dtype)
     solver.calc_ref_material()
@@ -63,7 +64,7 @@ def main():
     np.asarray(pending[0]); np.asarray(pending[1])
     jax.block_until_ready(st[0])
     dt = time.perf_counter() - t0
-    print(f"{mode} {n}^3 staggered CG: {chunks * K / dt:.1f} iter/s "
+    print(f"{mode} {n}^3 {scheme} CG: {chunks * K / dt:.1f} iter/s "
           f"({dt / (chunks * K) * 1e3:.2f} ms/iter)")
 
 

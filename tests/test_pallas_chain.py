@@ -91,6 +91,36 @@ def test_fused_dispatch_uses_middle(monkeypatch):
         fftmod.FFT_BACKEND = "auto"
 
 
+@pytest.mark.parametrize("kind,ncomp,beta", [
+    ("elasticity", 6, 0.0),
+    ("elasticity", 6, 0.3),
+    ("heat", 3, 0.0),
+    ("hyper", 9, 0.25),
+])
+def test_gamma_collocated_middle_matches_chain(kind, ncomp, beta):
+    shape = (8, 6, 7)
+    grid = Grid(*shape, dx=1.2, dy=0.8, dz=1.0)
+    rng = np.random.default_rng(6)
+    tau = jnp.asarray(rng.standard_normal((ncomp, *shape)))
+    E = jnp.asarray(rng.standard_normal(ncomp))
+    fn = {"elasticity": green.gamma_collocated_fused,
+          "heat": green.gamma_collocated_heat_fused,
+          "hyper": green.gamma_collocated_hyper_fused}[kind]
+    fftmod.FFT_BACKEND = "matmul"
+    try:
+        ref = fn(grid, E, 0.7, 0.4, tau, alpha=-1.0, beta=beta)
+        with _forced_middle():
+            out = fn(grid, E, 0.7, 0.4, tau, alpha=-1.0, beta=beta)
+            out_off = fn(grid, E, 0.7, 0.4, tau, alpha=-1.0, beta=beta,
+                         pallas_mid=False)
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(ref),
+                               rtol=1e-12, atol=1e-14)
+
+
 def test_middle_policy():
     # CPU backend: auto never enables the Pallas middle
     assert pc._knob() in ("auto", "on", "off")
@@ -107,9 +137,11 @@ def test_middle_policy():
         pc.MM_MIDDLE = old
 
 
-def test_solver_equivalence_with_middle():
-    """A staggered CG elasticity solve is identical (iterations and
-    effective stiffness) with the Pallas middle on and off."""
+@pytest.mark.parametrize("scheme", ["staggered", "collocated"])
+def test_solver_equivalence_with_middle(scheme):
+    """A CG elasticity solve is identical (iterations and effective
+    stiffness) with the Pallas middle on and off, for both the staggered
+    G0 chain and the collocated Gamma chain."""
     grid = fg.Grid(8, 8, 7)
     x = (np.arange(8) + 0.5) / 8
     phi = jnp.asarray(np.broadcast_to((x < 0.5)[:, None, None],
@@ -121,7 +153,7 @@ def test_solver_equivalence_with_middle():
 
     def solve():
         s = fg.LSSolver(grid, mat, fg.SolverOptions(
-            mode="elasticity", method="cg", gamma_scheme="staggered",
+            mode="elasticity", method="cg", gamma_scheme=scheme,
             tol=1e-10, maxiter=200, dtype="float64", use_dim2="off"))
         s.set_strain([1.0, 0, 0, 0, 0, 0])
         assert not s.run()
@@ -136,5 +168,7 @@ def test_solver_equivalence_with_middle():
         fftmod.FFT_BACKEND = "auto"
     assert it_mid == it_ref
     np.testing.assert_allclose(sig_mid, sig_ref, rtol=1e-9, atol=1e-14)
-    # series laminate: C11 = 2*M1*M2/(M1+M2), M = lam + 2 mu
-    np.testing.assert_allclose(sig_mid[0], 2 * 3.0 * 12.0 / 15.0, rtol=1e-8)
+    if scheme == "staggered":
+        # series laminate: C11 = 2*M1*M2/(M1+M2), M = lam + 2 mu
+        np.testing.assert_allclose(sig_mid[0], 2 * 3.0 * 12.0 / 15.0,
+                                   rtol=1e-8)
