@@ -224,10 +224,22 @@ def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau,
 
     if scheme == "collocated":
         # applyDeltaFourier path (fibergen.cpp:19075-19080, 20464-20471)
+        bc_active = bc is not None
+        if par is None:
+            # fused zero-trace chain (+ Pallas middle on qualifying
+            # shapes): the DC bin carries E plus any BC mean correction;
+            # F0 is the zero-trace-reconstructed tau mean (= the hat DC)
+            E_eff = jnp.asarray(E, tau.dtype)
+            if bc_active:
+                m = fields.mean(tau)
+                F0 = jnp.concatenate([-(m[1] + m[2])[None], m[1:]])
+                E_eff = E_eff + alpha * bcmod.bc_correction(bc, F0, F00)
+            return green.gamma_collocated_zt_fused(
+                grid, E_eff, -1.0 / (4.0 * mu0v), float("inf"), tau, alpha,
+                2.0 * alpha * mu0v, pallas_mid=pallas_mid)
         _fftn_zt = par.fftn_zero_trace if par is not None else fft.fftn_zero_trace
         _ifftn_zt = par.ifftn_zero_trace if par is not None else fft.ifftn_zero_trace
         tau_hat = _fftn_zt(tau)
-        bc_active = bc is not None
         F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
         eta_hat = green.gamma_collocated(
             grid, E, -1.0 / (4.0 * mu0v), float("inf"), tau_hat, alpha, 2.0 * alpha * mu0v)

@@ -282,6 +282,50 @@ def gamma_collocated_fused(grid: Grid, E, mu_0, lambda_0, tau, alpha=-1.0,
                         pallas_mid=pallas_mid)
 
 
+def gamma_collocated_zt_fused(grid: Grid, E, mu_0, lambda_0, tau,
+                              alpha=-1.0, beta=0.0, pallas_mid=True):
+    """Zero-trace collocated Gamma (the viscosity Delta scheme's spectral
+    core, fibergen.cpp:19075-19080 + 20464-20471): transform components
+    1.. of the traceless 6-component ``tau``, reconstruct component 0 as
+    -(c1+c2) in the spectral domain, apply :func:`gamma_collocated`'s
+    kernel, and invert with the same reconstruction.  On qualifying
+    single-chip shapes the whole thing rides the Pallas-fused middle;
+    otherwise the separate zero-trace transforms.  ``E`` must already
+    carry any BC mean correction."""
+    from . import fft as fftmod
+    from . import pallas_chain
+
+    A = alpha / (2.0 * mu_0)
+    B = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+
+    if (pallas_mid and fftmod.mm_enabled(tau.shape[-3:])
+            and pallas_chain.middle_enabled(tau.shape[-3:],
+                                            tau.shape[0] - 1)):
+        def part(p, xis, k2):
+            x0, x1, x2 = xis
+            t0 = p[0] * x0 + p[5] * x1 + p[4] * x2
+            t1 = p[5] * x0 + p[1] * x1 + p[3] * x2
+            t2 = p[4] * x0 + p[3] * x1 + p[2] * x2
+            s = x0 * t0 + x1 * t1 + x2 * t2
+            a = A / k2
+            b = (B / (k2 * k2)) * s
+            return [
+                a * (2.0 * x0 * t0) + b * (x0 * x0),
+                a * (2.0 * x1 * t1) + b * (x1 * x1),
+                a * (2.0 * x2 * t2) + b * (x2 * x2),
+                a * (x1 * t2 + x2 * t1) + b * (x1 * x2),
+                a * (x0 * t2 + x2 * t0) + b * (x0 * x2),
+                a * (x0 * t1 + x1 * t0) + b * (x0 * x1),
+            ]
+
+        return pallas_chain.gamma_collocated_zt_middle(grid, tau, E, beta,
+                                                       part)
+
+    tau_hat = fftmod.fftn_zero_trace(tau)
+    eta_hat = gamma_collocated(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
+    return fftmod.ifftn_zero_trace(eta_hat, tau.shape[-3:])
+
+
 def gamma_collocated_heat_fused(grid: Grid, E, mu_0, lambda_0, tau,
                                 alpha=-1.0, beta=0.0, pallas_mid=True):
     """Fused-chain :func:`gamma_collocated_heat`."""

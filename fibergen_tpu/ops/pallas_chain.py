@@ -385,6 +385,44 @@ def gamma_collocated_middle(grid: Grid, tau, E, beta, part_fn):
     return _z_inv(re, im, grid.nz)
 
 
+def gamma_collocated_zt_middle(grid: Grid, tau, E, beta, part_fn):
+    """Zero-trace collocated Gamma chain (viscosity Delta scheme) with the
+    Pallas-fused middle: only components 1.. of the traceless ``tau`` are
+    transformed; component 0 is reconstructed as -(c1 + c2) inside the
+    kernel before the 6-component ``part_fn`` and dropped again after
+    (fft.fftn_zero_trace / ifftn_zero_trace, fibergen.cpp:18531-18584)."""
+    C = tau.shape[0] - 1
+    re, im = _z_fwd(tau[1:])
+    xc, yc, zc = _xi_consts(grid, tau.dtype)
+    ec = jnp.reshape(jnp.asarray(E, tau.dtype), (-1,))
+
+    def apply(G, xs, ys, zs, ec_ref):
+        x0, dcx = xs
+        x1, dcy = ys
+        x2, dcz = zs
+        dc = dcx * dcy * dcz
+        ndc = 1.0 - dc
+        k2 = x0 * x0 + x1 * x1 + x2 * x2 + dc
+        xis = (x0, x1, x2)
+        p_r = [-(G[0][0] + G[1][0])] + [g[0] for g in G]
+        p_i = [-(G[0][1] + G[1][1])] + [g[1] for g in G]
+        pr = part_fn(p_r, xis, k2)
+        pi = part_fn(p_i, xis, k2)
+        out = []
+        for j in range(1, C + 1):
+            er, ei = pr[j], pi[j]
+            if beta != 0.0:
+                er = er + beta * p_r[j]
+                ei = ei + beta * p_i[j]
+            out.append((er * ndc + ec_ref[j] * dc, ei * ndc))
+        return out
+
+    re, im = _middle(re, im, xc, yc, zc, apply, INTERPRET, ec=ec)
+    rest = _z_inv(re, im, grid.nz)
+    x0 = -(rest[0] + rest[1])
+    return jnp.concatenate([x0[None], rest], axis=0)
+
+
 def g0_staggered_middle(grid: Grid, f, c10, c20):
     """u = ifftn(G0_staggered(fftn(f))) with the Pallas-fused middle; f is
     the 3-component staggered force field.  Equivalent to

@@ -712,21 +712,24 @@ class LSSolver:
                                       "full_staggered")
                       and self.opt.g0_solver == "fft")
                      or (self.scheme == "collocated"
-                         and self.mode != "viscosity"
                          and not self.opt.freq_hack))):
             # every single-chip staggered G0 apply — fused Pallas path,
             # jnp fallback, mixed BC, heat/hyper/viscosity — and the
             # collocated Gamma run the transpose-free chain on the matmul
-            # backend (ops/gamma.py); willot, freq_hack and the zero-trace
-            # viscosity collocated path use separate transforms.  Staggered
-            # chains on qualifying shapes run the Pallas spectral middle
-            # (ops/pallas_chain.py) — sample that op, not the XLA chain.
+            # backend (ops/gamma.py); willot and freq_hack use separate
+            # transforms.  Staggered chains on qualifying shapes run the
+            # Pallas spectral middle (ops/pallas_chain.py) — sample that
+            # op, not the XLA chain; the viscosity collocated path samples
+            # its zero-trace fused chain.
             from ..ops import pallas_chain
             if (self.scheme in ("staggered", "half_staggered",
                                 "full_staggered")
                     and self.sharding is None
                     and pallas_chain.middle_enabled(self.grid.shape)):
                 backend = "chain_mid"
+            elif (self.mode == "viscosity" and self.scheme == "collocated"
+                    and self.sharding is None):
+                backend = "chain_zt"
             else:
                 backend = "chain"
         else:
@@ -745,6 +748,14 @@ class LSSolver:
                 def pair(x):
                     return fftmod.fft2_apply_ifft2_mm(
                         x, lambda re, im: (re, im))
+            elif backend == "chain_zt":
+                from ..ops import green as greenmod
+
+                @_jax.jit
+                def pair(x):
+                    return greenmod.gamma_collocated_zt_fused(
+                        self.grid, np.zeros(self.dim), -1.0, float("inf"),
+                        x)
             elif backend == "chain_mid":
                 from ..ops import green as greenmod
                 if ncomp == 1:

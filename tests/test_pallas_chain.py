@@ -121,6 +121,32 @@ def test_gamma_collocated_middle_matches_chain(kind, ncomp, beta):
                                rtol=1e-12, atol=1e-14)
 
 
+def test_gamma_collocated_zt_middle_matches_chain():
+    """Viscosity Delta-scheme spectral core: zero-trace transforms +
+    collocated Gamma with the negative reference viscosity and
+    lambda -> inf, Pallas middle vs the separate-transform path."""
+    shape = (8, 6, 7)
+    grid = Grid(*shape, dx=1.1, dy=0.9, dz=1.0)
+    rng = np.random.default_rng(7)
+    tau = jnp.asarray(rng.standard_normal((6, *shape)))
+    E = jnp.asarray(rng.standard_normal(6))
+    mu0v = 0.35
+    args = (grid, E, -1.0 / (4.0 * mu0v), float("inf"), tau)
+    kw = dict(alpha=-1.0, beta=2.0 * (-1.0) * mu0v)
+    fftmod.FFT_BACKEND = "matmul"
+    try:
+        ref = green.gamma_collocated_zt_fused(*args, **kw, pallas_mid=False)
+        with _forced_middle():
+            out = green.gamma_collocated_zt_fused(*args, **kw)
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+    # the zero-trace reconstruction: component 0 == -(c1 + c2)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               -np.asarray(out[1] + out[2]), rtol=1e-12)
+
+
 def test_middle_policy():
     # CPU backend: auto never enables the Pallas middle
     assert pc._knob() in ("auto", "on", "off")
