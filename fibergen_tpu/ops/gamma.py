@@ -61,31 +61,28 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
     bc_active = bc is not None
 
     if mode == "elasticity":
-        if scheme == "collocated" and par is None:
-            if dim2 and not bc_active and beta == 0.0 and not freq_hack:
+        if scheme == "collocated":
+            if (dim2 and par is None and not bc_active and beta == 0.0
+                    and not freq_hack):
                 # true DIM=2 collocated pipeline: 3-component 2-D chain
                 return green.gamma_collocated_fused_2d(
                     grid, jnp.asarray(E, tau.dtype), mu_0, lambda_0, tau,
                     alpha)
             # fused chain: the DC bin (forward-normalized = field mean)
-            # carries E plus any BC mean correction
+            # carries E plus any BC mean correction; on a mesh the fused
+            # function routes through the kz-slab middle / slab-FFT pair
             E_eff = jnp.asarray(E, tau.dtype)
             if bc_active:
                 R = bcmod.bc_correction(bc, fields.mean(tau), F00)
                 E_eff = E_eff + alpha * R
             return green.gamma_collocated_fused(
                 grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
-                freq_hack=freq_hack, pallas_mid=pallas_mid)
-        if scheme == "collocated" or scheme == "willot":
+                freq_hack=freq_hack, pallas_mid=pallas_mid, par=par)
+        if scheme == "willot":
             tau_hat = _fftn(tau)
             F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
-            if scheme == "collocated":
-                eta_hat = green.gamma_collocated(
-                    grid, E, mu_0, lambda_0, tau_hat, alpha, beta,
-                    freq_hack=freq_hack)
-            else:
-                eta_hat = green.gamma_willot(grid, E, mu_0, lambda_0, tau_hat,
-                                             alpha, beta)
+            eta_hat = green.gamma_willot(grid, E, mu_0, lambda_0, tau_hat,
+                                         alpha, beta)
             if bc_active:
                 R = bcmod.bc_correction(bc, F0, F00)
                 eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
@@ -104,16 +101,13 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                 if g0_solver == "multigrid":
                     from ..solvers.multigrid import g0_multigrid_staggered
                     u = g0_multigrid_staggered(grid, mu_0, lambda_0, f, alpha)
-                elif par is None:
-                    # transpose-free fft+G0+ifft chain on the matmul-DFT
-                    # backend (falls back to separate transforms off it)
-                    u = green.g0_staggered_fused(grid, mu_0, lambda_0, f,
-                                                 alpha, pallas_mid=pallas_mid)
                 else:
-                    f_hat = _fftn(f)
-                    u_hat = green.g0_staggered(grid, mu_0, lambda_0, f_hat,
-                                               alpha)
-                    u = _ifftn(u_hat, grid.shape)
+                    # transpose-free fft+G0+ifft chain on the matmul-DFT
+                    # backend (falls back to separate transforms off it);
+                    # par routes through the slab middle / slab-FFT pair
+                    u = green.g0_staggered_fused(grid, mu_0, lambda_0, f,
+                                                 alpha, pallas_mid=pallas_mid,
+                                                 par=par)
                 eta = staggered.eps_staggered(grid, jnp.asarray(E, tau.dtype),
                                               u)
             if beta != 0.0:
@@ -129,21 +123,13 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                 return green.gamma_collocated_heat_fused_2d(
                     grid, jnp.asarray(E, tau.dtype), mu_0, lambda_0, tau,
                     alpha)
-            if par is None:
-                E_eff = jnp.asarray(E, tau.dtype)
-                if bc_active:
-                    R = bcmod.bc_correction(bc, fields.mean(tau), F00)
-                    E_eff = E_eff + alpha * R
-                return green.gamma_collocated_heat_fused(
-                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
-                    pallas_mid=pallas_mid)
-            tau_hat = _fftn(tau)
-            F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
-            eta_hat = green.gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
+            E_eff = jnp.asarray(E, tau.dtype)
             if bc_active:
-                R = bcmod.bc_correction(bc, F0, F00)
-                eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
-            return _ifftn(eta_hat, grid.shape)
+                R = bcmod.bc_correction(bc, fields.mean(tau), F00)
+                E_eff = E_eff + alpha * R
+            return green.gamma_collocated_heat_fused(
+                grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
+                pallas_mid=pallas_mid, par=par)
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             if dim2 and par is None:
@@ -152,19 +138,11 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
                                                      alpha)
                 eta = staggered.eps_staggered_heat_2d(
                     grid, jnp.asarray(E, tau.dtype), u)
-            elif par is None:
-                f = staggered.div_staggered_heat(grid, tau)
-                u = green.g0_staggered_heat_fused(grid, mu_0, lambda_0, f,
-                                                  alpha,
-                                                  pallas_mid=pallas_mid)
-                eta = staggered.eps_staggered_heat(
-                    grid, jnp.asarray(E, tau.dtype), u)
             else:
                 f = staggered.div_staggered_heat(grid, tau)
-                f_hat = _fftn(f)
-                u_hat = green.g0_staggered_heat(grid, mu_0, lambda_0, f_hat,
-                                                alpha)
-                u = _ifftn(u_hat, grid.shape)
+                u = green.g0_staggered_heat_fused(grid, mu_0, lambda_0, f,
+                                                  alpha, pallas_mid=pallas_mid,
+                                                  par=par)
                 eta = staggered.eps_staggered_heat(
                     grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
@@ -176,33 +154,19 @@ def gamma_operator(grid: Grid, mode: str, scheme: str, bc: "bcmod.BCProjector | 
 
     elif mode == "hyperelasticity":
         if scheme == "collocated":
-            if par is None:
-                E_eff = jnp.asarray(E, tau.dtype)
-                if bc_active:
-                    R = bcmod.bc_correction(bc, fields.mean(tau), F00)
-                    E_eff = E_eff + alpha * R
-                return green.gamma_collocated_hyper_fused(
-                    grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
-                    pallas_mid=pallas_mid)
-            tau_hat = _fftn(tau)
-            F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
-            eta_hat = green.gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat, alpha, beta)
+            E_eff = jnp.asarray(E, tau.dtype)
             if bc_active:
-                R = bcmod.bc_correction(bc, F0, F00)
-                eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
-            return _ifftn(eta_hat, grid.shape)
+                R = bcmod.bc_correction(bc, fields.mean(tau), F00)
+                E_eff = E_eff + alpha * R
+            return green.gamma_collocated_hyper_fused(
+                grid, E_eff, mu_0, lambda_0, tau, alpha, beta,
+                pallas_mid=pallas_mid, par=par)
         if scheme in _STAGGERED:
             F0 = fields.mean(tau) if bc_active else None
             f = staggered.div_staggered_hyper(grid, tau)
-            if par is None:
-                u = green.g0_staggered_hyper_fused(grid, mu_0, lambda_0, f,
-                                                   alpha,
-                                                   pallas_mid=pallas_mid)
-            else:
-                f_hat = _fftn(f)
-                u_hat = green.g0_staggered_hyper(grid, mu_0, lambda_0, f_hat,
-                                                 alpha)
-                u = _ifftn(u_hat, grid.shape)
+            u = green.g0_staggered_hyper_fused(grid, mu_0, lambda_0, f,
+                                               alpha, pallas_mid=pallas_mid,
+                                               par=par)
             eta = staggered.eps_staggered_hyper(grid, jnp.asarray(E, tau.dtype), u)
             if beta != 0.0:
                 eta = eta + beta * tau
@@ -223,30 +187,20 @@ def delta_operator(grid: Grid, scheme: str, bc, E, mu_0, lambda_0, tau,
     mu0v = 1.0 / (4.0 * mu_0)
 
     if scheme == "collocated":
-        # applyDeltaFourier path (fibergen.cpp:19075-19080, 20464-20471)
+        # applyDeltaFourier path (fibergen.cpp:19075-19080, 20464-20471):
+        # fused zero-trace chain (+ Pallas middle on qualifying shapes —
+        # distributed kz-slab middle with par): the DC bin carries E plus
+        # any BC mean correction; F0 is the zero-trace-reconstructed tau
+        # mean (= the hat DC by linearity)
         bc_active = bc is not None
-        if par is None:
-            # fused zero-trace chain (+ Pallas middle on qualifying
-            # shapes): the DC bin carries E plus any BC mean correction;
-            # F0 is the zero-trace-reconstructed tau mean (= the hat DC)
-            E_eff = jnp.asarray(E, tau.dtype)
-            if bc_active:
-                m = fields.mean(tau)
-                F0 = jnp.concatenate([-(m[1] + m[2])[None], m[1:]])
-                E_eff = E_eff + alpha * bcmod.bc_correction(bc, F0, F00)
-            return green.gamma_collocated_zt_fused(
-                grid, E_eff, -1.0 / (4.0 * mu0v), float("inf"), tau, alpha,
-                2.0 * alpha * mu0v, pallas_mid=pallas_mid)
-        _fftn_zt = par.fftn_zero_trace if par is not None else fft.fftn_zero_trace
-        _ifftn_zt = par.ifftn_zero_trace if par is not None else fft.ifftn_zero_trace
-        tau_hat = _fftn_zt(tau)
-        F0 = tau_hat[:, 0, 0, 0].real if bc_active else None
-        eta_hat = green.gamma_collocated(
-            grid, E, -1.0 / (4.0 * mu0v), float("inf"), tau_hat, alpha, 2.0 * alpha * mu0v)
+        E_eff = jnp.asarray(E, tau.dtype)
         if bc_active:
-            R = bcmod.bc_correction(bc, F0, F00)
-            eta_hat = eta_hat.at[:, 0, 0, 0].add(alpha * R)
-        return _ifftn_zt(eta_hat, grid.shape)
+            m = fields.mean(tau)
+            F0 = jnp.concatenate([-(m[1] + m[2])[None], m[1:]])
+            E_eff = E_eff + alpha * bcmod.bc_correction(bc, F0, F00)
+        return green.gamma_collocated_zt_fused(
+            grid, E_eff, -1.0 / (4.0 * mu0v), float("inf"), tau, alpha,
+            2.0 * alpha * mu0v, pallas_mid=pallas_mid, par=par)
 
     if scheme in _STAGGERED or scheme == "willot":
         # mean constant such that <eta> = E (fibergen.cpp:20446-20453)

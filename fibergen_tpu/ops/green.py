@@ -213,15 +213,27 @@ def _dc_perm(grid: Grid, rdtype):
     return dc, 1.0 - dc
 
 
-def _gamma_chain(grid: Grid, tau, E, beta, part_fn, pallas_mid=True):
+def _gamma_chain(grid: Grid, tau, E, beta, part_fn, pallas_mid=True,
+                 par=None, hat_fn=None):
     """Run ``ifftn(Gamma(fftn(tau)))`` as one chain.  ``part_fn(p, xis,
     k2reg)`` applies the real-coefficient Gamma kernel to one spectrum part;
     the DC bin is set to E in the real part (the reference's explicit
     zero-frequency handling, incl. any BC mean correction folded into E).
     On qualifying single-chip shapes the chain's middle runs as the
-    radix-2 Pallas kernel (ops/pallas_chain.py) with the same part_fn."""
+    radix-2 Pallas kernel (ops/pallas_chain.py) with the same part_fn.
+    With ``par`` (SlabFFT) qualifying shapes run the kz-slab-distributed
+    middle; the rest use the slab-FFT pair around ``hat_fn(tau_hat)``
+    (the family's hat-domain Gamma, E already applied at DC)."""
     from . import fft as fftmod
     from . import pallas_chain
+
+    if par is not None:
+        if (pallas_mid and fftmod.mm_enabled(tau.shape[-3:])
+                and pallas_chain.middle_slab_enabled(par, tau.shape[-3:],
+                                                     tau.shape[0])):
+            return pallas_chain.gamma_collocated_middle_slab(
+                par, grid, tau, E, beta, part_fn)
+        return par.ifftn(hat_fn(par.fftn(tau)), tau.shape[-3:])
 
     if pallas_mid and pallas_chain.middle_enabled(tau.shape[-3:],
                                                   tau.shape[0]):
@@ -246,17 +258,22 @@ def _gamma_chain(grid: Grid, tau, E, beta, part_fn, pallas_mid=True):
 
 
 def gamma_collocated_fused(grid: Grid, E, mu_0, lambda_0, tau, alpha=-1.0,
-                           beta=0.0, freq_hack=False, pallas_mid=True):
+                           beta=0.0, freq_hack=False, pallas_mid=True,
+                           par=None):
     """Fused-chain :func:`gamma_collocated`: real-space tau in, eta out.
     Falls back to separate transforms off the matmul backend or when the
-    Nyquist freq_hack averaging is requested."""
+    Nyquist freq_hack averaging is requested.  ``par`` (SlabFFT) routes
+    sharded fields through the kz-slab middle / slab-FFT pair."""
     from . import fft as fftmod
 
-    if not fftmod.mm_enabled(tau.shape[-3:]) or freq_hack:
-        tau_hat = fftmod.fftn(tau)
-        eta_hat = gamma_collocated(grid, E, mu_0, lambda_0, tau_hat, alpha,
-                                   beta, freq_hack)
-        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+    def hat_fn(tau_hat):
+        return gamma_collocated(grid, E, mu_0, lambda_0, tau_hat, alpha,
+                                beta, freq_hack)
+
+    if par is not None and freq_hack:
+        return par.ifftn(hat_fn(par.fftn(tau)), tau.shape[-3:])
+    if par is None and (not fftmod.mm_enabled(tau.shape[-3:]) or freq_hack):
+        return fftmod.ifftn(hat_fn(fftmod.fftn(tau)), tau.shape[-3:])
 
     A = alpha / (2.0 * mu_0)
     B = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
@@ -279,11 +296,12 @@ def gamma_collocated_fused(grid: Grid, E, mu_0, lambda_0, tau, alpha=-1.0,
         ])
 
     return _gamma_chain(grid, tau, E, beta, part,
-                        pallas_mid=pallas_mid)
+                        pallas_mid=pallas_mid, par=par, hat_fn=hat_fn)
 
 
 def gamma_collocated_zt_fused(grid: Grid, E, mu_0, lambda_0, tau,
-                              alpha=-1.0, beta=0.0, pallas_mid=True):
+                              alpha=-1.0, beta=0.0, pallas_mid=True,
+                              par=None):
     """Zero-trace collocated Gamma (the viscosity Delta scheme's spectral
     core, fibergen.cpp:19075-19080 + 20464-20471): transform components
     1.. of the traceless 6-component ``tau``, reconstruct component 0 as
@@ -298,26 +316,37 @@ def gamma_collocated_zt_fused(grid: Grid, E, mu_0, lambda_0, tau,
     A = alpha / (2.0 * mu_0)
     B = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
 
+    def part(p, xis, k2):
+        x0, x1, x2 = xis
+        t0 = p[0] * x0 + p[5] * x1 + p[4] * x2
+        t1 = p[5] * x0 + p[1] * x1 + p[3] * x2
+        t2 = p[4] * x0 + p[3] * x1 + p[2] * x2
+        s = x0 * t0 + x1 * t1 + x2 * t2
+        a = A / k2
+        b = (B / (k2 * k2)) * s
+        return [
+            a * (2.0 * x0 * t0) + b * (x0 * x0),
+            a * (2.0 * x1 * t1) + b * (x1 * x1),
+            a * (2.0 * x2 * t2) + b * (x2 * x2),
+            a * (x1 * t2 + x2 * t1) + b * (x1 * x2),
+            a * (x0 * t2 + x2 * t0) + b * (x0 * x2),
+            a * (x0 * t1 + x1 * t0) + b * (x0 * x1),
+        ]
+
+    if par is not None:
+        if (pallas_mid and fftmod.mm_enabled(tau.shape[-3:])
+                and pallas_chain.middle_slab_enabled(par, tau.shape[-3:],
+                                                     tau.shape[0] - 1)):
+            return pallas_chain.gamma_collocated_zt_middle_slab(
+                par, grid, tau, E, beta, part)
+        tau_hat = par.fftn_zero_trace(tau)
+        eta_hat = gamma_collocated(grid, E, mu_0, lambda_0, tau_hat, alpha,
+                                   beta)
+        return par.ifftn_zero_trace(eta_hat, tau.shape[-3:])
+
     if (pallas_mid and fftmod.mm_enabled(tau.shape[-3:])
             and pallas_chain.middle_enabled(tau.shape[-3:],
                                             tau.shape[0] - 1)):
-        def part(p, xis, k2):
-            x0, x1, x2 = xis
-            t0 = p[0] * x0 + p[5] * x1 + p[4] * x2
-            t1 = p[5] * x0 + p[1] * x1 + p[3] * x2
-            t2 = p[4] * x0 + p[3] * x1 + p[2] * x2
-            s = x0 * t0 + x1 * t1 + x2 * t2
-            a = A / k2
-            b = (B / (k2 * k2)) * s
-            return [
-                a * (2.0 * x0 * t0) + b * (x0 * x0),
-                a * (2.0 * x1 * t1) + b * (x1 * x1),
-                a * (2.0 * x2 * t2) + b * (x2 * x2),
-                a * (x1 * t2 + x2 * t1) + b * (x1 * x2),
-                a * (x0 * t2 + x2 * t0) + b * (x0 * x2),
-                a * (x0 * t1 + x1 * t0) + b * (x0 * x1),
-            ]
-
         return pallas_chain.gamma_collocated_zt_middle(grid, tau, E, beta,
                                                        part)
 
@@ -327,15 +356,17 @@ def gamma_collocated_zt_fused(grid: Grid, E, mu_0, lambda_0, tau,
 
 
 def gamma_collocated_heat_fused(grid: Grid, E, mu_0, lambda_0, tau,
-                                alpha=-1.0, beta=0.0, pallas_mid=True):
+                                alpha=-1.0, beta=0.0, pallas_mid=True,
+                                par=None):
     """Fused-chain :func:`gamma_collocated_heat`."""
     from . import fft as fftmod
 
-    if not fftmod.mm_enabled(tau.shape[-3:]):
-        tau_hat = fftmod.fftn(tau)
-        eta_hat = gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat,
-                                        alpha, beta)
-        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+    def hat_fn(tau_hat):
+        return gamma_collocated_heat(grid, E, mu_0, lambda_0, tau_hat,
+                                     alpha, beta)
+
+    if par is None and not fftmod.mm_enabled(tau.shape[-3:]):
+        return fftmod.ifftn(hat_fn(fftmod.fftn(tau)), tau.shape[-3:])
 
     A = alpha / (2.0 * mu_0)
 
@@ -345,19 +376,21 @@ def gamma_collocated_heat_fused(grid: Grid, E, mu_0, lambda_0, tau,
         return jnp.stack([c * x0, c * x1, c * x2])
 
     return _gamma_chain(grid, tau, E, beta, part,
-                        pallas_mid=pallas_mid)
+                        pallas_mid=pallas_mid, par=par, hat_fn=hat_fn)
 
 
 def gamma_collocated_hyper_fused(grid: Grid, E, mu_0, lambda_0, tau,
-                                 alpha=-1.0, beta=0.0, pallas_mid=True):
+                                 alpha=-1.0, beta=0.0, pallas_mid=True,
+                                 par=None):
     """Fused-chain :func:`gamma_collocated_hyper` (9-component fields)."""
     from . import fft as fftmod
 
-    if not fftmod.mm_enabled(tau.shape[-3:]):
-        tau_hat = fftmod.fftn(tau)
-        eta_hat = gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat,
-                                         alpha, beta)
-        return fftmod.ifftn(eta_hat, tau.shape[-3:])
+    def hat_fn(tau_hat):
+        return gamma_collocated_hyper(grid, E, mu_0, lambda_0, tau_hat,
+                                      alpha, beta)
+
+    if par is None and not fftmod.mm_enabled(tau.shape[-3:]):
+        return fftmod.ifftn(hat_fn(fftmod.fftn(tau)), tau.shape[-3:])
 
     A = alpha / (2.0 * mu_0)
     with np.errstate(divide="ignore"):
@@ -385,7 +418,7 @@ def gamma_collocated_hyper_fused(grid: Grid, E, mu_0, lambda_0, tau,
         ])
 
     return _gamma_chain(grid, tau, E, beta, part,
-                        pallas_mid=pallas_mid)
+                        pallas_mid=pallas_mid, par=par, hat_fn=hat_fn)
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +497,7 @@ def _g0_staggered_general(grid: Grid, tau_hat, c10, c20):
 
 
 def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
-                       pallas_mid=True):
+                       pallas_mid=True, par=None):
     """u = ifftn(G0_staggered(fftn(f))) as ONE transpose-free chain.
 
     The separate fftn/g0/ifftn path materializes the hat field twice and
@@ -475,57 +508,91 @@ def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
     between the forward and inverse x-stages — u_hat never exists in HBM.
     On qualifying single-chip shapes the four c2c stages + scaling run as
     one radix-2 Pallas kernel instead (ops/pallas_chain.py); pass
-    ``pallas_mid=False`` when the field may be sharded (pallas_call does
-    not run under GSPMD).  Falls back to the separate path off the matmul
-    backend."""
+    ``pallas_mid=False`` when the field may be GSPMD-sharded (pallas_call
+    does not run under GSPMD).  With ``par`` (a parallel.fft.SlabFFT) the
+    field is an x-slab-sharded mesh field: qualifying shapes run the
+    kz-slab-distributed Pallas middle (pallas_chain.g0_staggered_middle_
+    slab — explicit shard_map, where pallas_call IS allowed), the rest
+    fall back to the slab FFT pair.  Falls back to the separate path off
+    the matmul backend."""
     from . import fft as fftmod
+
+    c10 = -alpha / mu_0
+    c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
+    from . import pallas_chain
+    if par is not None:
+        if (pallas_mid and fftmod.mm_enabled(f.shape[-3:])
+                and pallas_chain.middle_slab_enabled(par, f.shape[-3:])):
+            return pallas_chain.g0_staggered_middle_slab(par, grid, f,
+                                                         c10, c20)
+        f_hat = par.fftn(f)
+        u_hat = g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
+        return par.ifftn(u_hat, f.shape[-3:])
 
     if not fftmod.mm_enabled(f.shape[-3:]):
         f_hat = fftmod.fftn(f)
         u_hat = g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
         return fftmod.ifftn(u_hat, f.shape[-3:])
 
-    c10 = -alpha / mu_0
-    c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
-    from . import pallas_chain
     if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
         return pallas_chain.g0_staggered_middle(grid, f, c10, c20)
     return _g0_staggered_chain(grid, f, c10, c20)
 
 
 def g0_staggered_hyper_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
-                             pallas_mid=True):
+                             pallas_mid=True, par=None):
     """Fused-chain variant of :func:`g0_staggered_hyper` (full-gradient
-    scheme coefficients, fibergen.cpp:19768-19774)."""
+    scheme coefficients, fibergen.cpp:19768-19774).  ``par`` as in
+    :func:`g0_staggered_fused` (same G0 kernel, different constants)."""
     from . import fft as fftmod
+
+    c10 = -alpha / (2.0 * mu_0)
+    with np.errstate(divide="ignore"):  # lambda_0 = 0 -> c20 = 0 (IEEE inf)
+        c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
+    from . import pallas_chain
+    if par is not None:
+        if (pallas_mid and fftmod.mm_enabled(f.shape[-3:])
+                and pallas_chain.middle_slab_enabled(par, f.shape[-3:])):
+            return pallas_chain.g0_staggered_middle_slab(par, grid, f,
+                                                         c10, c20)
+        f_hat = par.fftn(f)
+        u_hat = g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
+        return par.ifftn(u_hat, f.shape[-3:])
 
     if not fftmod.mm_enabled(f.shape[-3:]):
         f_hat = fftmod.fftn(f)
         u_hat = g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
         return fftmod.ifftn(u_hat, f.shape[-3:])
 
-    c10 = -alpha / (2.0 * mu_0)
-    with np.errstate(divide="ignore"):  # lambda_0 = 0 -> c20 = 0 (IEEE inf)
-        c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
-    from . import pallas_chain
     if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
         return pallas_chain.g0_staggered_middle(grid, f, c10, c20)
     return _g0_staggered_chain(grid, f, c10, c20)
 
 
 def g0_staggered_heat_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
-                            pallas_mid=True):
+                            pallas_mid=True, par=None):
     """Fused-chain variant of :func:`g0_staggered_heat` (scalar G0,
-    fibergen.cpp:19778-19830): one transpose-free fft+scale+ifft."""
+    fibergen.cpp:19778-19830): one transpose-free fft+scale+ifft.
+    ``par`` as in :func:`g0_staggered_fused`."""
     from . import fft as fftmod
+
+    c10 = -alpha / (2.0 * mu_0)
+    from . import pallas_chain
+    if par is not None:
+        if (pallas_mid and fftmod.mm_enabled(f.shape[-3:])
+                and pallas_chain.middle_slab_enabled(par, f.shape[-3:],
+                                                     ncomp=1)):
+            return pallas_chain.g0_staggered_heat_middle_slab(par, grid, f,
+                                                              c10)
+        f_hat = par.fftn(f)
+        u_hat = g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
+        return par.ifftn(u_hat, f.shape[-3:])
 
     if not fftmod.mm_enabled(f.shape[-3:]):
         f_hat = fftmod.fftn(f)
         u_hat = g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
         return fftmod.ifftn(u_hat, f.shape[-3:])
 
-    c10 = -alpha / (2.0 * mu_0)
-    from . import pallas_chain
     if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
         return pallas_chain.g0_staggered_heat_middle(grid, f, c10)
 

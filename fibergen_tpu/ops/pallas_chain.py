@@ -227,13 +227,16 @@ def _middle(re, im, xc, yc, zc, apply_fn, interpret, ec=None):
     )(re, im, xc, yc, zc, *ein, *mats)
 
 
-def _z_fwd(x):
+def _z_fwd(x, scale=None):
     """Forward r2c z-stage in the (KZ, C, X, Y) natural-dot layout,
-    norm='forward' (total 1/N folded into the matrices)."""
+    norm='forward' (total 1/N folded into the matrices).  ``scale``
+    overrides the 1/N normalization when ``x`` is a per-device slab whose
+    local extents are not the global grid's (g0_staggered_middle_slab)."""
     from . import fft as fftmod
     nx, ny, nz = x.shape[-3:]
     dt = x.dtype
-    scale = 1.0 / (nx * ny * nz)
+    if scale is None:
+        scale = 1.0 / (nx * ny * nz)
     Cz, Sz = fftmod._r2c_mats(nz)
     re = jnp.einsum("kz,cxyz->kcxy", jnp.asarray(Cz * scale, dt), x,
                     precision=_P)
@@ -253,28 +256,33 @@ def _z_inv(re, im, nz):
                          precision=_P))
 
 
-def _staggered_consts(grid: Grid, rdtype):
+def _staggered_consts(grid: Grid, rdtype, kzp=None):
     """Per-axis staggered wavenumber constants in the kernel's layouts:
     xc (3, nx, 1) = [Re kp0, Im kp0, dc] in DIF block order, yc (3, 1, ny)
-    likewise for kp1, zc (3, KZ) for kp2 (natural rfft order)."""
-    from . import green
-    kp0, kp1, kp2, _ = green._staggered_k(grid, rdtype)
-    px = _perm(grid.nx)
-    py = _perm(grid.ny)
+    likewise for kp1, zc (3, KZ) for kp2 (natural rfft order).  Built in
+    host numpy (the grid is static) so they enter the program as literal
+    constants — under a traced mesh program GSPMD would otherwise
+    partition + all-gather the jnp construction.  ``kzp`` edge-pads zc's
+    kz axis (the slab middle's mesh-multiple padding; the last rfft bin's
+    k+ is never zero, so padded bins stay finite)."""
+    nd = np.dtype(rdtype)
+    sx, sy, sz = grid.xi_staggered()
+    h0, h1, h2 = grid.staggered_h()
+
+    def row(xi, h, n, perm):
+        xi = np.reshape(np.asarray(xi, np.float64), (-1,))
+        kp = (np.sin(xi) / h) * np.exp(1j * xi)
+        dc = (np.arange(n) == 0).astype(np.float64)
+        r = np.stack([kp.real, kp.imag, dc]).astype(nd)
+        return r if perm is None else r[:, perm]
+
     kzr = grid.nz // 2 + 1
-
-    def row(kp, n, perm):
-        kp = jnp.reshape(kp, (-1,))
-        dc = (jnp.arange(n) == 0).astype(rdtype)
-        r = jnp.stack([jnp.real(kp), jnp.imag(kp), dc])
-        if perm is not None:
-            r = jnp.take(r, jnp.asarray(perm), axis=1)
-        return r
-
-    xc = row(kp0, grid.nx, px).reshape(3, grid.nx, 1)
-    yc = row(kp1, grid.ny, py).reshape(3, 1, grid.ny)
-    zc = row(kp2, kzr, None)
-    return xc, yc, zc
+    xc = row(sx, h0, grid.nx, _perm(grid.nx)).reshape(3, grid.nx, 1)
+    yc = row(sy, h1, grid.ny, _perm(grid.ny)).reshape(3, 1, grid.ny)
+    zc = row(sz, h2, kzr, None)
+    if kzp is not None:
+        zc = np.pad(zc, ((0, 0), (0, kzp - kzr)), mode="edge")
+    return jnp.asarray(xc), jnp.asarray(yc), jnp.asarray(zc)
 
 
 def _g0_apply(c10, c20):
@@ -323,23 +331,27 @@ def _g0_heat_apply(c10):
     return apply
 
 
-def _xi_consts(grid: Grid, rdtype):
+def _xi_consts(grid: Grid, rdtype, kzp=None):
     """Per-axis collocated xi constants in the kernel's layouts: rows
-    [xi, dc] per axis, x/y in DIF block order, z natural rfft order."""
+    [xi, dc] per axis, x/y in DIF block order, z natural rfft order.
+    Host-numpy literals; ``kzp`` edge-pads the kz axis (see
+    :func:`_staggered_consts`)."""
+    nd = np.dtype(rdtype)
     fx, fy, fz = grid.xi(two_pi=False)
 
     def row(v, n, perm):
-        v = jnp.reshape(jnp.asarray(v, rdtype), (-1,))
-        dc = (jnp.arange(n) == 0).astype(rdtype)
-        r = jnp.stack([v, dc])
-        if perm is not None:
-            r = jnp.take(r, jnp.asarray(perm), axis=1)
-        return r
+        v = np.reshape(np.asarray(v, np.float64), (-1,))
+        dc = (np.arange(n) == 0).astype(np.float64)
+        r = np.stack([v, dc]).astype(nd)
+        return r if perm is None else r[:, perm]
 
+    kzr = grid.nz // 2 + 1
     xc = row(fx, grid.nx, _perm(grid.nx)).reshape(2, grid.nx, 1)
     yc = row(fy, grid.ny, _perm(grid.ny)).reshape(2, 1, grid.ny)
-    zc = row(fz, grid.nz // 2 + 1, None)
-    return xc, yc, zc
+    zc = row(fz, kzr, None)
+    if kzp is not None:
+        zc = np.pad(zc, ((0, 0), (0, kzp - kzr)), mode="edge")
+    return jnp.asarray(xc), jnp.asarray(yc), jnp.asarray(zc)
 
 
 def _gamma_collocated_apply(part_fn, beta, C):
@@ -385,16 +397,11 @@ def gamma_collocated_middle(grid: Grid, tau, E, beta, part_fn):
     return _z_inv(re, im, grid.nz)
 
 
-def gamma_collocated_zt_middle(grid: Grid, tau, E, beta, part_fn):
-    """Zero-trace collocated Gamma chain (viscosity Delta scheme) with the
-    Pallas-fused middle: only components 1.. of the traceless ``tau`` are
-    transformed; component 0 is reconstructed as -(c1 + c2) inside the
-    kernel before the 6-component ``part_fn`` and dropped again after
-    (fft.fftn_zero_trace / ifftn_zero_trace, fibergen.cpp:18531-18584)."""
-    C = tau.shape[0] - 1
-    re, im = _z_fwd(tau[1:])
-    xc, yc, zc = _xi_consts(grid, tau.dtype)
-    ec = jnp.reshape(jnp.asarray(E, tau.dtype), (-1,))
+def _zt_apply(part_fn, beta, C):
+    """Zero-trace collocated Gamma on one KX block: component 0 of the
+    traceless tensor is reconstructed as -(c1 + c2) before the full
+    ``part_fn`` and dropped after (fibergen.cpp:18531-18584); ``C`` is the
+    number of TRANSFORMED components (full - 1)."""
 
     def apply(G, xs, ys, zs, ec_ref):
         x0, dcx = xs
@@ -417,7 +424,21 @@ def gamma_collocated_zt_middle(grid: Grid, tau, E, beta, part_fn):
             out.append((er * ndc + ec_ref[j] * dc, ei * ndc))
         return out
 
-    re, im = _middle(re, im, xc, yc, zc, apply, INTERPRET, ec=ec)
+    return apply
+
+
+def gamma_collocated_zt_middle(grid: Grid, tau, E, beta, part_fn):
+    """Zero-trace collocated Gamma chain (viscosity Delta scheme) with the
+    Pallas-fused middle: only components 1.. of the traceless ``tau`` are
+    transformed; component 0 is reconstructed as -(c1 + c2) inside the
+    kernel before the 6-component ``part_fn`` and dropped again after
+    (fft.fftn_zero_trace / ifftn_zero_trace, fibergen.cpp:18531-18584)."""
+    C = tau.shape[0] - 1
+    re, im = _z_fwd(tau[1:])
+    xc, yc, zc = _xi_consts(grid, tau.dtype)
+    ec = jnp.reshape(jnp.asarray(E, tau.dtype), (-1,))
+    re, im = _middle(re, im, xc, yc, zc, _zt_apply(part_fn, beta, C),
+                     INTERPRET, ec=ec)
     rest = _z_inv(re, im, grid.nz)
     x0 = -(rest[0] + rest[1])
     return jnp.concatenate([x0[None], rest], axis=0)
@@ -431,6 +452,129 @@ def g0_staggered_middle(grid: Grid, f, c10, c20):
     xc, yc, zc = _staggered_consts(grid, f.dtype)
     re, im = _middle(re, im, xc, yc, zc, _g0_apply(c10, c20), INTERPRET)
     return _z_inv(re, im, grid.nz)
+
+
+def middle_slab_enabled(par, shape, ncomp=3) -> bool:
+    """Policy: run the Pallas spectral middle on a slab-sharded field?
+
+    Same shape rules as :func:`middle_enabled`, plus nx must divide the
+    mesh (the kz<->x all-to-all transpose needs equal x chunks; the kz axis
+    is zero-padded to a mesh multiple internally)."""
+    if par is None:
+        return False
+    v = _knob()
+    if v == "off":
+        return False
+    nx, ny, nz = shape
+    even = nx % 2 == 0 and ny % 2 == 0
+    if nx % par.n_devices != 0:
+        return False
+    if v == "on":
+        return even
+    plane_mb = ncomp * nx * ny * 4 / 2**20
+    return (even
+            and jax.default_backend() not in ("cpu",)
+            and min(nx, ny) >= 256 and max(nx, ny) <= 512
+            and nz >= 16 and plane_mb <= 8.0)
+
+
+def _run_middle_slab(par, grid: Grid, x, xc, yc, zc, apply_fn, ec=None):
+    """Distributed spectral middle over ``par``'s x-slab mesh.
+
+    The single-chip middle grids its kernel over the KZ half-spectrum, so
+    the natural decomposition on a mesh is a KZ slab: each device z-
+    transforms its x-slab locally (z is unsharded), ONE tiled
+    ``lax.all_to_all`` re-shards (KZ, C, X, Y) from x-slabs to kz-slabs,
+    the fused radix-2 Pallas middle (four c2c stages + ``apply_fn``
+    in-register) runs on full (X, Y) planes for the device's kz bins, and
+    the mirrored all-to-all + local c2r z-stage return real-space x-slabs.
+    Communication is one all-to-all each way — the same volume as the
+    plain slab-FFT pair (parallel/fft.py) but with the whole
+    fft+apply+ifft chain fused per device, so the per-device rate matches
+    the single-chip Pallas path instead of the unfused XLA rate.
+
+    KZ = nz//2+1 rarely divides the mesh: re/im are zero-padded to the
+    next multiple (``zc`` must come in edge-padded to kzp columns — padded
+    bins stay finite because the last rfft bin's wavenumber is never zero
+    — and the pad is sliced off before the inverse z-stage).  Equivalence
+    to the single-chip middles is pinned in tests/test_pallas_chain.py on
+    the 8-device CPU mesh."""
+    mesh, ax = par.mesh, par.axis
+    d = par.n_devices
+    nx, ny, nz = grid.shape
+    kz = nz // 2 + 1
+    kzp = -(-kz // d) * d
+    assert zc.shape[-1] == kzp, "zc must be pre-padded to the mesh multiple"
+    scale = 1.0 / (nx * ny * nz)
+    interpret = INTERPRET
+
+    def local(fb, xcb, ycb, zcb, *ecb):
+        re, im = _z_fwd(fb, scale=scale)       # (KZ, C, nx/D, ny)
+        ri = jnp.stack([re, im])
+        ri = jnp.pad(ri, ((0, 0), (0, kzp - kz), (0, 0), (0, 0), (0, 0)))
+        ri = lax.all_to_all(ri, ax, split_axis=1, concat_axis=3, tiled=True)
+        re2, im2 = _middle(ri[0], ri[1], xcb, ycb, zcb, apply_fn, interpret,
+                           ec=ecb[0] if ecb else None)
+        ri = jnp.stack([re2, im2])
+        ri = lax.all_to_all(ri, ax, split_axis=3, concat_axis=1, tiled=True)
+        return _z_inv(ri[0, :kz], ri[1, :kz], nz)
+
+    from jax.sharding import PartitionSpec as P
+    ein, especs = (), ()
+    if ec is not None:
+        ein, especs = (ec,), (P(),)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, ax, None, None), P(), P(), P(None, ax)) + especs,
+        out_specs=P(None, ax, None, None),
+        check_vma=False)(x, xc, yc, zc, *ein)
+
+
+def _kzp(par, grid):
+    kz = grid.nz // 2 + 1
+    return -(-kz // par.n_devices) * par.n_devices
+
+
+def g0_staggered_middle_slab(par, grid: Grid, f, c10, c20):
+    """Distributed :func:`g0_staggered_middle` (staggered G0,
+    fibergen.cpp:19834-19927) — see :func:`_run_middle_slab`."""
+    xc, yc, zc = _staggered_consts(grid, f.dtype, kzp=_kzp(par, grid))
+    return _run_middle_slab(par, grid, f, xc, yc, zc, _g0_apply(c10, c20))
+
+
+def g0_staggered_heat_middle_slab(par, grid: Grid, f, c10):
+    """Distributed :func:`g0_staggered_heat_middle` (scalar staggered G0,
+    fibergen.cpp:19778-19830)."""
+    xc, yc, zc = _staggered_consts(grid, f.dtype, kzp=_kzp(par, grid))
+    return _run_middle_slab(par, grid, f, xc, yc, zc, _g0_heat_apply(c10))
+
+
+def gamma_collocated_middle_slab(par, grid: Grid, tau, E, beta, part_fn):
+    """Distributed :func:`gamma_collocated_middle` (collocated Gamma with
+    the DC bin carrying E, fibergen.cpp:19302-19609).  Only the device
+    owning kz bin 0 has a nonzero dc indicator, so the E injection stays
+    local — every device receives the replicated E vector but applies it
+    times its own dc row."""
+    C = tau.shape[0]
+    xc, yc, zc = _xi_consts(grid, tau.dtype, kzp=_kzp(par, grid))
+    ec = jnp.reshape(jnp.asarray(E, tau.dtype), (-1,))
+    return _run_middle_slab(par, grid, tau, xc, yc, zc,
+                            _gamma_collocated_apply(part_fn, beta, C), ec=ec)
+
+
+def gamma_collocated_zt_middle_slab(par, grid: Grid, tau, E, beta, part_fn):
+    """Distributed :func:`gamma_collocated_zt_middle` (viscosity Delta
+    scheme: zero-trace transforms around the collocated Gamma,
+    fibergen.cpp:18531-18584).  The trace reconstructions outside the
+    middle are per-voxel elementwise ops on the component axis, which is
+    unsharded — GSPMD keeps them local to each x-slab."""
+    C = tau.shape[0] - 1
+    xc, yc, zc = _xi_consts(grid, tau.dtype, kzp=_kzp(par, grid))
+    ec = jnp.reshape(jnp.asarray(E, tau.dtype), (-1,))
+    rest = _run_middle_slab(par, grid, tau[1:], xc, yc, zc,
+                            _zt_apply(part_fn, beta, C), ec=ec)
+    x0 = -(rest[0] + rest[1])
+    return jnp.concatenate([x0[None], rest], axis=0)
 
 
 def g0_staggered_heat_middle(grid: Grid, f, c10):

@@ -271,8 +271,10 @@ class LSSolver:
                 par=self.par, dim2=dim2,
                 # pallas_call cannot run under GSPMD: when a sharded solver
                 # fell back to replicated FFTs (sharding set, no slab
-                # layout) the chain must stay in XLA einsums
-                pallas_mid=self.sharding is None)
+                # layout) the chain must stay in XLA einsums.  With a slab
+                # layout (par) the middle runs under explicit shard_map,
+                # where Pallas IS allowed (kz-slab distributed middle).
+                pallas_mid=self.sharding is None or self.par is not None)
 
         # true DIM=2 capability (the per-solve loading qualification is
         # checked in _dim2_ok): one-voxel-thick grid, staggered scheme,
@@ -362,9 +364,10 @@ class LSSolver:
                 lambda e, m, l: pk.stress_div_staggered(
                     grid, e, m, l, mu0, lam0, axis_name=_ax),
                 (_fs, _ms, _ms), _fs)(eps, mu_x, lam_x)
-            f_hat = par.fftn(f)
-            u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
-            u = par.ifftn(u_hat, grid.shape)
+            # qualifying shapes run the kz-slab-distributed Pallas middle
+            # (one all-to-all each way, chain fused per device); the rest
+            # use the slab FFT pair
+            u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0, par=par)
             return _smap(
                 lambda uu, ee: pk.eps_from_u_staggered(
                     grid, ee, uu, axis_name=_ax),
@@ -436,9 +439,8 @@ class LSSolver:
                             grid, rr, pp, bb, m, l, mu0, lam0, axis_name=_ax),
                         (_fs, _fs, _rs, _ms, _ms), (_fs, _fs))(
                         r, p_prev, beta, mu_x, lam_x)
-                    f_hat = par.fftn(f)
-                    u_hat = green.g0_staggered(grid, mu0, lam0, f_hat, -1.0)
-                    u = par.ifftn(u_hat, grid.shape)
+                    u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0,
+                                                 par=par)
                     w, dot_raw = _smap(
                         lambda uu, pp, ee: pk.eps_from_u_dot_staggered(
                             grid, ee, uu, pp, axis_name=_ax),

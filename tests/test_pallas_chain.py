@@ -147,6 +147,141 @@ def test_gamma_collocated_zt_middle_matches_chain():
                                -np.asarray(out[1] + out[2]), rtol=1e-12)
 
 
+@pytest.mark.parametrize("shape", [
+    (16, 6, 10),    # kz = 6 on an 8-mesh: 2 padded kz slabs exercised
+    (16, 8, 14),    # kz = 8: no padding
+    (24, 4, 9),     # odd nz, nx = 3 slabs per device
+])
+def test_g0_staggered_middle_slab_matches_chain(shape):
+    """The kz-slab-distributed Pallas middle on the 8-device CPU mesh must
+    reproduce the single-chip XLA chain on x-slab-sharded fields."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fibergen_tpu.parallel.fft import SlabFFT
+
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must force 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs[:8]), axis_names=("x",))
+    par = SlabFFT(mesh, "x")
+    grid = Grid(*shape, dx=1.1, dy=0.8, dz=1.0)
+    rng = np.random.default_rng(11)
+    f_np = rng.standard_normal((3, *shape))
+    f_sh = jax.device_put(jnp.asarray(f_np),
+                          NamedSharding(mesh, P(None, "x", None, None)))
+    for c10, c20 in ((-1.0 / 0.7, -0.9), (2.0, 0.0)):
+        ref = green._g0_staggered_chain(grid, jnp.asarray(f_np), c10, c20)
+        with _forced_middle():
+            out = pc.g0_staggered_middle_slab(par, grid, f_sh, c10, c20)
+        assert not out.sharding.is_fully_replicated
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_fused_dispatch_uses_slab_middle(monkeypatch):
+    """g0_staggered_fused(par=...) routes qualifying shapes through the
+    distributed middle and keeps the slab-FFT pair otherwise."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fibergen_tpu.parallel.fft import SlabFFT
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("x",))
+    par = SlabFFT(mesh, "x")
+    shape = (16, 8, 10)
+    grid = Grid(*shape)
+    rng = np.random.default_rng(12)
+    f = jax.device_put(
+        jnp.asarray(rng.standard_normal((3, *shape))),
+        NamedSharding(mesh, P(None, "x", None, None)))
+    ref = green.g0_staggered_fused(grid, 0.8, 0.3, jnp.asarray(f))
+    called = {}
+    orig = pc.g0_staggered_middle_slab
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pc, "g0_staggered_middle_slab", spy)
+    with _forced_middle():
+        out = green.g0_staggered_fused(grid, 0.8, 0.3, f, par=par)
+    assert called.get("yes")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+    # pallas_mid=False (or a non-qualifying shape) keeps the slab FFT pair
+    called.clear()
+    with _forced_middle():
+        out2 = green.g0_staggered_fused(grid, 0.8, 0.3, f, par=par,
+                                        pallas_mid=False)
+    assert not called
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("kind", ["elasticity", "heat", "hyper", "zt",
+                                  "g0heat"])
+def test_middle_slab_matches_single_chip(kind):
+    """Every chain family's distributed middle must match its single-chip
+    fused path on x-slab-sharded fields (8-device CPU mesh, f64)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fibergen_tpu.parallel.fft import SlabFFT
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("x",))
+    par = SlabFFT(mesh, "x")
+    shape = (16, 6, 10)
+    grid = Grid(*shape, dx=1.2, dy=0.9, dz=1.0)
+    rng = np.random.default_rng(13)
+    ncomp = {"elasticity": 6, "heat": 3, "hyper": 9, "zt": 6, "g0heat": 1}
+    tau_np = rng.standard_normal((ncomp[kind], *shape))
+    tau_sh = jax.device_put(jnp.asarray(tau_np),
+                            NamedSharding(mesh, P(None, "x", None, None)))
+
+    def run(tau, par_arg):
+        if kind == "g0heat":
+            return green.g0_staggered_heat_fused(grid, 0.65, 0.0, tau, -1.0,
+                                                 par=par_arg)
+        if kind == "zt":
+            return green.gamma_collocated_zt_fused(
+                grid, jnp.asarray(rng0), -1.0 / (4.0 * 0.35), float("inf"),
+                tau, alpha=-1.0, beta=-0.7, par=par_arg)
+        fn = {"elasticity": green.gamma_collocated_fused,
+              "heat": green.gamma_collocated_heat_fused,
+              "hyper": green.gamma_collocated_hyper_fused}[kind]
+        return fn(grid, jnp.asarray(rng0), 0.7, 0.4, tau, alpha=-1.0,
+                  beta=0.3, par=par_arg)
+
+    rng0 = np.random.default_rng(14).standard_normal(ncomp[kind])
+    fftmod.FFT_BACKEND = "matmul"
+    try:
+        ref = run(jnp.asarray(tau_np), None)
+        with _forced_middle():
+            out = run(tau_sh, par)
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+    assert not out.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_middle_slab_policy():
+    import jax
+    from jax.sharding import Mesh
+    from fibergen_tpu.parallel.fft import SlabFFT
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("x",))
+    par = SlabFFT(mesh, "x")
+    old = pc.MM_MIDDLE
+    try:
+        pc.MM_MIDDLE = "on"
+        assert pc.middle_slab_enabled(par, (16, 6, 10))
+        assert not pc.middle_slab_enabled(par, (20, 6, 10))  # nx % 8 != 0
+        assert not pc.middle_slab_enabled(par, (16, 7, 10))  # odd ny
+        assert not pc.middle_slab_enabled(None, (16, 6, 10))
+        pc.MM_MIDDLE = "off"
+        assert not pc.middle_slab_enabled(par, (16, 6, 10))
+    finally:
+        pc.MM_MIDDLE = old
+
+
 def test_middle_policy():
     # CPU backend: auto never enables the Pallas middle
     assert pc._knob() in ("auto", "on", "off")

@@ -110,6 +110,38 @@ def test_sharded_fused_solve_matches_single_chip(pallas_interpret, method):
     assert abs(len(s2.residuals) - len(s1.residuals)) <= 1
 
 
+def test_sharded_solve_with_slab_middle_matches_single_chip(
+        pallas_interpret, monkeypatch):
+    """With the kz-slab-distributed Pallas middle forced on, the sharded CG
+    solve must match the single-chip solve (same chain math; the middle
+    replaces the slab-FFT pair with one fused kernel per device)."""
+    from fibergen_tpu.ops import pallas_chain as pc
+    monkeypatch.setattr(pc, "MM_MIDDLE", "on")
+    monkeypatch.setattr(pc, "INTERPRET", True)
+
+    s1 = make_solver(use_pallas="on", tol=1e-5, maxiter=400)
+    s1.set_strain([1.0, 0, 0, 0, 0, 0])
+    assert not s1.run()
+
+    called = {}
+    orig = pc.g0_staggered_middle_slab
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pc, "g0_staggered_middle_slab", spy)
+    s2 = make_solver(sharding=x_slab(mesh8()), use_pallas="on",
+                     tol=1e-5, maxiter=400)
+    assert s2._pallas_active and s2.par is not None
+    s2.set_strain([1.0, 0, 0, 0, 0, 0])
+    assert not s2.run()
+    assert called.get("yes"), "sharded CG must route through the slab middle"
+    np.testing.assert_allclose(s2.calc_mean_stress(), s1.calc_mean_stress(),
+                               rtol=5e-4, atol=1e-5)
+    assert abs(len(s2.residuals) - len(s1.residuals)) <= 1
+
+
 # ------------------------------------------------------------ compiled HLO
 def _compile_cg_step(s):
     import fibergen_tpu.core.fields as fields
@@ -136,6 +168,23 @@ def test_sharded_cg_step_compiles_to_dots_not_fft(monkeypatch):
     assert " fft(" not in hlo and " fft " not in hlo.replace("(", " ("), \
         "slab local stages must use the matmul-DFT, not XLA's fft op"
     assert "dot(" in hlo or "dot " in hlo, "matmul-DFT dots missing"
+
+
+def test_sharded_middle_step_keeps_all_to_all_no_gather(monkeypatch):
+    """The slab-middle CG step (interpret mode) must still communicate via
+    all-to-all only — no full-field all-gather, no fft op."""
+    from fibergen_tpu.ops import pallas_chain as pc
+    monkeypatch.setattr(pc, "MM_MIDDLE", "on")
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    monkeypatch.setattr(pk, "INTERPRET", True)
+    monkeypatch.setattr(fftmod, "FFT_BACKEND", "matmul")
+    s = make_solver(sharding=x_slab(mesh8()), use_pallas="on")
+    assert s._pallas_active and s.par is not None
+    hlo = _compile_cg_step(s).as_text()
+    assert "all-to-all" in hlo
+    assert "all-gather" not in hlo, \
+        "slab middle must never all-gather the field"
+    assert " fft(" not in hlo and " fft " not in hlo.replace("(", " (")
 
 
 # ------------------------------------------------------- fallback behavior
