@@ -231,13 +231,23 @@ class FG:
             sharding_fallback=sol.value("sharding_fallback", "error", str),
             dtype=self._dtype_str(),
         )
-        # spectral-backend policy (process-global, like the reference's FFTW
-        # planner state): auto = MXU matmul-DFT on TPU where it wins, xla =
-        # force the FFT op, matmul = force the DFT
+        for knob in ("use_pallas", "use_sweep"):
+            v = getattr(opt, knob)
+            if v not in ("auto", "on", "off"):
+                raise FGError(f"Unknown {knob} '{v}'"
+                              " (expected auto, on or off)")
+        if opt.use_dim2 not in ("auto", "off"):
+            raise FGError(f"Unknown use_dim2 '{opt.use_dim2}'"
+                          " (expected auto or off)")
+        # spectral-backend policy (the FFTW-planner analogue): auto = MXU
+        # matmul-DFT on TPU where it wins, xla = force the FFT op, matmul =
+        # force the DFT.  Stored on the solver and applied at each run() so
+        # two FG instances cannot silently override each other's traces.
         fb = sol.value("fft_backend", "auto", str)
         if fb not in ("auto", "xla", "matmul"):
             raise FGError(f"Unknown fft_backend '{fb}'"
                           " (expected auto, xla or matmul)")
+        opt.fft_backend = fb
         from .ops import fft as _fftmod
         _fftmod.FFT_BACKEND = fb
         ls = sol.value("loadsteps", 1, int)

@@ -496,6 +496,37 @@ def _g0_staggered_general(grid: Grid, tau_hat, c10, c20):
     ])
 
 
+def _g0_fused_dispatch(grid: Grid, f, pallas_mid, par, hat_fn, slab_fn,
+                       mid_fn, chain_fn):
+    """Shared dispatch skeleton of the staggered ``*_fused`` entry points
+    (g0_staggered / _hyper / _heat differ only in constants and kernels):
+
+      * ``par`` (SlabFFT): qualifying shapes run the kz-slab-distributed
+        Pallas middle (``slab_fn`` — explicit shard_map, where pallas_call
+        IS allowed), the rest the slab-FFT pair around ``hat_fn``;
+      * single chip off the matmul backend: separate transforms around
+        ``hat_fn``;
+      * qualifying single-chip shapes: the radix-2 Pallas middle
+        (``mid_fn``); pass ``pallas_mid=False`` when the field may be
+        GSPMD-sharded (pallas_call does not run under GSPMD);
+      * otherwise the transpose-free XLA chain (``chain_fn``)."""
+    from . import fft as fftmod
+    from . import pallas_chain
+
+    shape = f.shape[-3:]
+    if par is not None:
+        if (pallas_mid and fftmod.mm_enabled(shape)
+                and pallas_chain.middle_slab_enabled(par, shape,
+                                                     f.shape[0])):
+            return slab_fn()
+        return par.ifftn(hat_fn(par.fftn(f)), shape)
+    if not fftmod.mm_enabled(shape):
+        return fftmod.ifftn(hat_fn(fftmod.fftn(f)), shape)
+    if pallas_mid and pallas_chain.middle_enabled(shape, f.shape[0]):
+        return mid_fn()
+    return chain_fn()
+
+
 def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
                        pallas_mid=True, par=None):
     """u = ifftn(G0_staggered(fftn(f))) as ONE transpose-free chain.
@@ -506,95 +537,60 @@ def g0_staggered_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
     (ops/fft.fftn_apply_ifftn_mm) with the G0 scaling (same math as
     :func:`g0_staggered`, fibergen.cpp:19749-19927) applied elementwise
     between the forward and inverse x-stages — u_hat never exists in HBM.
-    On qualifying single-chip shapes the four c2c stages + scaling run as
-    one radix-2 Pallas kernel instead (ops/pallas_chain.py); pass
-    ``pallas_mid=False`` when the field may be GSPMD-sharded (pallas_call
-    does not run under GSPMD).  With ``par`` (a parallel.fft.SlabFFT) the
-    field is an x-slab-sharded mesh field: qualifying shapes run the
-    kz-slab-distributed Pallas middle (pallas_chain.g0_staggered_middle_
-    slab — explicit shard_map, where pallas_call IS allowed), the rest
-    fall back to the slab FFT pair.  Falls back to the separate path off
-    the matmul backend."""
-    from . import fft as fftmod
+    Dispatch across the Pallas middle / distributed kz-slab middle /
+    slab-FFT pair / separate transforms: :func:`_g0_fused_dispatch`."""
+    from . import pallas_chain
 
     c10 = -alpha / mu_0
     c20 = float(-alpha / (mu_0 * (1.0 + mu_0 / (np.float64(lambda_0) + mu_0))))
-    from . import pallas_chain
-    if par is not None:
-        if (pallas_mid and fftmod.mm_enabled(f.shape[-3:])
-                and pallas_chain.middle_slab_enabled(par, f.shape[-3:])):
-            return pallas_chain.g0_staggered_middle_slab(par, grid, f,
-                                                         c10, c20)
-        f_hat = par.fftn(f)
-        u_hat = g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
-        return par.ifftn(u_hat, f.shape[-3:])
-
-    if not fftmod.mm_enabled(f.shape[-3:]):
-        f_hat = fftmod.fftn(f)
-        u_hat = g0_staggered(grid, mu_0, lambda_0, f_hat, alpha)
-        return fftmod.ifftn(u_hat, f.shape[-3:])
-
-    if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
-        return pallas_chain.g0_staggered_middle(grid, f, c10, c20)
-    return _g0_staggered_chain(grid, f, c10, c20)
+    return _g0_fused_dispatch(
+        grid, f, pallas_mid, par,
+        lambda f_hat: g0_staggered(grid, mu_0, lambda_0, f_hat, alpha),
+        lambda: pallas_chain.g0_staggered_middle_slab(par, grid, f, c10, c20),
+        lambda: pallas_chain.g0_staggered_middle(grid, f, c10, c20),
+        lambda: _g0_staggered_chain(grid, f, c10, c20))
 
 
 def g0_staggered_hyper_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
                              pallas_mid=True, par=None):
     """Fused-chain variant of :func:`g0_staggered_hyper` (full-gradient
-    scheme coefficients, fibergen.cpp:19768-19774).  ``par`` as in
-    :func:`g0_staggered_fused` (same G0 kernel, different constants)."""
-    from . import fft as fftmod
+    scheme coefficients, fibergen.cpp:19768-19774); same G0 kernel as
+    :func:`g0_staggered_fused`, different constants."""
+    from . import pallas_chain
 
     c10 = -alpha / (2.0 * mu_0)
     with np.errstate(divide="ignore"):  # lambda_0 = 0 -> c20 = 0 (IEEE inf)
         c20 = float(-alpha / (2.0 * mu_0 * (1.0 + 2.0 * mu_0 / np.float64(lambda_0))))
-    from . import pallas_chain
-    if par is not None:
-        if (pallas_mid and fftmod.mm_enabled(f.shape[-3:])
-                and pallas_chain.middle_slab_enabled(par, f.shape[-3:])):
-            return pallas_chain.g0_staggered_middle_slab(par, grid, f,
-                                                         c10, c20)
-        f_hat = par.fftn(f)
-        u_hat = g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
-        return par.ifftn(u_hat, f.shape[-3:])
-
-    if not fftmod.mm_enabled(f.shape[-3:]):
-        f_hat = fftmod.fftn(f)
-        u_hat = g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha)
-        return fftmod.ifftn(u_hat, f.shape[-3:])
-
-    if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
-        return pallas_chain.g0_staggered_middle(grid, f, c10, c20)
-    return _g0_staggered_chain(grid, f, c10, c20)
+    return _g0_fused_dispatch(
+        grid, f, pallas_mid, par,
+        lambda f_hat: g0_staggered_hyper(grid, mu_0, lambda_0, f_hat, alpha),
+        lambda: pallas_chain.g0_staggered_middle_slab(par, grid, f, c10, c20),
+        lambda: pallas_chain.g0_staggered_middle(grid, f, c10, c20),
+        lambda: _g0_staggered_chain(grid, f, c10, c20))
 
 
 def g0_staggered_heat_fused(grid: Grid, mu_0, lambda_0, f, alpha=-1.0,
                             pallas_mid=True, par=None):
     """Fused-chain variant of :func:`g0_staggered_heat` (scalar G0,
-    fibergen.cpp:19778-19830): one transpose-free fft+scale+ifft.
-    ``par`` as in :func:`g0_staggered_fused`."""
-    from . import fft as fftmod
+    fibergen.cpp:19778-19830): one transpose-free fft+scale+ifft."""
+    from . import pallas_chain
 
     c10 = -alpha / (2.0 * mu_0)
-    from . import pallas_chain
-    if par is not None:
-        if (pallas_mid and fftmod.mm_enabled(f.shape[-3:])
-                and pallas_chain.middle_slab_enabled(par, f.shape[-3:],
-                                                     ncomp=1)):
-            return pallas_chain.g0_staggered_heat_middle_slab(par, grid, f,
-                                                              c10)
-        f_hat = par.fftn(f)
-        u_hat = g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
-        return par.ifftn(u_hat, f.shape[-3:])
 
-    if not fftmod.mm_enabled(f.shape[-3:]):
-        f_hat = fftmod.fftn(f)
-        u_hat = g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha)
-        return fftmod.ifftn(u_hat, f.shape[-3:])
+    def chain_fn():
+        return _g0_heat_chain(grid, f, c10)
 
-    if pallas_mid and pallas_chain.middle_enabled(f.shape[-3:]):
-        return pallas_chain.g0_staggered_heat_middle(grid, f, c10)
+    return _g0_fused_dispatch(
+        grid, f, pallas_mid, par,
+        lambda f_hat: g0_staggered_heat(grid, mu_0, lambda_0, f_hat, alpha),
+        lambda: pallas_chain.g0_staggered_heat_middle_slab(par, grid, f, c10),
+        lambda: pallas_chain.g0_staggered_heat_middle(grid, f, c10),
+        chain_fn)
+
+
+def _g0_heat_chain(grid: Grid, f, c10):
+    """Transpose-free XLA chain of the scalar staggered G0."""
+    from . import fft as fftmod
 
     def apply(re, im):
         rdtype = re.dtype

@@ -457,25 +457,14 @@ def g0_staggered_middle(grid: Grid, f, c10, c20):
 def middle_slab_enabled(par, shape, ncomp=3) -> bool:
     """Policy: run the Pallas spectral middle on a slab-sharded field?
 
-    Same shape rules as :func:`middle_enabled`, plus nx must divide the
-    mesh (the kz<->x all-to-all transpose needs equal x chunks; the kz axis
-    is zero-padded to a mesh multiple internally)."""
-    if par is None:
+    Exactly :func:`middle_enabled`'s shape/backend/VMEM policy (delegated,
+    so the single-chip and distributed windows can never desynchronize),
+    plus nx must divide the mesh (the kz<->x all-to-all transpose needs
+    equal x chunks; the kz axis is zero-padded to a mesh multiple
+    internally)."""
+    if par is None or shape[0] % par.n_devices != 0:
         return False
-    v = _knob()
-    if v == "off":
-        return False
-    nx, ny, nz = shape
-    even = nx % 2 == 0 and ny % 2 == 0
-    if nx % par.n_devices != 0:
-        return False
-    if v == "on":
-        return even
-    plane_mb = ncomp * nx * ny * 4 / 2**20
-    return (even
-            and jax.default_backend() not in ("cpu",)
-            and min(nx, ny) >= 256 and max(nx, ny) <= 512
-            and nz >= 16 and plane_mb <= 8.0)
+    return middle_enabled(shape, ncomp)
 
 
 def _run_middle_slab(par, grid: Grid, x, xc, yc, zc, apply_fn, ec=None):

@@ -99,6 +99,14 @@ class SolverOptions:
     # DIM=2 dispatch is disabled in its shipped source
     # (fibergen.cpp:26558-26564) — this path instantiates what it would.
     use_dim2: str = "auto"
+    # spectral-backend selection applied at the start of every run():
+    # "auto" = MXU matmul-DFT on TPU where it wins, "xla" = force the FFT
+    # op, "matmul" = force the DFT.  None (default) leaves the process
+    # global ops.fft.FFT_BACKEND untouched (programmatic overrides and
+    # tests set it directly).  Stored per solver so two FG instances with
+    # different <fft_backend> settings cannot silently override each
+    # other's traces (the global is re-applied when THIS solver runs).
+    fft_backend: "str | None" = None
     # staggered G0 applicator: "fft" or "multigrid" (G0_solver setting)
     g0_solver: str = "fft"
     # even-grid Nyquist symmetrization of the collocated Gamma
@@ -604,6 +612,12 @@ class LSSolver:
         the whole solve (view with tensorboard/xprof) — the TPU-native
         analogue of the reference's per-kernel Timer registry."""
         import os as _os
+        if self.opt.fft_backend is not None:
+            # re-apply this solver's spectral-backend choice so traces (and
+            # mid-run retraces after a mu_0/lambda_0 recompile) use it even
+            # when another solver instance changed the process global
+            from ..ops import fft as _fftmod
+            _fftmod.FFT_BACKEND = self.opt.fft_backend
         pdir = _os.environ.get("FIBERGEN_TPU_PROFILE")
         if pdir:
             try:

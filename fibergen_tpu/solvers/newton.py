@@ -33,9 +33,14 @@ def _kernels(solver):
     tiny = float(np.finfo(np.float64 if dt == jnp.float64 else np.float32).tiny)
 
     def gamma_op(E, tau, mu0, lam0, bca, alpha=-1.0):
+        par = getattr(solver, "par", None)
         return gammamod.gamma_operator(
             grid, mode, scheme, bca, E, mu0, lam0, tau, alpha,
-            par=getattr(solver, "par", None))
+            par=par,
+            # same GSPMD guard as LSSolver's gamma_op (ls.py): pallas_call
+            # cannot run under GSPMD, only single-chip or explicit
+            # shard_map (the slab layout)
+            pallas_mid=solver.sharding is None or par is not None)
 
     def stress_deriv(F, Q, mu0, lam0):
         """(dP/dF(F) - C0) : Q (calcStressDeriv, fibergen.cpp:18425-18480)."""

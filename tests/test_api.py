@@ -145,6 +145,41 @@ def test_fft_backend_xml_knob():
     fftmod.FFT_BACKEND = "auto"
 
 
+def test_fft_backend_is_per_instance():
+    """Two live FG instances with different <fft_backend> settings must not
+    override each other: the backend is re-applied when EACH solver runs,
+    so the instance parsed second cannot hijack the first one's traces."""
+    from fibergen_tpu.ops import fft as fftmod
+
+    try:
+        f1 = fg.FG()
+        f1.set_xml(HEAT_LAMINATE_XML.replace(
+            "</mode>", "</mode><fft_backend>matmul</fft_backend>"))
+        f2 = fg.FG()
+        f2.set_xml(HEAT_LAMINATE_XML.replace(
+            "</mode>", "</mode><fft_backend>xla</fft_backend>"))
+        assert f2.run() == 0
+        assert fftmod.FFT_BACKEND == "xla"
+        assert f1.run() == 0            # must re-apply f1's own choice
+        assert fftmod.FFT_BACKEND == "matmul"
+        K = np.array(f1.get_effective_property())
+        np.testing.assert_allclose(K[0, 0], 20.0 / 11.0, rtol=1e-6)
+    finally:
+        fftmod.FFT_BACKEND = "auto"
+
+
+def test_solver_knob_validation():
+    """use_pallas/use_sweep/use_dim2 XML values are validated like
+    fft_backend (a typo must raise, not be silently treated as 'auto')."""
+    for knob, bad in (("use_pallas", "fast"), ("use_sweep", "of"),
+                      ("use_dim2", "on")):
+        f = fg.FG()
+        f.set_xml(HEAT_LAMINATE_XML.replace(
+            "</mode>", f"</mode><{knob}>{bad}</{knob}>"))
+        with pytest.raises(Exception, match=knob):
+            f.run()
+
+
 LAMINATE_XML = """
 <settings>
   <solver nx="16" ny="4" nz="4">

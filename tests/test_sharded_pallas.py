@@ -187,6 +187,41 @@ def test_sharded_middle_step_keeps_all_to_all_no_gather(monkeypatch):
     assert " fft(" not in hlo and " fft " not in hlo.replace("(", " (")
 
 
+def test_hyper_gspmd_fallback_never_uses_pallas_middle(monkeypatch):
+    """A sharded hyperelastic solve that fell back to replicated GSPMD FFTs
+    (sharding set, par=None) must NOT route through the Pallas spectral
+    middle — pallas_call does not run under GSPMD.  newton.py's gamma_op
+    carries the same guard as ls.py's."""
+    from fibergen_tpu.ops import pallas_chain as pc
+    from fibergen_tpu.materials import laws as lawsmod
+
+    monkeypatch.setattr(pc, "MM_MIDDLE", "on")
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    monkeypatch.setattr(fftmod, "FFT_BACKEND", "matmul")
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas middle invoked under GSPMD fallback")
+
+    for name in ("g0_staggered_middle", "g0_staggered_heat_middle",
+                 "gamma_collocated_middle", "gamma_collocated_zt_middle",
+                 "g0_staggered_middle_slab", "gamma_collocated_middle_slab"):
+        monkeypatch.setattr(pc, name, boom)
+
+    grid = fg.Grid(12, 8, 8)    # nx=12 does not divide the 8-mesh
+    phi1 = jnp.ones(grid.shape, dtype=np.float64) * 0.5
+    mat = VoigtMixed([
+        Phase("a", lawsmod.SaintVenantKirchhoff(mu=1.0, lam=1.0), phi1),
+        Phase("b", lawsmod.SaintVenantKirchhoff(mu=2.0, lam=1.0), 1 - phi1)],
+        dim=9)
+    s = LSSolver(grid, mat, SolverOptions(
+        mode="hyperelasticity", method="cg", tol=1e-6, maxiter=50,
+        sharding_fallback="warn", dtype="float64"),
+        sharding=NamedSharding(mesh8(), P(None, "x", None, None)))
+    assert s.par is None
+    s.set_strain([1.01, 1.0, 1.0, 0, 0, 0, 0, 0, 0])
+    assert not s.run()
+
+
 # ------------------------------------------------------- fallback behavior
 def test_nondivisible_grid_refuses_silent_replication():
     """nx=12 does not divide the 8-mesh: constructing the sharded solver
