@@ -710,7 +710,16 @@ class LSSolver:
         else:
             ncomp = self.dim
         if self.par is not None:
-            backend = "slab"
+            from ..ops import pallas_chain
+            if (self.scheme in ("staggered", "half_staggered",
+                                "full_staggered")
+                    and self.opt.g0_solver == "fft"
+                    and fftmod.mm_enabled(self.grid.shape)
+                    and pallas_chain.middle_slab_enabled(
+                        self.par, self.grid.shape, ncomp)):
+                backend = "slab_mid"
+            else:
+                backend = "slab"
         elif (getattr(self, "_dim2_last", False)
                 and fftmod.mm2d_enabled(self.grid.shape)):
             # true DIM=2 solve on the 2-D chain.  Staggered transforms the
@@ -759,6 +768,19 @@ class LSSolver:
                 @_jax.jit
                 def pair(x):
                     return self.par.ifftn(self.par.fftn(x), self.grid.shape)
+            elif backend == "slab_mid":
+                from ..ops import green as greenmod
+
+                if ncomp == 1:
+                    @_jax.jit
+                    def pair(x):
+                        return greenmod.g0_staggered_heat_fused(
+                            self.grid, 1.0, 0.0, x, par=self.par)
+                else:
+                    @_jax.jit
+                    def pair(x):
+                        return greenmod.g0_staggered_fused(
+                            self.grid, 1.0, 0.0, x, par=self.par)
             elif backend == "chain2d":
                 @_jax.jit
                 def pair(x):
@@ -795,7 +817,7 @@ class LSSolver:
                     return fftmod.ifftn(fftmod.fftn(x), self.grid.shape)
 
             x = fields.const_field(self.grid, np.ones(ncomp), self.dtype)
-            if backend == "slab":
+            if backend in ("slab", "slab_mid"):
                 x = _jax.device_put(x, self.sharding)
             _jax.block_until_ready(pair(x))  # compile
             best = float("inf")

@@ -212,3 +212,27 @@ def test_sharded_get_fft_time_samples_slab_backend():
     t = s.get_fft_time()
     assert t > 0.0
     assert s._fft_pair_sample[-1] == "slab"
+
+
+def test_sharded_get_fft_time_samples_slab_middle(monkeypatch):
+    """With the kz-slab Pallas middle active on the mesh, get_fft_time
+    samples THAT op (backend key 'slab_mid'), not the slab-FFT pair."""
+    from fibergen_tpu.ops import fft as fftmod
+    from fibergen_tpu.ops import pallas_chain as pc
+
+    monkeypatch.setattr(pc, "MM_MIDDLE", "on")
+    monkeypatch.setattr(pc, "INTERPRET", True)
+    monkeypatch.setattr(fftmod, "FFT_BACKEND", "matmul")
+    devs = jax.devices()
+    grid = fg.Grid(16, 8, 8)
+    mesh = Mesh(np.array(devs[:8]), axis_names=("x",))
+    sharding = NamedSharding(mesh, P(None, "x", None, None))
+    s = make_problem(grid, 3, sharding=sharding)
+    assert s.par is not None
+    E = np.zeros(3)
+    E[0] = 1.0
+    s.set_strain(E)
+    assert not s.run()
+    t = s.get_fft_time()
+    assert t > 0.0
+    assert s._fft_pair_sample[-1] == "slab_mid"
