@@ -45,6 +45,9 @@ class FG:
     def _reset_state(self):
         self.gen: Optional[FiberGenerator] = None
         self.solver: Optional[LSSolver] = None
+        # output knobs; refreshed from <res_format>/<restype> in run()
+        self._res_binary = True
+        self._res_dtype = np.float32
         self._phases_initialized = False
         self._fibers_initialized = False
         self._material_index: Dict[str, int] = {}
@@ -198,8 +201,10 @@ class FG:
             method=sol.value("method", "cg", str),
             gamma_scheme=sol.value("gamma_scheme", "auto", str),
             tol=sol.value("tol", 1e-4),
+            tol_red=sol.value("tol_red", SolverOptions.tol_red),
             abs_tol=sol.value("abs_tol", SolverOptions.abs_tol),
             bc_tol=sol.value("bc_tol", 1e-3),
+            step_mode=sol.value("step_mode", False, bool),
             maxiter=sol.value("maxiter", 10000, int),
             update_ref=sol.value("update_ref", "loadstep", str),
             ref_scale=sol.value("ref_scale", 1.0),
@@ -515,6 +520,16 @@ class FG:
         try:
             self._init_compile_cache()
             self._init_python()
+            # settings-level output/print knobs (run_actions,
+            # fibergen.cpp:25215 print_precision, :25300 res_format;
+            # init_fgi :26552 restype)
+            s = self._settings()
+            np.set_printoptions(precision=s.value("print_precision", 4, int))
+            self._res_binary = (
+                s.value("res_format", "binary", str) == "binary")
+            self._res_dtype = (np.float64
+                               if s.value("restype", "float", str)
+                               == "double" else np.float32)
             elem = self.project.root.find(path) if path else None
             if elem is None:
                 raise FGError(f"No <{path}> section in project")
@@ -741,6 +756,13 @@ class FG:
         self.init_fibers()
 
     def _action_init_phase(self, action, r):
+        # optional precompute of the interface-normal / orientation voxel
+        # fields before phase init (init_phase action attrs, fibergen.cpp:
+        # 25575-25583: get_normals / get_orientation warm-ups)
+        if r.attr("normals", False, bool):
+            self.get_field("normals")
+        if r.attr("orientations", False, bool):
+            self.get_field("orientation")
         self.init_phase()
 
     # --------------------------------------------------------- solve actions
@@ -1020,7 +1042,7 @@ class FG:
             "orientation": np.asarray(fields["orientation"]),
             "fiber_id": np.asarray(fields["fiber_id"], dtype=np.float32)[None],
             "material_id": np.asarray(fields["material_id"], dtype=np.float32)[None],
-        })
+        }, binary=self._res_binary, dtype=self._res_dtype)
 
     def _action_write_vtk2(self, action, r):
         self.init_lss()
@@ -1035,7 +1057,8 @@ class FG:
             raise FGError(f"Unknown phase '{name}'")
         phi = np.asarray(self.solver.mat.phases[idx].phi)
         vtkio.write_vtk(r.attr("outfile", f"phase_{name}.vtk", str),
-                        self.solver.grid, {name: phi[None]})
+                        self.solver.grid, {name: phi[None]},
+                        binary=self._res_binary, dtype=self._res_dtype)
 
     def _action_write_raw_data(self, action, r):
         from .io import rawio
@@ -1392,7 +1415,8 @@ class FG:
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)
-        vtkio.write_vtk(path, lss.grid, fields)
+        vtkio.write_vtk(path, lss.grid, fields,
+                        binary=self._res_binary, dtype=self._res_dtype)
 
     def _viscosity_velocity_pressure(self):
         """Velocity and pressure recovery for the viscosity dual scheme

@@ -99,6 +99,10 @@ class SolverOptions:
     # DIM=2 dispatch is disabled in its shipped source
     # (fibergen.cpp:26558-26564) — this path instantiates what it would.
     use_dim2: str = "auto"
+    # interactive stepping: pause for ENTER after every convergence check
+    # (the reference's step_mode, fibergen.cpp:21168-21172); only prompts
+    # when stdin is a TTY so batch runs cannot hang
+    step_mode: bool = False
     # spectral-backend selection applied at the start of every run():
     # "auto" = MXU matmul-DFT on TPU where it wins, "xla" = force the FFT
     # op, "matmul" = force the DFT.  None (default) leaves the process
@@ -1182,6 +1186,13 @@ class LSSolver:
                     f"error {rel_err:g} (tolerance {self.opt.tol:g}): "
                     "stopping at the precision floor.")
                 return it, True
+        if self.opt.step_mode:
+            # interactive stepping (the reference's step_mode,
+            # fibergen.cpp:21168-21172); TTY-gated so batch runs never hang
+            import sys as _sys
+            if _sys.stdin is not None and _sys.stdin.isatty():
+                LOG.info("Press the ENTER key")
+                _sys.stdin.readline()
         if self.convergence_callback and self.convergence_callback():
             LOG.info("Custom convergence test returned true.")
             return it, True

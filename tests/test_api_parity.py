@@ -290,3 +290,54 @@ def test_distance_evals_counted_per_instance():
     assert f1.get_distance_evals() > 0
     f2 = fg.FG()
     assert f2.get_distance_evals() == 0
+
+
+def test_settings_output_knobs(tmp_path):
+    """tol_red / step_mode solver settings and the run_actions-level
+    res_format / restype / print_precision output knobs (fibergen.cpp:
+    15047, 15083, 25215, 25300, 26552) are read from the XML."""
+    out = tmp_path / "phase_inc.vtk"
+    f = fg.FG()
+    f.set_xml(f"""
+    <settings>
+      <res_format>ascii</res_format>
+      <restype>double</restype>
+      <print_precision>6</print_precision>
+      <solver n="4" mode="heat">
+        <tol_red>0.25</tol_red>
+        <step_mode>1</step_mode>
+        <materials><matrix mu="1" /><inc mu="2" /></materials>
+      </solver>
+      <actions>
+        <select_material name="inc" />
+        <place_fiber R="0.3" />
+        <init_phase normals="1" orientations="1" />
+        <write_vtk_phase name="inc" outfile="{out}" />
+      </actions>
+    </settings>""")
+    assert f.run() == 0
+    assert f.solver.opt.tol_red == 0.25
+    assert f.solver.opt.step_mode is True     # TTY-gated: no hang in CI
+    data = out.read_bytes()
+    assert b"ASCII" in data
+    assert b"double" in data
+    assert np.get_printoptions()["precision"] == 6
+    np.set_printoptions(precision=8)
+
+
+def test_vtk_restype_double_binary(tmp_path):
+    """Binary VTK with restype=double writes big-endian float64 payloads."""
+    from fibergen_tpu.core.grid import Grid
+    from fibergen_tpu.io import vtk as vtkio
+
+    grid = Grid(2, 2, 2)
+    field = np.arange(8, dtype=np.float64).reshape(1, 2, 2, 2)
+    path = tmp_path / "d.vtk"
+    vtkio.write_vtk(str(path), grid, {"v": field}, binary=True,
+                    dtype=np.float64)
+    data = path.read_bytes()
+    head, _, payload = data.partition(b"LOOKUP_TABLE default\n")
+    assert b"SCALARS v double 1" in head
+    vals = np.frombuffer(payload[:8 * 8], dtype=">f8")
+    # x-fastest ordering of arange over (x, y, z)
+    assert vals[0] == 0.0 and vals[1] == 4.0
