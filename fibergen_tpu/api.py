@@ -755,6 +755,10 @@ class FG:
     def _action_init_fibers(self, action, r):
         self.init_fibers()
 
+    def _action_write_fo_data(self, action, r):
+        """Alias of write_fiber_data (fibergen.cpp:25400 accepts both)."""
+        return self._action_write_fiber_data(action, r)
+
     def _action_init_phase(self, action, r):
         # optional precompute of the interface-normal / orientation voxel
         # fields before phase init (init_phase action attrs, fibergen.cpp:
