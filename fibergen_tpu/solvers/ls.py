@@ -336,6 +336,24 @@ class LSSolver:
             and self.opt.use_sweep != "off"
             and psw.supported(grid, self.dim, dt))
 
+        def _visc_pallas_enabled():
+            """Fused viscosity Delta staggered CG: the same sweep kernels
+            with the tau-sum reduction and the in-kernel Delta tau term
+            (pallas_sweep want_tau_sum / mu_x variants)."""
+            if self.opt.use_pallas == "off" or self.opt.use_sweep == "off":
+                return False
+            if not (mode == "viscosity" and scheme == "staggered"
+                    and self.sharding is None
+                    and self.opt.g0_solver == "fft"
+                    and getattr(mat, "_iso_linear", False)
+                    and psw.supported_visc(grid, self.dim, dt)):
+                return False
+            if self.opt.use_pallas == "on":
+                return True
+            return jax.default_backend() not in ("cpu",)
+
+        self._visc_pallas = _visc_pallas_enabled()
+
         # shard_map plumbing for the fused sharded hot path: the Pallas
         # stencils run per-slab with the 1-voxel x halo exchanged over ICI
         # (lax.ppermute inside pallas_kernels._pad_xy) and the slab FFT's
@@ -385,9 +403,36 @@ class LSSolver:
                     grid, ee, uu, axis_name=_ax),
                 (_fs, _rs), _fs)(u, Ej)
 
+        def fused_visc(r, p_prev, beta, E, mu0, lam0):
+            """Fused viscosity Delta staggered application on one direction
+            build: p = r + beta p_prev; tau = 2(f(x)-f0)p (lam terms are
+            zero for the scalar fluidity law); f = div tau; u = G0'(f) with
+            the dual constants (mu_0' = -mu0, lambda' -> inf — exactly what
+            delta_operator passes, fibergen.cpp:20446-20458); eta = adj +
+            grad(u) + 2*alpha*mu0v*tau with adj = E - 2*alpha*mu0v*mean(tau)
+            folded into the eps sweep's E vector.  Returns (eta, p,
+            dot_raw) with dot_raw = nxyz * <p, p - eta> (the CG
+            denominator)."""
+            from ..ops import green
+            from ..ops import pallas_sweep as psw
+            mu_x, lam_x = mat._all_iso()
+            f, p, tau_sum = psw.stress_div_beta_sweep(
+                grid, r, p_prev, beta, mu_x, lam_x, mu0, lam0,
+                want_tau_sum=True)
+            u = green.g0_staggered_fused(grid, -mu0, float("inf"), f, -1.0)
+            mu0v = 1.0 / (4.0 * mu0)
+            bdelta = 2.0 * (-1.0) * mu0v      # alpha = -1
+            adj = jnp.asarray(E, dt) - (bdelta / nxyz) * tau_sum
+            w, dot_raw = psw.eps_from_u_dot_sweep(
+                grid, adj, u, p, mu_x=mu_x, tau2c=bdelta, mu0=mu0)
+            return w, p, dot_raw
+
         def basic_step(eps, E, bca, mu0, lam0, dim2=False):
             if self._pallas_active and bca is None and not dim2:
                 eta = shard(fused_basic(eps, E, mu0, lam0))
+            elif self._visc_pallas and bca is None and not dim2:
+                eta, _, _ = fused_visc(eps, jnp.zeros_like(eps), 0.0, E,
+                                       mu0, lam0)
             else:
                 tau = stress_diff(eps, mu0, lam0)
                 eta = shard(gamma_op(E, tau, mu0, lam0, bca, dim2=dim2))
@@ -398,6 +443,10 @@ class LSSolver:
             fibergen.cpp:20583-20587)."""
             if self._pallas_active and bca is None and not dim2:
                 return fused_basic(eps, jnp.zeros(self.dim, dt), mu0, lam0)
+            if self._visc_pallas and bca is None and not dim2:
+                eta, _, _ = fused_visc(eps, jnp.zeros_like(eps), 0.0,
+                                       jnp.zeros(self.dim, dt), mu0, lam0)
+                return eta
             zero = jnp.zeros(self.dim, dt)
             tau = stress_diff(eps, mu0, lam0)
             return gamma_op(zero, tau, mu0, lam0, bca, dim2=dim2)
@@ -458,6 +507,14 @@ class LSSolver:
                             grid, ee, uu, pp, axis_name=_ax),
                         (_fs, _fs, _rs), (_fs, _rs))(
                         u, p, jnp.zeros(self.dim, dt))
+                denom = dot_raw / nxyz + tiny
+            elif self._visc_pallas and bca is None and not dim2:
+                # fused viscosity Delta hot path: direction + stress + div
+                # + tau mean in one sweep, dual-G0 chain, gradient + Delta
+                # tau term + CG denominator in the second sweep
+                w, p, dot_raw = fused_visc(r, p_prev, beta,
+                                           jnp.zeros(self.dim, dt),
+                                           mu0, lam0)
                 denom = dot_raw / nxyz + tiny
             else:
                 p = shard(r + beta * p_prev)

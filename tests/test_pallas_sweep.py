@@ -119,3 +119,92 @@ def test_sweep_kernels_anisotropic_cell():
     np.testing.assert_allclose(np.asarray(w_new), np.asarray(w_ref),
                                rtol=1e-5, atol=2e-3)
     assert float(dot_new) == pytest.approx(float(dot_ref), rel=1e-5)
+
+
+def test_stress_sweep_tau_sum():
+    """want_tau_sum returns the exact per-component grid sum of tau (the
+    viscosity Delta mean-correction input) alongside unchanged (f, p)."""
+    nx, ny, nz = 8, 8, 128
+    grid = Grid(nx, ny, nz)
+    r, pp, _, mu, lam = _rand_fields(nx, ny, nz, seed=3)
+    beta = jnp.float32(0.61)
+    mu0, lam0 = 1.5, 0.0
+
+    f0, p0 = psw.stress_div_beta_sweep(grid, r, pp, beta, mu, lam, mu0, lam0)
+    f1, p1, ts = psw.stress_div_beta_sweep(grid, r, pp, beta, mu, lam,
+                                           mu0, lam0, want_tau_sum=True)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+    p_np = np.asarray(p0, np.float64)
+    mu_np = np.asarray(mu, np.float64)
+    lam_np = np.asarray(lam, np.float64)
+    tau = 2.0 * (mu_np - mu0) * p_np
+    tr = (lam_np - lam0) * (p_np[0] + p_np[1] + p_np[2])
+    tau[0:3] += tr
+    ref = tau.reshape(6, -1).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(ts, np.float64), ref,
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_eps_sweep_viscosity_tau_term():
+    """The in-kernel Delta tau term: w == (plain w) + tau2c*2*(mu-mu0)*p
+    and the CG dot is computed against the full w."""
+    nx, ny, nz = 8, 8, 128
+    grid = Grid(nx, ny, nz)
+    p, _, u, mu, _ = _rand_fields(nx, ny, nz, seed=4)
+    E = np.array([0.3, 0.0, -0.1, 0.0, 0.05, 0.0])
+    tau2c, mu0 = -0.375, 1.2
+
+    w0, _ = psw.eps_from_u_dot_sweep(grid, E, u, p)
+    w1, dot1 = psw.eps_from_u_dot_sweep(grid, E, u, p, mu_x=mu,
+                                        tau2c=tau2c, mu0=mu0)
+    extra = tau2c * 2.0 * (np.asarray(mu) - mu0)[None] * np.asarray(p)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0) + extra,
+                               rtol=1e-5, atol=2e-3)
+    wv = np.array([1, 1, 1, 2, 2, 2.0])
+    p_np = np.asarray(p, np.float64)
+    ref = (wv[:, None] * (p_np * (p_np - np.asarray(w1, np.float64)))
+           .reshape(6, -1)).sum()
+    assert float(dot1) == pytest.approx(ref, rel=1e-5)
+
+
+def test_supported_visc_shapes():
+    assert psw.supported_visc(Grid(8, 8, 128), 6, jnp.float32)
+    assert not psw.supported_visc(Grid(8, 8, 100), 6, jnp.float32)
+    assert not psw.supported_visc(Grid(8, 8, 128), 3, jnp.float32)
+
+
+@pytest.mark.parametrize("method", ["cg", "basic"])
+def test_viscosity_fused_solve_matches_generic(method):
+    """A full viscosity Delta staggered solve through the fused sweep path
+    (tau-sum reduction + in-kernel tau term) must match the generic
+    gamma/delta path: same answer, same iteration count (within the f32
+    reduction-order wiggle)."""
+    import fibergen_tpu as fg
+    from fibergen_tpu.utils.logging import LOG
+    LOG.enabled = False
+
+    nx, ny, nz = 8, 8, 128
+    grid = Grid(nx, ny, nz)
+    x = (np.arange(nx) + 0.5) / nx
+    phi = jnp.asarray(np.broadcast_to(
+        (x < 0.5)[:, None, None], (nx, ny, nz)).astype(np.float32))
+
+    def solve(use_pallas):
+        mat = fg.VoigtMixed([
+            fg.Phase("a", fg.ScalarLinearIsotropic(mu=1.0, dim=6), phi),
+            fg.Phase("b", fg.ScalarLinearIsotropic(mu=8.0, dim=6),
+                     1.0 - phi)], dim=6)
+        s = fg.LSSolver(grid, mat, fg.SolverOptions(
+            mode="viscosity", method=method, gamma_scheme="staggered",
+            tol=1e-5, maxiter=400, dtype="float32", use_pallas=use_pallas))
+        s.set_strain([0, 0, 0, 0, 1.0, 0])
+        assert not s.run()
+        if use_pallas == "on":
+            assert s._visc_pallas, "fused viscosity path must engage"
+        return np.asarray(s.calc_mean_stress()), len(s.residuals)
+
+    sig_ref, it_ref = solve("off")
+    sig_new, it_new = solve("on")
+    np.testing.assert_allclose(sig_new, sig_ref, rtol=5e-4, atol=1e-5)
+    assert abs(it_new - it_ref) <= 1
