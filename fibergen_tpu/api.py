@@ -467,8 +467,7 @@ class FG:
             and p.law.a is None for p in self.solver.mat.phases)
         if hasattr(self.solver.mat, "normals") or needs_orientation:
             # interface-aware mixing / orientation-dependent laws need fields
-            gfields = discretize.geometry_fields(
-                phase_grid, self.gen.all_fibers(), dtype=dtype)
+            gfields = self._geometry_fields(phase_grid, dtype=dtype)
             if hasattr(self.solver.mat, "normals"):
                 self.solver.mat.normals = gfields["normals"]
             for p in self.solver.mat.phases:
@@ -476,6 +475,23 @@ class FG:
                         and p.law.a is None):
                     p.law.orientation = gfields["orientation"]
         self._phases_initialized = True
+
+    def _geometry_fields(self, grid, dtype=None):
+        """Memoized :func:`discretize.geometry_fields`: one voxel sweep
+        serves init_phase, get_field, and the voxel/VTK writers.  Identity
+        keys on the fiber list are sound because fibers are immutable once
+        placed (every action constructs new Fiber objects)."""
+        self.init_fibers()
+        fibers = self.gen.all_fibers()
+        key = (grid.shape, grid.spacing, tuple(grid.x0), str(dtype),
+               len(fibers), tuple(id(f) for f in fibers))
+        cache = getattr(self, "_gfields_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        kw = {} if dtype is None else {"dtype": dtype}
+        gf = discretize.geometry_fields(grid, fibers, **kw)
+        self._gfields_cache = (key, gf)
+        return gf
 
     # ------------------------------------------------------------------ run
     _compile_cache_ready = False
@@ -524,7 +540,11 @@ class FG:
             # fibergen.cpp:25215 print_precision, :25300 res_format;
             # init_fgi :26552 restype)
             s = self._settings()
-            np.set_printoptions(precision=s.value("print_precision", 4, int))
+            pp = s.value("print_precision", None, int)
+            if pp is not None:
+                # only when the XML asks for it — never silently reformat
+                # the host program's own numpy printing
+                np.set_printoptions(precision=pp)
             self._res_binary = (
                 s.value("res_format", "binary", str) == "binary")
             self._res_dtype = (np.float64
@@ -760,13 +780,14 @@ class FG:
         return self._action_write_fiber_data(action, r)
 
     def _action_init_phase(self, action, r):
-        # optional precompute of the interface-normal / orientation voxel
-        # fields before phase init (init_phase action attrs, fibergen.cpp:
-        # 25575-25583: get_normals / get_orientation warm-ups)
-        if r.attr("normals", False, bool):
-            self.get_field("normals")
-        if r.attr("orientations", False, bool):
-            self.get_field("orientation")
+        # optional precompute of the geometry voxel fields before phase
+        # init (init_phase action attrs, fibergen.cpp:25575-25583:
+        # get_normals / get_orientation warm-ups) — one sweep fills the
+        # memoized cache that get_field / the writers consume
+        if (r.attr("normals", False, bool)
+                or r.attr("orientations", False, bool)):
+            self.init_lss()
+            self._geometry_fields(self.solver.grid)
         self.init_phase()
 
     # --------------------------------------------------------- solve actions
@@ -1036,9 +1057,7 @@ class FG:
     def _action_write_vtk(self, action, r):
         from .io import vtk as vtkio
         self.init_lss()
-        self.init_fibers()
-        fields = discretize.geometry_fields(
-            self.solver.grid, self.gen.all_fibers())
+        fields = self._geometry_fields(self.solver.grid)
         path = r.attr("filename", "geometry.vtk", str)
         vtkio.write_vtk(path, self.solver.grid, {
             "distance": np.asarray(fields["distance"])[None],
@@ -1308,7 +1327,7 @@ class FG:
         (writeData, fibergen.cpp:17076)."""
         self.init_phase()
         grid = self.solver.grid
-        gfields = discretize.geometry_fields(grid, self.gen.all_fibers())
+        gfields = self._geometry_fields(grid)
         normals = np.asarray(gfields["normals"])
         orient = np.asarray(gfields["orientation"])
         phis = [np.asarray(p.phi) for p in self.solver.mat.phases]
@@ -1523,8 +1542,7 @@ class FG:
             return np.asarray(self._displacement_field(name))
         if name in ("orientation", "normals", "distance", "fiber_id",
                     "material_id", "fiber_translation"):
-            self.init_fibers()
-            f = discretize.geometry_fields(lss.grid, self.gen.all_fibers())[name]
+            f = self._geometry_fields(lss.grid)[name]
             arr = np.asarray(f)
             return arr if arr.ndim == 4 else arr[None]
         raise FGError(f"Unknown field '{name}'")

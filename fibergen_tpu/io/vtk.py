@@ -61,4 +61,6 @@ def _write_block(f, data, binary, dtype=np.float32):
         f.write(flat.tobytes())
         f.write(b"\n")
     else:
-        np.savetxt(f, flat.reshape(-1, 1), fmt="%g")
+        # round-trip-exact significant digits for the declared scalar type
+        fmt = "%.17g" if np.dtype(dtype) == np.float64 else "%.9g"
+        np.savetxt(f, flat.reshape(-1, 1), fmt=fmt)

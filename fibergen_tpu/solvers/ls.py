@@ -339,7 +339,10 @@ class LSSolver:
         def _visc_pallas_enabled():
             """Fused viscosity Delta staggered CG: the same sweep kernels
             with the tau-sum reduction and the in-kernel Delta tau term
-            (pallas_sweep want_tau_sum / mu_x variants)."""
+            (pallas_sweep want_tau_sum / mu_x variants).  The in-kernel tau
+            term is the SCALAR law's 2(mu-mu0)p only, so every phase must
+            be a zero-lambda (fluidity) law — lambda-carrying laws keep the
+            generic delta path."""
             if self.opt.use_pallas == "off" or self.opt.use_sweep == "off":
                 return False
             if not (mode == "viscosity" and scheme == "staggered"
@@ -347,6 +350,16 @@ class LSSolver:
                     and self.opt.g0_solver == "fft"
                     and getattr(mat, "_iso_linear", False)
                     and psw.supported_visc(grid, self.dim, dt)):
+                return False
+
+            def _lam0(p):
+                f = getattr(p.law, "iso_moduli", None)
+                if f is None:
+                    return False
+                lam = f()[1]
+                return isinstance(lam, (int, float)) and float(lam) == 0.0
+
+            if not all(_lam0(p) for p in mat.phases):
                 return False
             if self.opt.use_pallas == "on":
                 return True
@@ -431,8 +444,10 @@ class LSSolver:
             if self._pallas_active and bca is None and not dim2:
                 eta = shard(fused_basic(eps, E, mu0, lam0))
             elif self._visc_pallas and bca is None and not dim2:
-                eta, _, _ = fused_visc(eps, jnp.zeros_like(eps), 0.0, E,
-                                       mu0, lam0)
+                # beta = 0 with p_prev = eps: p = eps exactly, without
+                # materializing a zero field in HBM (the repeated read of
+                # eps stays in cache)
+                eta, _, _ = fused_visc(eps, eps, 0.0, E, mu0, lam0)
             else:
                 tau = stress_diff(eps, mu0, lam0)
                 eta = shard(gamma_op(E, tau, mu0, lam0, bca, dim2=dim2))
@@ -444,7 +459,7 @@ class LSSolver:
             if self._pallas_active and bca is None and not dim2:
                 return fused_basic(eps, jnp.zeros(self.dim, dt), mu0, lam0)
             if self._visc_pallas and bca is None and not dim2:
-                eta, _, _ = fused_visc(eps, jnp.zeros_like(eps), 0.0,
+                eta, _, _ = fused_visc(eps, eps, 0.0,
                                        jnp.zeros(self.dim, dt), mu0, lam0)
                 return eta
             zero = jnp.zeros(self.dim, dt)

@@ -341,3 +341,25 @@ def test_vtk_restype_double_binary(tmp_path):
     vals = np.frombuffer(payload[:8 * 8], dtype=">f8")
     # x-fastest ordering of arange over (x, y, z)
     assert vals[0] == 0.0 and vals[1] == 4.0
+
+
+def test_init_phase_warmup_as_first_action():
+    """<init_phase normals="1"/> as the FIRST action must self-initialize
+    the solver (the warm-up used to dereference a not-yet-built solver),
+    and the warmed cache serves a later get_field without a second voxel
+    sweep."""
+    f = fg.FG()
+    f.set_xml("""
+    <settings>
+      <solver n="4" mode="heat">
+        <materials><matrix mu="1" /><inc mu="2" /></materials>
+      </solver>
+      <actions>
+        <init_phase normals="1" orientations="1" />
+      </actions>
+    </settings>""")
+    assert f.run() == 0
+    cached = f._gfields_cache[1]
+    arr = f.get_field("normals")
+    assert arr.shape == (3, 4, 4, 4)
+    assert f._gfields_cache[1] is cached   # served from the memo

@@ -208,3 +208,29 @@ def test_viscosity_fused_solve_matches_generic(method):
     sig_new, it_new = solve("on")
     np.testing.assert_allclose(sig_new, sig_ref, rtol=5e-4, atol=1e-5)
     assert abs(it_new - it_ref) <= 1
+
+
+def test_viscosity_fused_gate_rejects_lambda_laws():
+    """Lambda-carrying laws in viscosity mode must NOT engage the fused
+    path (its in-kernel tau term is the scalar 2(mu-mu0)p only): the
+    solver keeps the generic delta path and still converges."""
+    import fibergen_tpu as fg
+    from fibergen_tpu.utils.logging import LOG
+    LOG.enabled = False
+
+    nx, ny, nz = 8, 8, 128
+    grid = Grid(nx, ny, nz)
+    x = (np.arange(nx) + 0.5) / nx
+    phi = jnp.asarray(np.broadcast_to(
+        (x < 0.5)[:, None, None], (nx, ny, nz)).astype(np.float32))
+    mat = fg.VoigtMixed([
+        fg.Phase("a", fg.LinearIsotropic(mu=1.0, lam=0.7), phi),
+        fg.Phase("b", fg.LinearIsotropic(mu=4.0, lam=0.3), 1.0 - phi)],
+        dim=6)
+    s = fg.LSSolver(grid, mat, fg.SolverOptions(
+        mode="viscosity", method="cg", gamma_scheme="staggered",
+        tol=1e-5, maxiter=400, dtype="float32", use_pallas="on"))
+    assert not s._visc_pallas
+    s.set_strain([0, 0, 0, 0, 1.0, 0])
+    assert not s.run()
+    assert np.all(np.isfinite(np.asarray(s.calc_mean_stress())))
