@@ -1419,8 +1419,7 @@ class FG:
             tensor("P", sig)
             fields["u"] = np.asarray(self._displacement_field("u"))
             from .materials import laws as lawsmod
-            fields["detF"] = np.asarray(
-                lawsmod.det3(lawsmod.mat_from_voigt9(lss.eps)))[None]
+            fields["detF"] = np.asarray(lawsmod.det3_comp(lss.eps))[None]
         elif mode == "viscosity":
             # dual scheme: the stored field holds stresses; calcStress maps
             # through the fluidity (fibergen.cpp:23405-23414)

@@ -96,11 +96,7 @@ class MaterialLaw:
         stress is already Cauchy."""
         if self.dim != 9:
             return self.pk1(F)
-        P = mat_from_voigt9(self.pk1(F))
-        Fm = mat_from_voigt9(F)
-        J = det3(Fm)
-        sig = jnp.einsum("...ij,...kj->...ik", P, Fm) / J[..., None, None]
-        return voigt9_from_mat(sig)
+        return cauchy_from_pk1_comp(self.pk1(F), F)
 
     def polarization(self, mu_0, F, inv=False):
         """Eyre-Milton transform (C - C0)(C + C0)^{-1} F with C0 = 2 mu_0 Id
@@ -230,20 +226,75 @@ class LinearGeneral(MaterialLaw):
 
 class HyperelasticLaw(MaterialLaw):
     """Base for finite-strain laws: subclasses define the energy density
-    ``energy(Fm)`` on (..., 3, 3) deformation gradients; PK1 = dW/dF and
-    dPK1 = d2W/dF2 : W come from autodiff."""
+    ``energy(F)`` directly on the (9, ...) component field using the
+    component helpers below; PK1 = dW/dF and dPK1 = d2W/dF2 : W come from
+    autodiff.
+
+    Component arithmetic (not (..., 3, 3) matrix views) is a TPU layout
+    requirement, not style: a voxel-trailing 3x3 minor dimension pads to
+    (4, 128) tiles — a ~57x HBM footprint/traffic blowup that made the
+    hyper hot path bandwidth-bound on padding and a 256^3 tangent
+    literally unallocatable (32 GB).  As (9, nx, ny, nz) slices everything
+    stays in the natural field layout and XLA fuses the whole energy/PK1
+    chain elementwise."""
 
     dim = 9
 
-    def energy(self, Fm):
+    def energy(self, F):
         raise NotImplementedError
 
     def w(self, F):
-        return self.energy(mat_from_voigt9(F))
+        return self.energy(jnp.asarray(F))
 
     def pk1(self, F):
         # gradient of sum(W) w.r.t. the (9, ...) field == per-voxel dW/dF
-        return jax.grad(lambda x: self.energy(mat_from_voigt9(x)).sum())(F)
+        return jax.grad(lambda x: self.energy(x).sum())(F)
+
+
+def f_rows(F):
+    """(9, ...) -> the nine matrix entries in row-major order
+    (f00, f01, f02, f10, f11, f12, f20, f21, f22) per the dim-9 component
+    order [xx, yy, zz, yz, xz, xy, zy, zx, yx]."""
+    return F[0], F[5], F[4], F[8], F[1], F[3], F[7], F[6], F[2]
+
+
+def det3_comp(F):
+    """det(F) from the (9, ...) components (no (..., 3, 3) view)."""
+    f00, f01, f02, f10, f11, f12, f20, f21, f22 = f_rows(F)
+    return (f00 * (f11 * f22 - f12 * f21)
+            - f01 * (f10 * f22 - f12 * f20)
+            + f02 * (f10 * f21 - f11 * f20))
+
+
+def cauchy_green_comp(F):
+    """Unique entries of C = F^T F from the (9, ...) components:
+    (C00, C11, C22, C12, C02, C01)."""
+    f00, f01, f02, f10, f11, f12, f20, f21, f22 = f_rows(F)
+    C00 = f00 * f00 + f10 * f10 + f20 * f20
+    C11 = f01 * f01 + f11 * f11 + f21 * f21
+    C22 = f02 * f02 + f12 * f12 + f22 * f22
+    C12 = f01 * f02 + f11 * f12 + f21 * f22
+    C02 = f00 * f02 + f10 * f12 + f20 * f22
+    C01 = f00 * f01 + f10 * f11 + f20 * f21
+    return C00, C11, C22, C12, C02, C01
+
+
+def cauchy_from_pk1_comp(P, F):
+    """sigma = P F^T / det(F) as (9, ...) component arithmetic
+    (MaterialLaw::Cauchy, fibergen.cpp:10326); sigma_ij = P_ik F_jk / J."""
+    p00, p01, p02, p10, p11, p12, p20, p21, p22 = f_rows(P)
+    f00, f01, f02, f10, f11, f12, f20, f21, f22 = f_rows(F)
+    J = det3_comp(F)
+    s00 = (p00 * f00 + p01 * f01 + p02 * f02) / J
+    s11 = (p10 * f10 + p11 * f11 + p12 * f12) / J
+    s22 = (p20 * f20 + p21 * f21 + p22 * f22) / J
+    s12 = (p10 * f20 + p11 * f21 + p12 * f22) / J
+    s02 = (p00 * f20 + p01 * f21 + p02 * f22) / J
+    s01 = (p00 * f10 + p01 * f11 + p02 * f12) / J
+    s21 = (p20 * f10 + p21 * f11 + p22 * f12) / J
+    s20 = (p20 * f00 + p21 * f01 + p22 * f02) / J
+    s10 = (p10 * f00 + p11 * f01 + p12 * f02) / J
+    return jnp.stack([s00, s11, s22, s12, s02, s01, s21, s20, s10])
 
 
 @dataclasses.dataclass
@@ -254,11 +305,13 @@ class SaintVenantKirchhoff(HyperelasticLaw):
     mu: float
     lam: float
 
-    def energy(self, Fm):
-        C = jnp.einsum("...ji,...jk->...ik", Fm, Fm)
-        E = 0.5 * (C - jnp.eye(3, dtype=Fm.dtype))
-        trE = jnp.trace(E, axis1=-2, axis2=-1)
-        EE = (E * E).sum((-2, -1))
+    def energy(self, F):
+        C00, C11, C22, C12, C02, C01 = cauchy_green_comp(F)
+        E00, E11, E22 = 0.5 * (C00 - 1.0), 0.5 * (C11 - 1.0), 0.5 * (C22 - 1.0)
+        trE = E00 + E11 + E22
+        # E:E with the symmetric off-diagonals E_ij = C_ij / 2 counted twice
+        EE = (E00 * E00 + E11 * E11 + E22 * E22
+              + 0.5 * (C01 * C01 + C02 * C02 + C12 * C12))
         return 0.5 * self.lam * trE * trE + self.mu * EE
 
     def __str__(self):
@@ -273,9 +326,9 @@ class NeoHooke(HyperelasticLaw):
     mu: float
     lam: float
 
-    def energy(self, Fm):
-        trC = (Fm * Fm).sum((-2, -1))
-        J = det3(Fm)
+    def energy(self, F):
+        trC = (F * F).sum(0)
+        J = det3_comp(F)
         logJ = _safe_log(J)
         return 0.5 * (self.mu * (trC - 3.0 - 2.0 * logJ) + self.lam * logJ * logJ)
 
@@ -291,10 +344,10 @@ class NeoHooke2(HyperelasticLaw):
     mu: float
     K: float
 
-    def energy(self, Fm):
-        trC = (Fm * Fm).sum((-2, -1))
-        J = det3(Fm)
-        Jm23 = jnp.maximum(J, jnp.finfo(Fm.dtype).tiny) ** (-2.0 / 3.0)
+    def energy(self, F):
+        trC = (F * F).sum(0)
+        J = det3_comp(F)
+        Jm23 = jnp.maximum(J, jnp.finfo(F.dtype).tiny) ** (-2.0 / 3.0)
         J1 = J - 1.0
         return 0.5 * (self.mu * (Jm23 * trC - 3.0) + self.K * J1 * J1)
 
@@ -339,11 +392,13 @@ class GoldbergLaw(HyperelasticLaw):
     def w_inv(self, J1, J2, J3):
         raise NotImplementedError
 
-    def energy(self, Fm):
-        C = jnp.einsum("...ji,...jk->...ik", Fm, Fm)
-        trC = jnp.trace(C, axis1=-2, axis2=-1)
-        trCC = (C * jnp.swapaxes(C, -1, -2)).sum((-2, -1))
-        J3 = jnp.maximum(det3(Fm), jnp.finfo(Fm.dtype).tiny)
+    def energy(self, F):
+        C00, C11, C22, C12, C02, C01 = cauchy_green_comp(F)
+        trC = C00 + C11 + C22
+        # tr(C^2) for symmetric C: sum of squared entries
+        trCC = (C00 * C00 + C11 * C11 + C22 * C22
+                + 2.0 * (C01 * C01 + C02 * C02 + C12 * C12))
+        J3 = jnp.maximum(det3_comp(F), jnp.finfo(F.dtype).tiny)
         J1 = J3 ** (-2.0 / 3.0) * trC
         J2 = 0.5 * J3 ** (-4.0 / 3.0) * (trC * trC - trCC)
         return self.w_inv(J1, J2, J3)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -124,12 +125,10 @@ class MixedMaterial:
     def mean_cauchy(self, F):
         if self._dim != 9:
             return self.mean_pk1(F)
-        # push forward per voxel then average
-        P = lawsmod.mat_from_voigt9(self.pk1(F))
-        Fm = lawsmod.mat_from_voigt9(jnp.asarray(F))
-        J = lawsmod.det3(Fm)
-        sig = jnp.einsum("...ij,...kj->...ik", P, Fm) / J[..., None, None]
-        return fields.mean(lawsmod.voigt9_from_mat(sig))
+        # push forward per voxel then average (component arithmetic: a
+        # voxel-trailing (..., 3, 3) layout pads 3x3 tiles to 4x128 on TPU)
+        F = jnp.asarray(F)
+        return fields.mean(lawsmod.cauchy_from_pk1_comp(self.pk1(F), F))
 
     def polarization(self, mu_0, F, inv=False):
         """Eyre-Milton transform; pure voxels use the phase law
@@ -197,8 +196,19 @@ class MixedMaterial:
     def _eig_range_nonlinear(self, F, zero_trace):
         """Exact per-voxel eigenvalue bounds of the 9x9 tangent for
         hyperelastic laws, via batched eigvalsh (replaces the reference's
-        per-voxel LAPACK syev loop, fibergen.cpp:12472-12530)."""
+        per-voxel LAPACK syev loop, fibergen.cpp:12472-12530).
+
+        The voxel-trailing (..., 9, 9) layout pads to (16, 128) TPU tiles
+        (a 14x footprint blowup: a full-grid 256^3 tangent would be tens of
+        GB), so the grid is flattened and processed in fixed-size voxel
+        chunks under ``lax.map`` — peak HBM is one chunk's padded tangent,
+        independent of grid size.  The chunked fast path requires the
+        per-voxel tangent to be the phi-weighted phase sum (the voigt rule,
+        MixedMaterialLaw::getRefMaterial's arithmetic mean); other rules
+        keep the full-grid path (their grids are small in practice)."""
         dim = self._dim
+        if self.rule == "voigt":
+            return self._eig_range_nonlinear_chunked(F, zero_trace)
         eye = jnp.eye(dim, dtype=F.dtype)
         # build tangent columns by jvp in unit directions
         cols = []
@@ -212,6 +222,47 @@ class MixedMaterial:
             Cmat = Cmat[..., 1:, 1:]
         e = jnp.linalg.eigvalsh(Cmat)
         return e.min(), e.max()
+
+    def _eig_range_nonlinear_chunked(self, F, zero_trace, chunk=65536):
+        """Voigt-rule tangent eigen bounds in flat voxel chunks (see
+        _eig_range_nonlinear).  Chunk padding repeats leading voxels, which
+        cannot move a min/max."""
+        dim = self._dim
+        nvox = int(np.prod(F.shape[1:]))
+        ch = min(chunk, nvox)
+        Ff = F.reshape(dim, nvox)
+        phis = jnp.stack([
+            jnp.broadcast_to(p.phi, F.shape[1:]).reshape(nvox).astype(F.dtype)
+            for p in self.phases])
+        pad = (-nvox) % ch
+        if pad:
+            Ff = jnp.concatenate([Ff, Ff[:, :pad]], axis=1)
+            phis = jnp.concatenate([phis, phis[:, :pad]], axis=1)
+        nch = Ff.shape[1] // ch
+        Fc = jnp.moveaxis(Ff.reshape(dim, nch, ch), 1, 0)          # (nch, dim, ch)
+        pc = jnp.moveaxis(phis.reshape(len(self.phases), nch, ch), 1, 0)
+        eye = jnp.eye(dim, dtype=F.dtype)
+
+        def one(args):
+            Fk, pk = args
+            cols = []
+            for j in range(dim):
+                W = jnp.broadcast_to(eye[j].reshape(dim, 1), Fk.shape)
+                col = None
+                for i, p in enumerate(self.phases):
+                    t = pk[i][None] * p.law.dpk1(Fk, W)
+                    col = t if col is None else col + t
+                cols.append(col)
+            C = jnp.stack(cols, axis=1)            # (dim, dim, ch)
+            C = jnp.moveaxis(C, -1, 0)             # (ch, dim, dim)
+            C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
+            if zero_trace:
+                C = C[:, 1:, 1:]
+            e = jnp.linalg.eigvalsh(C)
+            return e.min(), e.max()
+
+        mins, maxs = jax.lax.map(one, (Fc, pc))
+        return mins.min(), maxs.max()
 
     def _all_iso(self):
         """If every phase law exposes iso_moduli, return per-voxel

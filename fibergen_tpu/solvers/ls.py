@@ -1347,24 +1347,30 @@ class LSSolver:
 
     def calc_min_det_f(self):
         from ..materials import laws as lawsmod
-        Fm = lawsmod.mat_from_voigt9(self.eps)
-        return float(lawsmod.det3(Fm).min())
+        return float(lawsmod.det3_comp(self.eps).min())
 
     def calc_min_eig_h(self):
         """Max asymmetry of the per-voxel tangent dPK1 (calcMinEigH,
         fibergen.cpp:17813-17867): Frobenius norm of dP - dP^T, reduced
-        over the grid."""
+        over the grid.  Accumulated column-pair-wise in the (dim, ...)
+        field layout — stacking a voxel-trailing (dim, dim) tangent pads
+        to (16, 128) TPU tiles (32+ GB at 256^3)."""
         import jax.numpy as jnp_
         dim = self.dim
         eye = jnp_.eye(dim, dtype=self.dtype)
-        cols = []
-        for j in range(dim):
-            W = jnp_.broadcast_to(eye[j].reshape(dim, 1, 1, 1), self.eps.shape)
-            cols.append(self.mat.dpk1(self.eps, W))
-        C = jnp_.stack(cols, axis=1)
-        C = jnp_.moveaxis(C, (0, 1), (-2, -1))
-        R = C - jnp_.swapaxes(C, -1, -2)
-        return float(jnp_.sqrt((R * R).sum((-2, -1))).max())
+        cols = [self.mat.dpk1(
+                    self.eps,
+                    jnp_.broadcast_to(eye[j].reshape(dim, 1, 1, 1),
+                                      self.eps.shape))
+                for j in range(dim)]
+        # |dP - dP^T|_F^2 = sum_{i<j} 2 (C[i][j] - C[j][i])^2
+        r2 = None
+        for i in range(dim):
+            for j in range(i + 1, dim):
+                d = cols[j][i] - cols[i][j]
+                t = 2.0 * d * d
+                r2 = t if r2 is None else r2 + t
+        return float(jnp_.sqrt(r2).max())
 
     def _print_mean_values(self):
         names = {

@@ -158,3 +158,43 @@ def test_aniso_heat_diagonal_matches_scalar():
     F = jnp.asarray(rng.standard_normal((3, 2, 1, 1)))
     np.testing.assert_allclose(np.asarray(aniso.pk1(F)),
                                np.asarray(scalar.pk1(F)), rtol=1e-12)
+
+
+def test_hyper_eig_range_chunked_matches_full_grid():
+    """The chunked tangent eigen-bound path (voigt rule; bounds the padded
+    (..., 9, 9) TPU footprint so 256^3 hyper solves fit HBM) must reproduce
+    the full-grid eigvalsh bounds exactly, including a chunk that does not
+    divide the voxel count (padding repeats leading voxels)."""
+    from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+
+    rng = np.random.default_rng(11)
+    shape = (5, 3, 3)  # 45 voxels: prime-ish, exercises chunk padding
+    F = jnp.asarray(np.tile(np.array([1.0, 1, 1, 0, 0, 0, 0, 0, 0]),
+                            (*shape, 1)).transpose(3, 0, 1, 2)
+                    + 0.05 * rng.standard_normal((9, *shape)))
+    phi = jnp.asarray(rng.uniform(size=shape))
+    mat = VoigtMixed([
+        Phase("a", laws.SaintVenantKirchhoff(mu=10.0, lam=5.0), phi),
+        Phase("b", laws.NeoHooke(mu=1.0, lam=1.0), 1.0 - phi),
+    ], dim=9)
+
+    # full-grid reference: force the generic path by calling the body with
+    # the chunk gate bypassed
+    eye = jnp.eye(9, dtype=F.dtype)
+    cols = [mat.dpk1(F, jnp.broadcast_to(eye[j].reshape(9, 1, 1, 1), F.shape))
+            for j in range(9)]
+    C = jnp.stack(cols, axis=1)
+    C = jnp.moveaxis(C, (0, 1), (-2, -1))
+    C = 0.5 * (C + jnp.swapaxes(C, -1, -2))
+    e = jnp.linalg.eigvalsh(C)
+    lo_ref, hi_ref = float(e.min()), float(e.max())
+
+    for chunk in (16, 45, 64):
+        lo, hi = mat._eig_range_nonlinear_chunked(F, False, chunk=chunk)
+        np.testing.assert_allclose(float(lo), lo_ref, rtol=1e-10)
+        np.testing.assert_allclose(float(hi), hi_ref, rtol=1e-10)
+
+    # and the public entry point routes the voigt rule through the chunks
+    lo, hi = mat.eig_range(F)
+    np.testing.assert_allclose(float(lo), lo_ref, rtol=1e-10)
+    np.testing.assert_allclose(float(hi), hi_ref, rtol=1e-10)
