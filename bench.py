@@ -48,6 +48,11 @@ def make_problem(n, dtype="float32", **opt_kw):
         mode="elasticity", method="cg", gamma_scheme="staggered",
         dtype=dtype, check_every=8, **opt_kw))
     solver.set_strain([1.0, 0, 0, 0, 0, 0])
+    if n >= 512:
+        # 512^3 single-chip memory budget: keep only the mixed moduli
+        # resident (low_mem="auto" already picks the 3-field CG step)
+        mat._all_iso()
+        mat.drop_phi()
     return grid, mat, solver
 
 

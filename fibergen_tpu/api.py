@@ -234,8 +234,16 @@ class FG:
             use_sweep=sol.value("use_sweep", "auto", str),
             use_dim2=sol.value("use_dim2", "auto", str),
             sharding_fallback=sol.value("sharding_fallback", "error", str),
+            batch_load_cases=sol.value("batch_load_cases", "auto", str),
+            low_mem=sol.value("low_mem", "auto", str),
             dtype=self._dtype_str(),
         )
+        if opt.batch_load_cases not in ("auto", "off"):
+            raise FGError(f"Unknown batch_load_cases '{opt.batch_load_cases}'"
+                          " (expected auto or off)")
+        if opt.low_mem not in ("auto", "on", "off"):
+            raise FGError(f"Unknown low_mem '{opt.low_mem}'"
+                          " (expected auto, on or off)")
         for knob in ("use_pallas", "use_sweep"):
             v = getattr(opt, knob)
             if v not in ("auto", "on", "off"):
@@ -838,6 +846,58 @@ class FG:
             self.write_vtk_solution(outfile)
         return 0
 
+    def _solve_load_cases(self, Es, outdir):
+        """Run B pure-strain load cases (rows of Es) and return the (B, dim)
+        mean stresses, or None on solver failure.
+
+        When the solver qualifies, all B cases run in ONE batched multi-RHS
+        CG (LSSolver.run_batched) — a beat-the-reference path: the
+        reference's calc_effective_properties loops its cases strictly
+        sequentially (fibergen.cpp:26044-26066), re-paying per-solve fixed
+        costs B times.  Falls back to the sequential loop otherwise."""
+        lss = self.solver
+        Es = np.asarray(Es, dtype=np.float64)
+        B = Es.shape[0]
+        batch_ok = (lss.opt.batch_load_cases != "off"
+                    and lss.opt.method == "cg"
+                    and lss.mode != "hyperelasticity"
+                    and lss.sharding is None
+                    and int(lss.opt.loadsteps) <= 1)
+        if batch_ok:
+            # live-set gate: ~4 B-batched fields (eps, r, p + Krylov
+            # transient); beyond ~8 GB fall back to sequential solves
+            import jax.numpy as jnp
+            bytes_est = (4 * B * lss.dim * float(np.prod(lss.grid.shape))
+                         * jnp.dtype(lss.dtype).itemsize)
+            batch_ok = bytes_est < 8e9
+        if batch_ok:
+            lss.set_bc_projector(voigtmod.id4(lss.dim))
+            lss.set_strain(Es[-1])
+            lss.set_stress(np.zeros(lss.dim))
+            if lss.run_batched(Es):
+                return None
+            Sb = lss.calc_mean_stress_batched()
+            if outdir:
+                eps_b = lss.eps_batch
+                for i in range(B):
+                    lss.eps = eps_b[i]
+                    self.write_vtk_solution(
+                        os.path.join(outdir, f"results_{i+1}.vtk"))
+                lss.eps = eps_b[-1]
+            return Sb
+        Sb = np.zeros((B, lss.dim))
+        for i in range(B):
+            lss.set_bc_projector(voigtmod.id4(lss.dim))
+            lss.set_strain(Es[i])
+            lss.set_stress(np.zeros(lss.dim))
+            if lss.run():
+                return None
+            Sb[i] = lss.calc_mean_stress()
+            if outdir:
+                self.write_vtk_solution(
+                    os.path.join(outdir, f"results_{i+1}.vtk"))
+        return Sb
+
     def _action_calc_effective_properties(self, action, r):
         """calc_effective_properties (fibergen.cpp:26030-26403)."""
         self.init_lss()
@@ -847,19 +907,11 @@ class FG:
         mode = lss.mode
 
         if mode == "elasticity":
-            S = np.zeros((6, 6))
-            for i in range(6):
-                Ep = np.eye(6)[:, i]
-                lss.set_bc_projector(voigtmod.id4(6))
-                lss.set_strain(Ep)
-                lss.set_stress(np.zeros(6))
-                if lss.run():
-                    self._error = True
-                    return 1
-                S[:, i] = lss.calc_mean_stress()
-                if outdir:
-                    self.write_vtk_solution(
-                        os.path.join(outdir, f"results_{i+1}.vtk"))
+            Sb = self._solve_load_cases(np.eye(6), outdir)
+            if Sb is None:
+                self._error = True
+                return 1
+            S = Sb.T  # columns = load cases, like the reference's S matrix
             Ceff = S  # E = I
             Ceff_voigt = Ceff.copy()
             Ceff_voigt[:, 3:6] *= 0.5
@@ -883,18 +935,11 @@ class FG:
             return 0
 
         if mode in ("heat", "porous"):
-            S = np.zeros((3, 3))
-            for i in range(3):
-                lss.set_bc_projector(voigtmod.id4(3))
-                lss.set_strain(np.eye(3)[:, i])
-                lss.set_stress(np.zeros(3))
-                if lss.run():
-                    self._error = True
-                    return 1
-                S[:, i] = lss.calc_mean_stress()
-                if outdir:
-                    self.write_vtk_solution(
-                        os.path.join(outdir, f"results_{i+1}.vtk"))
+            Sb = self._solve_load_cases(np.eye(3), outdir)
+            if Sb is None:
+                self._error = True
+                return 1
+            S = Sb.T
             self._Ceff = S
             what = "conductivity" if mode == "heat" else "permeability"
             LOG.info(f"Effective {what} matrix:\n{S}")
@@ -913,17 +958,11 @@ class FG:
         E[0, 0] = E[1, 1] = 1
         E[1, 0] = E[2, 1] = -1
         E[3, 2] = E[4, 3] = E[5, 4] = 1
-        S = np.zeros((6, 5))
-        for i in range(5):
-            lss.set_bc_projector(voigtmod.id4(6))
-            lss.set_strain(E[:, i])
-            lss.set_stress(np.zeros(6))
-            if lss.run():
-                self._error = True
-                return 1
-            S[:, i] = lss.calc_mean_stress()
-            if outdir:
-                self.write_vtk_solution(os.path.join(outdir, f"results_{i+1}.vtk"))
+        Sb = self._solve_load_cases(E.T, outdir)
+        if Sb is None:
+            self._error = True
+            return 1
+        S = Sb.T
 
         E55 = E[1:6, :]
         S55 = S[1:6, :]

@@ -200,18 +200,31 @@ def voxelize(grid: Grid, fibers: List[Fiber], n_materials: int,
     return normalize_phi(phis)
 
 
-def normalize_phi(phis: List[jnp.ndarray]) -> List[jnp.ndarray]:
-    """Sum_m phi_m = 1 with priority to later materials
-    (normalizePhi, fibergen.cpp:17588-17645)."""
+@jax.jit
+def _normalize_phi_jit(phis):
     rem = jnp.ones_like(phis[0])
     out = [None] * len(phis)
     for m in range(len(phis) - 1, -1, -1):
         vol = jnp.minimum(rem, phis[m])
         out[m] = vol
         rem = rem - vol
-    for m, p in enumerate(out):
-        LOG.info(f"material {m} volume fraction: {float(p.mean()):.6f}")
-    return out
+    return tuple(out), jnp.stack([p.mean() for p in out])
+
+
+def normalize_phi(phis: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """Sum_m phi_m = 1 with priority to later materials
+    (normalizePhi, fibergen.cpp:17588-17645).
+
+    One jitted program including the volume-fraction stats, with a single
+    host sync: on the axon backend every EAGER jnp op is a separately
+    remote-compiled program and the per-material float(mean()) syncs
+    measured 409 s of a 412 s read_raw_data action at 128^3 (cProfile,
+    2026-08-19) — the jitted version is one cacheable program."""
+    out, vols = _normalize_phi_jit(tuple(phis))
+    if LOG.enabled:
+        for m, v in enumerate(np.asarray(vols)):
+            LOG.info(f"material {m} volume fraction: {v:.6f}")
+    return list(out)
 
 
 def _translation_of(f) -> np.ndarray:

@@ -99,6 +99,23 @@ class MixedMaterial:
         """Current array state as a pytree (pass as the kernels' mf arg)."""
         return tuple(getattr(o, a) for o, a in self.field_slots())
 
+    def drop_phi(self):
+        """Free the per-phase volume-fraction fields' HBM, keeping only the
+        cached mixed moduli (mu(x), lam(x)).
+
+        Huge-grid memory headroom for all-isotropic-linear materials: the
+        solve path (stress_diff, pk1, eig_range, mean_pk1) reads the mixed
+        moduli only, so phi is dead weight — one full scalar field per
+        phase (0.5 GB each at 512^3 f32).  Phase statistics and re-mixing
+        become unavailable until phi is reassigned.  No reference analogue:
+        the reference keeps phi resident (fibergen.cpp:12004-12062); this
+        exists because HBM, unlike host RAM, is the binding constraint."""
+        if self._all_iso() is None:
+            raise ValueError("drop_phi requires all-isotropic linear phases")
+        self._phi_dropped = True
+        for p in self.phases:
+            p.phi = None
+
     def bound(self, values):
         """Context manager: substitute `values` (same structure as
         `fields()`) into the material while tracing a kernel."""
@@ -273,6 +290,7 @@ class MixedMaterial:
         key = getattr(self, "_iso_key", None)
         if key is not None and (
                 getattr(self, "_bound_active", False)
+                or getattr(self, "_phi_dropped", False)
                 or (len(key) == len(phis)
                     and all(a is b for a, b in zip(key, phis)))):
             return self._iso_val

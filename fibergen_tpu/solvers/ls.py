@@ -99,6 +99,15 @@ class SolverOptions:
     # DIM=2 dispatch is disabled in its shipped source
     # (fibergen.cpp:26558-26564) — this path instantiates what it would.
     use_dim2: str = "auto"
+    # low-memory CG step: "auto" engages on single-chip staggered
+    # elasticity when the 4 standard CG fields would exceed ~11 GB
+    # (512^3 f32); "on"/"off" force it.  See cg_step_lowmem.
+    low_mem: str = "auto"
+    # batched multi-RHS driver for calc_effective_properties: "auto" runs
+    # all load cases in ONE vmapped CG when the solver qualifies (linear
+    # CG, trivial BCs, single device; see run_batched), "off" keeps the
+    # reference's sequential per-case solves (fibergen.cpp:26044-26066)
+    batch_load_cases: str = "auto"
     # interactive stepping: pause for ENTER after every convergence check
     # (the reference's step_mode, fibergen.cpp:21168-21172); only prompts
     # when stdin is a TTY so batch runs cannot hang
@@ -367,6 +376,49 @@ class LSSolver:
 
         self._visc_pallas = _visc_pallas_enabled()
 
+        # low-memory CG step for grids where standard CG's 4 live
+        # solution-sized fields (eps, r, p, w) exceed HBM — 12.9 GB at
+        # 512^3/f32 before moduli and FFT transients (the capability gap
+        # PARITY's round-3 table recorded vs joss/paper.md:80's
+        # "several 100 million unknowns" single-node claim).  The sweep
+        # kernels cannot help here (a 512^2 x-plane blows their VMEM
+        # windows), so the step is jnp with w never materialized: the CG
+        # denominator reduces the staggered gradient of u on the fly, and
+        # the update recomputes that gradient fused into the eps/r axpys.
+        nxyz_i = int(np.prod(grid.shape))
+        self._low_mem = (
+            self.opt.low_mem == "on"
+            or (self.opt.low_mem == "auto"
+                and self.sharding is None
+                and mode == "elasticity" and scheme == "staggered"
+                and self.opt.g0_solver == "fft"
+                and 4 * self.dim * nxyz_i * jnp.dtype(dt).itemsize > 11e9))
+
+        def cg_step_lowmem(eps, r, p_prev, gamma, gamma_prev, mu0, lam0):
+            """One CG step with 3 live solution fields instead of 4: w is
+            recomputed from u behind an optimization_barrier (which stops
+            XLA CSE from merging the two gradient evaluations back into
+            one materialized field).  Extra cost: one more read of u and p
+            per iteration; saving: dim*nxyz*4 bytes of peak (3.2 GB at
+            512^3).  Same trajectory as cg_step (identical math)."""
+            from ..ops import green
+            from ..ops import staggered as stag
+            zero = jnp.zeros(self.dim, dt)
+            beta = gamma / gamma_prev
+            p = r + beta * p_prev
+            tau = stress_diff(p, mu0, lam0)
+            f = stag.div_staggered(grid, tau)
+            u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+            w1 = stag.eps_staggered(grid, zero, u)
+            denom = fields.inner_l2_diff(p, p, w1) + tiny
+            alpha = gamma / denom
+            u2 = jax.lax.optimization_barrier(u)
+            w2 = stag.eps_staggered(grid, zero, u2)
+            eps2 = eps + alpha * p
+            r2 = r - alpha * (p - w2)
+            delta = fields.inner_l2(r2, r2) + tiny
+            return eps2, r2, p, delta, gamma, metric(eps2)
+
         # shard_map plumbing for the fused sharded hot path: the Pallas
         # stencils run per-slab with the 1-voxel x halo exchanged over ICI
         # (lax.ppermute inside pallas_kernels._pad_xy) and the slab FFT's
@@ -484,6 +536,9 @@ class LSSolver:
 
         def cg_step(eps, r, p_prev, gamma, gamma_prev, bca, mu0, lam0,
                     dim2=False):
+            if self._low_mem and bca is None and not dim2:
+                return cg_step_lowmem(eps, r, p_prev, gamma, gamma_prev,
+                                      mu0, lam0)
             beta = gamma / gamma_prev
             if self._pallas_active and bca is None and not dim2:
                 # fully fused hot path: direction update + stress + div in
@@ -542,20 +597,139 @@ class LSSolver:
             delta = fields.inner_l2(r2, r2) + tiny
             return eps2, r2, p, delta, gamma, met
 
-        def cg_multi(eps, r, p, gamma, gamma_prev, bca, mu0, lam0,
-                     dim2=False):
-            """check_every CG iterations fused into one device program;
-            returns per-iteration (gamma, metric) stacks."""
+        def make_cg_multi(length):
+            def cg_multi(eps, r, p, gamma, gamma_prev, bca, mu0, lam0,
+                         dim2=False):
+                """`length` CG iterations fused into one device program;
+                returns per-iteration (gamma, metric) stacks."""
+                def body(carry, _):
+                    eps, r, p, gamma, gamma_prev = carry
+                    eps2, r2, p2, delta, g, met = cg_step(
+                        eps, r, p, gamma, gamma_prev, bca, mu0, lam0, dim2)
+                    return (eps2, r2, p2, delta, g), (gamma, met)
+
+                (eps, r, p, gamma, gamma_prev), (gammas, mets) = jax.lax.scan(
+                    body, (eps, r, p, gamma, gamma_prev), None,
+                    length=length)
+                return eps, r, p, gamma, gamma_prev, gammas, mets
+            return cg_multi
+
+        def make_cg_init_chunk(length):
+            def cg_init_chunk(E, bca, mu0, lam0, dim2=False):
+                """Fused CG init + first `length` iterations: one device
+                program, no host round-trip between the residual build and
+                the first chunk (the separate init dispatch + float(gamma0)
+                sync cost ~2 tunnel round-trips of the wall-to-tolerance
+                budget).  gamma0 and met0 ride back with the chunk."""
+                eps, r, p, gamma, gamma_prev, met0 = cg_init(
+                    E, bca, mu0, lam0, dim2)
+                gamma0 = gamma
+                eps, r, p, gamma, gamma_prev, gammas, mets = \
+                    make_cg_multi(length)(eps, r, p, gamma, gamma_prev,
+                                          bca, mu0, lam0, dim2)
+                return (eps, r, p, gamma, gamma_prev, gammas, mets,
+                        gamma0, met0)
+            return cg_init_chunk
+
+        # ---- batched multi-RHS CG -------------------------------------
+        # calc_effective_properties solves dim load cases against the SAME
+        # operator; the reference runs them strictly sequentially
+        # (fibergen.cpp:26044-26066).  Here all B right-hand sides advance
+        # in one vmapped device program: per-solve fixed costs (init,
+        # tunnel syncs, convergence overshoot) are paid once, and small
+        # grids that underutilize the chip get B-fold batching.
+        def krylov_gen(eps, mu0, lam0, pallas_mid):
+            """Generic-path Krylov apply for the vmapped program.  The
+            manual-DMA sweep kernels have no vmap batching rule, so the
+            fused single-RHS Pallas path is not used here; the XLA chain
+            (matmul-DFT) batches cleanly over B x ncomp.  pallas_mid
+            optionally keeps the Pallas spectral middle (its BlockSpec
+            kernels do carry a batching rule)."""
+            zero = jnp.zeros(self.dim, dt)
+            tau = stress_diff(eps, mu0, lam0)
+            return gammamod.gamma_operator(
+                grid, mode, scheme, None, zero, mu0, lam0, tau, -1.0, 0.0,
+                g0_solver=self.opt.g0_solver, freq_hack=self.opt.freq_hack,
+                par=None, pallas_mid=pallas_mid)
+
+        def cg_b_step(eps, r, p_prev, gamma, gamma_prev, mu0, lam0,
+                      pallas_mid):
+            beta = gamma / gamma_prev
+            p = r + beta * p_prev
+            w = krylov_gen(p, mu0, lam0, pallas_mid)
+            denom = fields.inner_l2_diff(p, p, w) + tiny
+            alpha = gamma / denom
+            eps2 = eps + alpha * p
+            r2 = r - alpha * (p - w)
+            delta = fields.inner_l2(r2, r2) + tiny
+            return eps2, r2, p, delta, gamma
+
+        def _cg_b_scan(eps, r, p, gamma, gamma_prev, mu0, lam0, pallas_mid,
+                       length):
             def body(carry, _):
                 eps, r, p, gamma, gamma_prev = carry
-                eps2, r2, p2, delta, g, met = cg_step(
-                    eps, r, p, gamma, gamma_prev, bca, mu0, lam0, dim2)
-                return (eps2, r2, p2, delta, g), (gamma, met)
-
+                eps2, r2, p2, delta, g = jax.vmap(
+                    lambda e, rr, pp, gg, gp: cg_b_step(
+                        e, rr, pp, gg, gp, mu0, lam0, pallas_mid)
+                )(eps, r, p, gamma, gamma_prev)
+                return (eps2, r2, p2, delta, g), (gamma, jax.vmap(metric)(eps2))
             (eps, r, p, gamma, gamma_prev), (gammas, mets) = jax.lax.scan(
-                body, (eps, r, p, gamma, gamma_prev), None,
-                length=max(1, self.opt.check_every))
+                body, (eps, r, p, gamma, gamma_prev), None, length=length)
             return eps, r, p, gamma, gamma_prev, gammas, mets
+
+        def make_cg_b_init_chunk(length):
+            def fn(Eb, mu0, lam0, pallas_mid=False):
+                def init_one(E):
+                    eps = jnp.broadcast_to(
+                        jnp.asarray(E, dt).reshape(-1, 1, 1, 1),
+                        (self.dim,) + grid.shape)
+                    # r = -Gamma (C-C0) eps (+ E - eps == 0: eps is const E)
+                    r = krylov_gen(eps, mu0, lam0, pallas_mid)
+                    g0 = fields.inner_l2(r, r) + tiny
+                    return eps, r, jnp.zeros_like(r), g0, g0, metric(eps)
+                eps, r, p, gamma, gamma_prev, met0 = jax.vmap(init_one)(Eb)
+                gamma0 = gamma
+                eps, r, p, gamma, gamma_prev, gammas, mets = _cg_b_scan(
+                    eps, r, p, gamma, gamma_prev, mu0, lam0, pallas_mid,
+                    length)
+                return (eps, r, p, gamma, gamma_prev, gammas, mets,
+                        gamma0, met0)
+            return fn
+
+        def make_cg_b_multi(length):
+            def fn(eps, r, p, gamma, gamma_prev, mu0, lam0,
+                   pallas_mid=False):
+                return _cg_b_scan(eps, r, p, gamma, gamma_prev, mu0, lam0,
+                                  pallas_mid, length)
+            return fn
+
+        _b_cache = {}
+
+        def cg_b_multi_n(length):
+            fn = _b_cache.get(("multi", length))
+            if fn is None:
+                fn = mjit(make_cg_b_multi(length),
+                          static_argnames=("mu0", "lam0", "pallas_mid"),
+                          donate_argnums=(1, 2, 3))
+                _b_cache[("multi", length)] = fn
+            return fn
+
+        def cg_b_init_chunk_n(length):
+            fn = _b_cache.get(("init", length))
+            if fn is None:
+                fn = mjit(make_cg_b_init_chunk(length),
+                          static_argnames=("mu0", "lam0", "pallas_mid"))
+                _b_cache[("init", length)] = fn
+            return fn
+
+        self._cg_b_multi_n = cg_b_multi_n
+        self._cg_b_init_chunk_n = cg_b_init_chunk_n
+
+        def batch_means(eps_b):
+            return jax.vmap(lambda e: (fields.mean(e), mat.mean_pk1(e)))(
+                eps_b)
+
+        self._batch_means_fn = batch_means  # jitted with mjit below
 
         def cg_recompute_residual(eps, E, bca, mu0, lam0, dim2=False):
             """Exact residual (cg_reinit path, fibergen.cpp:23231-23245);
@@ -618,11 +792,35 @@ class LSSolver:
         self._k_krylov = jit(krylov)
         self._k_cg_init = jit(cg_init)
         self._k_cg_step = jit(cg_step)
-        self._k_cg_multi = mjit(cg_multi,
-                                static_argnames=("mu0", "lam0", "dim2"),
-                                donate_argnums=(1, 2, 3))
+
+        # length-parameterized chunk kernels (adaptive drain sizes are
+        # powers of two <= check_every, so at most log2(K)+1 programs
+        # compile; all hit the persistent compilation cache afterwards)
+        _chunk_cache = {}
+
+        def cg_multi_n(length):
+            fn = _chunk_cache.get(("multi", length))
+            if fn is None:
+                fn = mjit(make_cg_multi(length),
+                          static_argnames=("mu0", "lam0", "dim2"),
+                          donate_argnums=(1, 2, 3))
+                _chunk_cache[("multi", length)] = fn
+            return fn
+
+        def cg_init_chunk_n(length):
+            fn = _chunk_cache.get(("init", length))
+            if fn is None:
+                fn = mjit(make_cg_init_chunk(length),
+                          static_argnames=("mu0", "lam0", "dim2"))
+                _chunk_cache[("init", length)] = fn
+            return fn
+
+        self._cg_multi_n = cg_multi_n
+        self._cg_init_chunk_n = cg_init_chunk_n
+        self._k_cg_multi = cg_multi_n(max(1, self.opt.check_every))
         self._k_cg_reinit = jit(cg_recompute_residual)
         self._k_means = mjit(mean_values)
+        self._k_b_means = mjit(self._batch_means_fn)
         self._k_eig = mjit(eig_range)
         self._k_metric = mjit(metric)
         self._k_polar_step = jit(polar_step)
@@ -662,10 +860,28 @@ class LSSolver:
     # --------------------------------------------------------- ref material
     def calc_ref_material(self):
         """Update (mu_0, lambda_0) from per-voxel tangent eigenvalue bounds
-        (calcRefMaterial, fibergen.cpp:22283-22313)."""
-        with timer("calc ref material"):
-            lmin, lmax = self._k_eig(self.mat.fields(), self.eps)
-            lmin, lmax = float(lmin), float(lmax)
+        (calcRefMaterial, fibergen.cpp:22283-22313).
+
+        For LINEAR laws the tangent (hence the bounds) is independent of
+        eps, so the reduction is memoized on the identity of the material's
+        field arrays (jax arrays are immutable: same objects => same
+        values).  Repeat solves against the same material — every loadstep,
+        every load case of calc_effective_properties, the timed second
+        bench solve — skip the eig pass and its host sync."""
+        mf = self.mat.fields()
+        linear = getattr(self.mat, "_iso_linear", False) or (
+            self.mode in ("elasticity", "heat", "porous", "viscosity"))
+        key = (tuple(id(x) for x in jax.tree_util.tree_leaves(mf))
+               if linear else None)
+        if key is not None and getattr(self, "_eig_memo", None) is not None \
+                and self._eig_memo[0] == key:
+            lmin, lmax = self._eig_memo[1]
+        else:
+            with timer("calc ref material"):
+                lmin, lmax = self._k_eig(mf, self.eps)
+                lmin, lmax = float(lmin), float(lmax)
+            if key is not None:
+                self._eig_memo = (key, (lmin, lmax))
         if lmin < 0:
             LOG.warn(f"negative tangent eigenvalue ({lmin}); cutting off at 0")
             lmin = 0.0
@@ -1066,47 +1282,19 @@ class LSSolver:
         self._dim2_last = dim2
         Ej = jnp.asarray(E, self.dtype)
 
+        K = max(1, int(self.opt.check_every))
+        if K > 1:
+            return self._run_cg_chunked(ee, Ej, bca, mu0, lam0, dim2, K)
+
         eps, r, p, gamma, gamma_prev, met0 = self._k_cg_init(
             self.mat.fields(), Ej, bca, mu0=mu0, lam0=lam0, dim2=dim2)
         ee.start(np.asarray(met0))
         gamma0 = float(gamma)
-        if self.opt.check_every <= 1:
-            gamma = gamma0
-            gamma_prev = gamma0
+        gamma = gamma0
+        gamma_prev = gamma0
 
-        K = max(1, int(self.opt.check_every))
         it = 0
-        # K>1: convergence is evaluated ONE CHUNK BEHIND the device.  The
-        # gamma carry stays a device scalar, so the next chunk is dispatched
-        # before the previous chunk's metrics are pulled to host — jax's
-        # async dispatch then overlaps the ~28 ms host round-trip with
-        # device compute (the sync otherwise costs ~10% of iteration time).
-        # On convergence the state has advanced one extra chunk, i.e. it is
-        # strictly MORE converged than at the detection point.
-        pending = None
         while True:
-            if K > 1:
-                eps, r, p, delta, gamma_prev, gammas, mets = self._k_cg_multi(
-                    self.mat.fields(), eps, r, p, gamma, gamma_prev, bca,
-                    mu0=mu0, lam0=lam0, dim2=dim2)
-                self.eps = eps
-                gamma = delta  # device scalar; no host sync
-                done = False
-                if pending is not None:
-                    pg, pm = np.asarray(pending[0]), np.asarray(pending[1])
-                    for k in range(K):
-                        if ee.metric_kind == "residual":
-                            ee.update_cg(float(pg[k]), gamma0)
-                        else:
-                            ee.update(pm[k])
-                        it, done = self._converged(it, ee.abs_error(),
-                                                   ee.rel_error())
-                        if done:
-                            break
-                if done:
-                    break
-                pending = (gammas, mets)
-                continue
             eps, r, p, delta, gp, met = self._k_cg_step(
                 self.mat.fields(), eps, r, p, gamma, gamma_prev, bca,
                 mu0=mu0, lam0=lam0, dim2=dim2)
@@ -1124,6 +1312,210 @@ class LSSolver:
                     dim2=dim2)
             gamma_prev = float(gp) if not isinstance(gp, float) else gp
             gamma = float(delta)
+
+    def _run_cg_chunked(self, ee, Ej, bca, mu0, lam0, dim2, K):
+        """check_every > 1 host loop for the linear CG.
+
+        Two latency hiders on top of the fused K-iteration chunks:
+
+        * pipelining — the next chunk is dispatched BEFORE the previous
+          chunk's metrics are pulled to host, so jax's async dispatch
+          overlaps the ~28 ms tunnel round-trip with device compute;
+        * adaptive drain — once the residual trajectory predicts tolerance
+          within ~one chunk, the pipeline drains into exactly-sized
+          power-of-two chunks queued back-to-back, so a 20-iteration solve
+          executes ~21 iterations instead of rounding up to 4 full chunks
+          (32: the convergence overshoot the round-3 bench measured as
+          ~47% of wall-to-tolerance).
+
+        CG init is fused into the first chunk (no separate dispatch, no
+        float(gamma0) sync).  On convergence the device state may be up to
+        one margin iteration past the detection point, i.e. strictly MORE
+        converged.  Matches runCGElasticity + converged
+        (fibergen.cpp:23153-23247, 21164) on the trajectory itself.
+        """
+        from collections import deque
+        mf = self.mat.fields()
+        eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
+            self._cg_init_chunk_n(K)(mf, Ej, bca,
+                                     mu0=mu0, lam0=lam0, dim2=dim2)
+        self.eps = eps
+        pend = deque([(K, gammas, mets)])
+        dispatched = K
+        state = {"gamma0": None, "it": 0, "done": False}
+        tol = self.opt.tol
+
+        def dispatch(L):
+            nonlocal eps, r, p, gamma, gamma_prev, dispatched
+            eps, r, p, gamma, gamma_prev, gs, ms = self._cg_multi_n(L)(
+                mf, eps, r, p, gamma, gamma_prev, bca,
+                mu0=mu0, lam0=lam0, dim2=dim2)
+            self.eps = eps
+            pend.append((L, gs, ms))
+            dispatched += L
+
+        def check_front():
+            L, gs, ms = pend.popleft()
+            if state["gamma0"] is None:
+                ee.start(np.asarray(met0))
+                state["gamma0"] = float(g0dev)
+            gs = np.asarray(gs)
+            ms = np.asarray(ms)
+            for k in range(L):
+                if ee.metric_kind == "residual":
+                    ee.update_cg(float(gs[k]), state["gamma0"])
+                else:
+                    ee.update(ms[k])
+                state["it"], state["done"] = self._converged(
+                    state["it"], ee.abs_error(), ee.rel_error())
+                if state["done"]:
+                    return
+
+        while not state["done"]:
+            if len(pend) <= 1:
+                rem = self._predict_remaining(K, dispatched)
+                if rem is None or rem > K:
+                    dispatch(K)
+                else:
+                    # one margin iteration absorbs prediction error; a short
+                    # prediction just re-enters this branch after the drain
+                    n = rem + 1
+                    while n > 0:
+                        L = min(1 << (int(n).bit_length() - 1), K)
+                        dispatch(L)
+                        n -= L
+            check_front()
+
+    def _predict_remaining(self, K, dispatched):
+        """Geometric-decay extrapolation of the relative-error trajectory:
+        returns the predicted iterations still needed beyond `dispatched`,
+        or None when no trustworthy prediction exists (too little history,
+        stalled, or non-monotone)."""
+        rels = self.residuals
+        c = len(rels)
+        if c < 2:
+            return None
+        L = min(K, c - 1)
+        r_last, r_first = rels[-1], rels[-1 - L]
+        if not (0.0 < r_last < r_first):
+            return None
+        tol = self.opt.tol
+        if r_last <= tol:
+            rem_checked = 0.0
+        else:
+            d = (r_last / r_first) ** (1.0 / L)
+            rem_checked = math.log(tol / r_last) / math.log(d)
+        return max(0, int(math.ceil(rem_checked - (dispatched - c))))
+
+    def run_batched(self, Es, pallas_mid="auto") -> bool:
+        """Solve B pure-strain load cases against the shared operator in
+        ONE batched CG: a leading RHS axis, vmapped inside the fused chunk
+        program, so per-solve fixed costs (init dispatch, tunnel syncs,
+        convergence overshoot) are paid once instead of B times and small
+        grids get B-fold batching of every kernel.  This is a
+        beat-the-reference path: calc_effective_properties in the
+        reference loops its load cases strictly sequentially
+        (fibergen.cpp:26044-26066).
+
+        Requirements (callers fall back to sequential run() otherwise):
+        linear CG (method='cg', mode != hyperelasticity), trivial BCs
+        (P == Id, S == 0 — the caller prescribes pure strain columns),
+        single loadstep, no mesh sharding.
+
+        On success self.eps_batch holds (B, dim, nx, ny, nz), self.eps the
+        last case (the sequential driver's end state), and
+        calc_mean_stress_batched() returns the (B, dim) mean stresses.
+        Returns True on failure, False on success (run() semantics).
+        """
+        from collections import deque
+        import time as _time
+        if self.opt.method != "cg" or self.mode == "hyperelasticity":
+            raise SolverError("run_batched requires the linear CG")
+        if self.sharding is not None:
+            raise SolverError("run_batched is a single-device path")
+        t0 = _time.perf_counter()
+        Es = np.asarray(Es, dtype=np.float64)
+        self.residuals = []
+        self._canceled = False
+        self._diverged = False
+        self._reset_stall()
+        self._current_E = Es[-1]
+        self._current_S = np.zeros(self.dim)
+        if self.eps is None:
+            self.eps = fields.const_field(
+                self.grid, np.zeros(self.dim), self.dtype)
+        self._maybe_update_ref()
+        mu0, lam0 = self.mu_0, self.lambda_0
+        # "auto" defers to pallas_chain.middle_enabled's shape/VMEM policy
+        # inside the chain (the BlockSpec middle kernels carry a vmap
+        # batching rule, so the batched program may use them)
+        pm = (pallas_mid if pallas_mid != "auto" else True)
+        mf = self.mat.fields()
+        Eb = jnp.asarray(Es, self.dtype)
+        K = max(1, int(self.opt.check_every))
+
+        eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
+            self._cg_b_init_chunk_n(K)(mf, Eb, mu0=mu0, lam0=lam0,
+                                       pallas_mid=pm)
+        pend = deque([(K, gammas, mets)])
+        dispatched = K
+        st = {"g0": None, "it": 0, "done": False}
+        # each RHS converges by the solver's configured estimator, exactly
+        # like a sequential solve; the batch stops when the WORST RHS does
+        B = Es.shape[0]
+        ests = [make_estimator(self.opt.error_estimator) for _ in range(B)]
+
+        def dispatch(L):
+            nonlocal eps, r, p, gamma, gamma_prev, dispatched
+            eps, r, p, gamma, gamma_prev, gs, ms = self._cg_b_multi_n(L)(
+                mf, eps, r, p, gamma, gamma_prev,
+                mu0=mu0, lam0=lam0, pallas_mid=pm)
+            pend.append((L, gs, ms))
+            dispatched += L
+
+        def check_front():
+            L, gs, ms = pend.popleft()
+            if st["g0"] is None:
+                st["g0"] = np.asarray(g0dev, dtype=np.float64)
+                m0 = np.asarray(met0)
+                for b, e in enumerate(ests):
+                    e.start(m0[b])
+            gs = np.asarray(gs, dtype=np.float64)  # (L, B)
+            ms = np.asarray(ms)
+            for k in range(L):
+                for b, e in enumerate(ests):
+                    if e.metric_kind == "residual":
+                        e.update_cg(gs[k, b], st["g0"][b])
+                    else:
+                        e.update(ms[k, b])
+                st["it"], st["done"] = self._converged(
+                    st["it"], max(e.abs_error() for e in ests),
+                    max(e.rel_error() for e in ests))
+                if st["done"]:
+                    return
+
+        while not st["done"]:
+            if len(pend) <= 1:
+                rem = self._predict_remaining(K, dispatched)
+                if rem is None or rem > K:
+                    dispatch(K)
+                else:
+                    n = rem + 1
+                    while n > 0:
+                        L = min(1 << (int(n).bit_length() - 1), K)
+                        dispatch(L)
+                        n -= L
+            check_front()
+
+        self.eps_batch = eps
+        self.eps = eps[-1]
+        self.solve_time = _time.perf_counter() - t0
+        return bool(self._canceled or self._diverged)
+
+    def calc_mean_stress_batched(self):
+        """(B, dim) phase-weighted mean stresses of the last run_batched."""
+        _, Sb = self._k_b_means(self.mat.fields(), self.eps_batch)
+        return np.asarray(Sb)
 
     def _run_cg_hyper(self, E0, S0):
         from .newton import run_newton_cg
@@ -1283,7 +1675,20 @@ class LSSolver:
 
     def bc_error(self) -> float:
         """Relative mixed-BC satisfaction error (bc_error,
-        fibergen.cpp:21129-21161)."""
+        fibergen.cpp:21129-21161).
+
+        Trivial-BC fast path (deliberate deviation): with pure strain
+        control (P == Id) and no prescribed stress, Q == 0 so the stress
+        branch vanishes, and every iteration scheme preserves mean(eps) ==
+        E exactly (the Gamma/G0 output is zero-mean by construction, DC bin
+        == prescribed mean), so err_F == 0 analytically.  The reference
+        still reduces the fields (it is free there); here the reduction
+        would BLOCK on the pipeline's in-flight chunk — one whole chunk of
+        device time added to every converged solve for a value that is
+        identically zero."""
+        if ((self._bc is None or self._bc.is_trivial)
+                and voigt.norm_2(self._current_S) == 0.0):
+            return 0.0
         Emean, Smean = self._k_means(self.mat.fields(), self.eps)
         Emean = np.asarray(Emean, dtype=np.float64)
         Smean = np.asarray(Smean, dtype=np.float64)

@@ -41,3 +41,31 @@ assert abs(P11 / h - C11) / C11 < 2e-2      # O(h) finite-strain offset
 print("min detF:", sh.calc_min_det_f(), "mean cauchy[0]:",
       float(np.asarray(sh.calc_mean_cauchy())[0]))
 print("VERIFY OK")
+
+# 3. round-4 paths: batched calc_effective_properties through the public
+# XML API (run_batched + adaptive chunked CG), against the closed-form
+# laminate stiffness (Milton Eq. 9.9)
+XML = """<settings>
+  <solver n="16">
+    <tol>1e-6</tol>
+    <check_every>4</check_every>
+    <materials>
+      <m1 mu="1.0" lambda="1.0" />
+      <m2 mu="5.0" lambda="2.0" />
+    </materials>
+  </solver>
+  <actions>
+    <select_material name="m2" />
+    <place_fiber type="halfspace" cx="0.5" cy="0.5" cz="0.5" ax="-1" ay="0" az="0" />
+    <calc_effective_properties />
+  </actions>
+</settings>"""
+f = fg.FG()
+f.set_xml(XML)
+assert f.run() == 0
+C = np.array(f.get_effective_property())
+C_exact = fg.isotropic_laminate_stiffness([(1.0, 1.0, 0.5), (5.0, 2.0, 0.5)])
+rel = np.abs(C - C_exact).max() / np.abs(C_exact).max()
+print("batched Ceff max rel err vs laminate closed form:", rel)
+assert rel < 2e-3
+print("VERIFY OK (incl. batched effective properties)")
