@@ -411,7 +411,7 @@ class MainWindow(QtWidgets.QMainWindow):
         if viewer is None:
             return
         self._results += 1
-        tab = make_plot_tab(viewer)
+        tab = make_plot_tab(viewer, editor=self.editor)
         self.tabs.addTab(tab, f"Results {self._results}")
         self.tabs.setCurrentWidget(tab)
 
@@ -437,11 +437,14 @@ class MainWindow(QtWidgets.QMainWindow):
         self._pref_dialog.exec_()
 
 
-def make_plot_tab(viewer):
+def make_plot_tab(viewer, editor=None):
     """Embedded matplotlib slice-viewer tab (the reference's PlotWidget,
-    fibergen_gui.py:525-1616): field/component/slice selectors, colormap,
-    contrast alpha, custom bounds, interpolation, PNG/VTK export, live
-    redraw on an embedded canvas."""
+    fibergen_gui.py:525-1616): field/component/slice selectors, the full
+    matplotlib colormap list, contrast alpha, custom bounds, interpolation,
+    depth mode, PNG/VTK/TeX export, Embed-view-into-XML, live redraw on an
+    embedded canvas.  ``editor`` (the MainWindow XML editor) enables the
+    Embed action (fibergen_gui.py:825-828)."""
+    import matplotlib
     from matplotlib.figure import Figure
 
     w = QtWidgets.QWidget()
@@ -459,8 +462,13 @@ def make_plot_tab(viewer):
     slider.setRange(0, 100)
     slider.setValue(int(viewer.slice_index * 100))
     cmap_box = QtWidgets.QComboBox()
-    cmap_box.addItems(["jet", "viridis", "coolwarm", "gray"])
+    # the full registry, case-insensitively sorted like the reference's
+    # sorted(mcmap.datad) combo (fibergen_gui.py:693-698)
+    cmap_box.addItems(sorted(matplotlib.colormaps, key=str.lower))
+    cmap_box.setCurrentText(viewer.colormap)
     interp = QtWidgets.QCheckBox("interpolate")
+    depth_chk = QtWidgets.QCheckBox("depth mode")
+    depth_chk.setChecked(viewer.depth_view)
     # contrast alpha: quantile clipping of the color range (PlotWidget's
     # alpha spin box)
     alpha_box = QtWidgets.QDoubleSpinBox()
@@ -486,6 +494,7 @@ def make_plot_tab(viewer):
         viewer.slice_index = slider.value() / 100.0
         viewer.colormap = cmap_box.currentText()
         viewer.interpolate = interp.isChecked()
+        viewer.depth_view = depth_chk.isChecked()
         viewer.alpha = alpha_box.value()
         if bounds_chk.isChecked():
             try:
@@ -511,10 +520,31 @@ def make_plot_tab(viewer):
         if path:
             WriteVTKDialog(path, viewer, w).exec_()
 
+    def export_tex(*_a):
+        path, _ = QtWidgets.QFileDialog.getSaveFileName(
+            w, "Export PNG + TeX", "", "LaTeX files (*.tex)")
+        if path:
+            viewer.save_plot_export(path)
+
+    def embed_view(*_a):
+        """Serialize the current view into the project XML in the editor
+        (the reference's Embed toolbar action, fibergen_gui.py:825-828)."""
+        if editor is None:
+            return
+        from .viewer import embed_view_xml
+        editor.setPlainText(
+            embed_view_xml(editor.toPlainText(), viewer.view_xml()))
+
     png_btn = QtWidgets.QPushButton("Save PNG...")
     png_btn.clicked.connect(save_png)
     vtk_btn = QtWidgets.QPushButton("Write VTK...")
     vtk_btn.clicked.connect(write_vtk)
+    tex_btn = QtWidgets.QPushButton("Export PNG+TeX...")
+    tex_btn.clicked.connect(export_tex)
+    embed_btn = QtWidgets.QPushButton("Embed")
+    embed_btn.setToolTip("Embed view into XML document")
+    embed_btn.clicked.connect(embed_view)
+    embed_btn.setEnabled(editor is not None)
 
     for wd, sig in ((field_box, "currentIndexChanged"),
                     (comp_box, "valueChanged"),
@@ -522,6 +552,7 @@ def make_plot_tab(viewer):
                     (slider, "valueChanged"),
                     (cmap_box, "currentIndexChanged"),
                     (interp, "stateChanged"),
+                    (depth_chk, "stateChanged"),
                     (alpha_box, "valueChanged"),
                     (bounds_chk, "stateChanged"),
                     (vmin_edit, "textChanged"),
@@ -529,7 +560,8 @@ def make_plot_tab(viewer):
         getattr(wd, sig).connect(redraw)
 
     bar = QtWidgets.QHBoxLayout()
-    for wd in (field_box, comp_box, dim_box, slider, cmap_box, interp):
+    for wd in (field_box, comp_box, dim_box, slider, cmap_box, interp,
+               depth_chk):
         bar.addWidget(wd)
     bar2 = QtWidgets.QHBoxLayout()
     bar2.addWidget(QtWidgets.QLabel("alpha:"))
@@ -540,6 +572,8 @@ def make_plot_tab(viewer):
     bar2.addStretch(1)
     bar2.addWidget(png_btn)
     bar2.addWidget(vtk_btn)
+    bar2.addWidget(tex_btn)
+    bar2.addWidget(embed_btn)
     lay = QtWidgets.QVBoxLayout()
     lay.addLayout(bar)
     lay.addLayout(bar2)
@@ -547,11 +581,13 @@ def make_plot_tab(viewer):
     w.setLayout(lay)
     w.viewer = viewer
     w.redraw = redraw
+    w.embed_view = embed_view
     w.controls = {"field": field_box, "comp": comp_box, "dim": dim_box,
                   "slider": slider, "cmap": cmap_box, "interp": interp,
-                  "alpha": alpha_box, "bounds": bounds_chk,
-                  "vmin": vmin_edit, "vmax": vmax_edit,
-                  "png": png_btn, "vtk": vtk_btn}
+                  "depth": depth_chk, "alpha": alpha_box,
+                  "bounds": bounds_chk, "vmin": vmin_edit,
+                  "vmax": vmax_edit, "png": png_btn, "vtk": vtk_btn,
+                  "tex": tex_btn, "embed": embed_btn}
     redraw()
     return w
 

@@ -38,10 +38,16 @@ class SliceViewer:
         self.component = 0
         self.slice_dim = "z"
         self.slice_index = 0.5
-        self.colormap = "jet"
+        self.colormap = "jet"     # the reference's defaultColormap
         self.alpha = 0.0          # contrast quantile clipping
         self.custom_bounds: Optional[tuple] = None
         self.interpolate = False
+        # depth mode (fibergen_gui.py:716-732, 1296-1331): composite the
+        # phi field over remaining depth with exponential attenuation
+        # max(data * exp(-3 z / depth)) — an X-ray-like projection.  Like
+        # the reference, the composite only applies to the phi field.
+        self.depth_view = False
+        self.extra_fields: list = []
 
     @classmethod
     def from_fg(cls, fg, names=("epsilon", "sigma", "phi")):
@@ -63,8 +69,9 @@ class SliceViewer:
             return e.text.strip() if e is not None and e.text else default
 
         extra = v("extra_fields")
-        if extra:
-            names += [s.strip() for s in extra.split(",") if s.strip()]
+        extra_list = ([s.strip() for s in extra.split(",") if s.strip()]
+                      if extra else [])
+        names += extra_list
 
         fields = {}
         for n in names:
@@ -97,7 +104,48 @@ class SliceViewer:
             self.custom_bounds = (lo, hi)
         if v("colormap"):
             self.colormap = v("colormap")
+        if v("depth_view") is not None:
+            self.depth_view = v("depth_view") not in ("0", "false")
+        self.extra_fields = extra_list
         return self
+
+    # ------------------------------------------------- view <-> XML (Embed)
+    def view_xml(self) -> str:
+        """Serialize the current view back into a `<view>` XML block — the
+        reference's Embed toolbar action (getViewXML,
+        fibergen_gui.py:944-1032): non-default settings only, so the block
+        stays minimal and round-trips through :meth:`from_fg`."""
+        import xml.etree.ElementTree as ET
+        view = ET.Element("view")
+
+        def sub(tag, text):
+            e = ET.SubElement(view, tag)
+            e.text = str(text)
+
+        comp = "" if self.component == 0 else str(self.component)
+        sub("field", f"{self.field}{comp}")
+        sub("slice_dim", self.slice_dim)
+        sub("slice_index", repr(float(self.slice_index)))
+        if self.colormap != "jet":
+            sub("colormap", self.colormap)
+        if self.alpha != 0.0:
+            sub("alpha", repr(float(self.alpha)))
+        if self.interpolate:
+            sub("interpolate", 1)
+        if self.depth_view:
+            sub("depth_view", 1)
+        if self.custom_bounds is not None:
+            sub("custom_bounds", 1)
+            sub("vmin", repr(float(self.custom_bounds[0])))
+            sub("vmax", repr(float(self.custom_bounds[1])))
+        if self.extra_fields:
+            sub("extra_fields", ",".join(self.extra_fields))
+        indent = "\t"
+        view.text = "\n" + indent
+        for e in view:
+            e.tail = "\n" + indent
+        e.tail = "\n"
+        return ET.tostring(view, encoding="unicode")
 
     # ------------------------------------------------------------- slicing
     def current_slice(self) -> np.ndarray:
@@ -106,6 +154,14 @@ class SliceViewer:
         vol = f[c]
         ax = {"x": 0, "y": 1, "z": 2}[self.slice_dim]
         idx = int(round(self.slice_index * (vol.shape[ax] - 1)))
+        if self.depth_view and self.field == "phi":
+            # depth composite from the slice to the far boundary with
+            # exponential attenuation exp(-3 z / depth) (getCurrentSlice,
+            # fibergen_gui.py:1296-1331; like the reference, phi only)
+            depth = vol.shape[ax]
+            data = np.take(vol, range(idx, vol.shape[ax]), axis=ax)
+            z = np.indices(data.shape)[ax]
+            return np.max(data * np.exp((-3.0 / depth) * z), axis=ax)
         sl = np.take(vol, idx, axis=ax)
         return sl
 
@@ -154,6 +210,53 @@ class SliceViewer:
             raise ValueError("no grid attached")
         write_vtk(path, self.grid, self.fields)
 
+    def save_plot_export(self, path: str):
+        """Colormapped PNG of the current slice PLUS a standalone pgfplots
+        .tex wrapper with the active colormap serialized as 256 rgb255
+        entries — the reference's publication-export path
+        (fibergen_gui.py:1144-1215 + gui/plot_template.tex, re-derived).
+        Returns (png_path, tex_path)."""
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        base = path[:-4] if path.endswith((".png", ".tex")) else path
+        png_path, tex_path = base + ".png", base + ".tex"
+
+        sl = self.current_slice()
+        lo, hi = self.bounds(sl)
+        cmap = matplotlib.colormaps[self.colormap]
+        data = np.clip((np.rot90(sl.T) - lo) / (hi - lo or 1e-30), 0.0, 1.0)
+        rgba = cmap(data)
+        matplotlib.image.imsave(png_path, rgba)
+
+        import os
+        cm_lines = "\n".join(
+            "  rgb255=(%d, %d, %d);" % tuple(
+                int(v * 255.99) for v in cmap(c)[:3])
+            for c in np.linspace(0.0, 1.0, 256))
+        label = FIELD_LABELS.get(self.field, self.field)
+        png_name = os.path.basename(png_path)
+        tex = f"""% generated by fibergen_tpu: colormapped slice export
+\\documentclass{{standalone}}
+\\usepackage{{pgfplots}}
+\\pgfplotsset{{compat=1.16}}
+\\begin{{document}}
+\\begin{{tikzpicture}}
+\\begin{{axis}}[enlargelimits=false, axis on top, colorbar,
+  colormap={{embedded}}{{
+{cm_lines}
+  }},
+  point meta min={lo!r}, point meta max={hi!r},
+  colorbar style={{ylabel={{{label}[{self.component}]}}}}]
+\\addplot graphics [xmin=0, xmax={sl.shape[0]}, ymin=0,
+  ymax={sl.shape[1]}] {{{png_name}}};
+\\end{{axis}}
+\\end{{tikzpicture}}
+\\end{{document}}
+"""
+        with open(tex_path, "w") as f:
+            f.write(tex)
+        return png_path, tex_path
+
     # ---------------------------------------------------------- interactive
     def show(self):
         """Interactive viewer with sliders (requires a display)."""
@@ -183,6 +286,25 @@ class SliceViewer:
         s_slice.on_changed(update)
         r_field.on_clicked(update)
         plt.show()
+
+
+def embed_view_xml(xml_text: str, view_block: str) -> str:
+    """Insert or replace the `<view>` block in a project XML string — the
+    editor half of the reference's Embed action (saveCurrentView,
+    fibergen_gui.py:1033-1058): an existing `<view>...</view>` region is
+    replaced in place, otherwise the block is inserted before
+    `</settings>`."""
+    import re
+    indent = "\t"
+    sub = "\n".join(indent + ln for ln in view_block.split("\n"))
+    m = re.search(r"[ \t]*<view>.*?</view>[ \t]*", xml_text, flags=re.S)
+    pre, post = "\n", "\n"
+    if m is None:
+        m = re.search(r"\s*</settings>", xml_text)
+        if m is None:
+            return xml_text + pre + sub + "\n"
+        post = "\n\n</settings>\n"
+    return xml_text[:m.start()] + pre + sub + post + xml_text[m.end():]
 
 
 def list_demos(demo_dir: str):

@@ -192,3 +192,65 @@ def test_run_error_reported(win):
         "<actions><no_such_action /></actions></settings>")
     win.buttons["Run"].click()
     assert "ERROR" in win.output.toPlainText()
+
+
+def test_depth_mode_embed_and_tex_export(win, tmp_path):
+    """Round-4 GUI deltas: depth mode compositing, Embed-view XML round
+    trip (fibergen_gui.py:716-732, 825-828, 986-1102), full colormap list
+    and the PNG+TeX export with the serialized colormap."""
+    win.editor.setPlainText(XML)
+    win.buttons["Run"].click()
+    win.buttons["View results"].click()
+    tab = win.tabs.currentWidget()
+    v = tab.viewer
+
+    # full matplotlib colormap registry in the combo (not a short list)
+    assert tab.controls["cmap"].count() > 50
+
+    # depth mode: phi composites over depth; other fields are unaffected
+    tab.controls["field"].setCurrentText("phi")
+    tab.controls["depth"].setChecked(True)
+    assert v.depth_view
+    v.slice_dim = "z"
+    v.slice_index = 0.0
+    composite = v.current_slice()
+    v.depth_view = False
+    plain = v.current_slice()
+    assert composite.shape == plain.shape
+    assert np.all(composite >= plain - 1e-12)   # max over attenuated depth
+    assert composite.max() > 0
+    v.depth_view = True
+
+    # Embed: serialize the view into the editor XML, then read it back
+    tab.controls["cmap"].setCurrentText("viridis")
+    tab.controls["alpha"].setValue(0.02)
+    tab.embed_view()
+    xml2 = win.editor.toPlainText()
+    assert "<view>" in xml2 and "<depth_view>1</depth_view>" in xml2
+    assert "<colormap>viridis</colormap>" in xml2
+
+    # round trip: a fresh viewer built from the embedded XML reproduces
+    # the exact view state
+    import fibergen_tpu as fg
+    from fibergen_tpu.gui.viewer import SliceViewer
+    f2 = fg.FG()
+    f2.set_xml(xml2)
+    assert f2.run() == 0
+    v2 = SliceViewer.from_fg(f2)
+    assert v2.field == v.field and v2.component == v.component
+    assert v2.depth_view and v2.colormap == "viridis"
+    assert v2.alpha == pytest.approx(v.alpha)
+    assert v2.slice_dim == v.slice_dim
+    assert v2.slice_index == pytest.approx(v.slice_index)
+
+    # idempotent re-embed: the <view> block is replaced, not duplicated
+    tab.embed_view()
+    assert win.editor.toPlainText().count("<view>") == 1
+
+    # PNG + TeX export with the embedded 256-entry colormap
+    tex = tmp_path / "plot.tex"
+    _patch_save(str(tex))
+    tab.controls["tex"].click()
+    assert (tmp_path / "plot.png").stat().st_size > 200
+    body = tex.read_text()
+    assert body.count("rgb255=") == 256 and "pgfplots" in body
