@@ -155,6 +155,14 @@ def sphere_case(n, contrast):
 
 
 def main():
+    import jax
+    if jax.default_backend() == "cpu":
+        # the coarse correction (E^-1 solve + Galerkin projection) is
+        # f32-UNSTABLE: without x64 the requested float64 silently
+        # downcasts and deflated CG diverges while plain CG still
+        # converges (measured: n=32 contrast 10, rel 37.7 after 60 its
+        # in f32 vs 5.6e-7 in f64).  Enable x64 before any array exists.
+        jax.config.update("jax_enable_x64", True)
     from fibergen_tpu.core import fields
     from fibergen_tpu.utils.logging import LOG
     LOG.enabled = False

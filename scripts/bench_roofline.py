@@ -10,6 +10,11 @@ with %% of the best streaming rate observed in the same run.
 This reconciles the 230/300/470/650 GB/s figures PARITY quoted from
 separate round-3 studies into one auditable table (VERDICT r3 next-step
 #7).
+
+Timing convention (CLAUDE.md): axon's block_until_ready does NOT sync, so
+each pattern runs N times chained through a lax.scan CARRY inside one jit
+program (the data dependence defeats loop-invariant hoisting), and the
+wall time is read with a single float() sync, divided by N.
 """
 import os
 import sys
@@ -37,30 +42,37 @@ def main():
     fb = 4 * n**3                      # one f32 component field, bytes
     print(f"backend={jax.default_backend()} n={n} field={fb/2**20:.1f} MiB")
 
-    key = jax.random.key(0)
-    p6 = jax.random.normal(key, (6, n, n, n), jnp.float32)
+    p6 = jax.random.normal(jax.random.key(0), (6, n, n, n), jnp.float32)
     r6 = jax.random.normal(jax.random.key(1), (6, n, n, n), jnp.float32)
     e6 = jax.random.normal(jax.random.key(2), (6, n, n, n), jnp.float32)
+    w6 = jax.random.normal(jax.random.key(5), (6, n, n, n), jnp.float32)
     u3 = jax.random.normal(jax.random.key(3), (3, n, n, n), jnp.float32)
     mu_x = jnp.abs(jax.random.normal(jax.random.key(4), (n, n, n),
                                      jnp.float32)) + 1.0
     lam_x = mu_x * 0.5
 
-    N = 10
+    N = 20
     rows = []
 
-    def bench(name, fn, args, nbytes, reps=N):
-        # operands passed as jit ARGUMENTS: a nullary closure would bake
-        # the 400 MB fields into the program as constants and ship them
-        # through the remote-compile tunnel (~20 MB/s)
-        f = jax.jit(fn)
-        jax.block_until_ready(f(*args))     # compile
+    def bench(name, body, init, nbytes, reps=N):
+        """body(carry) -> carry; chained `reps` times inside one program.
+
+        The carry dependence forces every iteration to execute; float() on
+        the reduced result is the only host sync (one per timing run).
+        """
+        @jax.jit
+        def loop(c0):
+            def step(c, _):
+                return body(c), 0.0
+            c, _ = lax.scan(step, c0, None, length=reps)
+            leaves = jax.tree_util.tree_leaves(c)
+            return sum(jnp.asarray(l).ravel()[0].astype(jnp.float32)
+                       for l in leaves)
+        float(loop(init))                    # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(reps):
-                out = f(*args)
-            jax.block_until_ready(out)
+            float(loop(init))
             best = min(best, (time.perf_counter() - t0) / reps)
         gbs = nbytes / best / 1e9
         rows.append((name, best * 1e3, nbytes / fb, gbs))
@@ -68,40 +80,47 @@ def main():
 
     # 1. pure streaming copy-scale: r6 + w6
     bench("copy-scale y = 1.0001 x   (r6+w6)",
-          lambda p: p * 1.0001, (p6,), 12 * fb)
+          lambda c: c * 1.0001, p6, 12 * fb)
 
     # 2. CG axpy pair + delta reduction (the XLA tail of the fused step):
     #    eps' = eps + a p ; r' = r - a (p - w) ; delta = <r', r'>
-    def tail(e, r, p, w):
+    wv = jnp.asarray(voigt.weights(6), jnp.float32).reshape(6, 1, 1, 1)
+
+    def tail(c):
+        e, r = c
         a = jnp.float32(0.37)
-        eps2 = e + a * p
-        r2 = r - a * (p - w)
-        wv = jnp.asarray(voigt.weights(6), jnp.float32).reshape(6, 1, 1, 1)
+        eps2 = e + a * p6
+        r2 = r - a * (p6 - w6)
         delta = (r2 * wv * r2).sum()
-        return eps2, r2, delta
+        return eps2, r2 + delta * jnp.float32(1e-38)
 
-    bench("CG axpy tail + reduction  (r18+w12)", tail, (e6, r6, p6, e6),
-          30 * fb)
+    bench("CG axpy tail + reduction  (r24+w12)", tail, (e6, r6), 36 * fb)
 
-    # 3. reduction only: r6
+    # 3. reduction only: r6 (carry is the scalar; the 1e-38 perturbation
+    #    defeats hoisting without touching the traffic)
     bench("weighted dot              (r6)",
-          lambda p: (p * p).sum(), (p6,), 6 * fb)
+          lambda s: ((p6 + s * jnp.float32(1e-38)) * wv * p6).sum(),
+          jnp.float32(0.0), 6 * fb)
 
-    # 4/5. the two sweep kernels (min traffic: every field once)
+    # 4/5. the two sweep kernels (min traffic: every field once);
+    #      chained on their natural 6-component outputs
     if psw.supported(grid, 6, jnp.float32):
-        bench("stress+div sweep kernel   (r14+w9)",
-              lambda r, p, m, l: psw.stress_div_beta_sweep(
-                  grid, r, p, 0.5, m, l, 1.0, 0.0),
-              (r6, p6, mu_x, lam_x), 23 * fb)
-        bench("eps+dot sweep kernel      (r9+w6)",
-              lambda u, p: psw.eps_from_u_dot_sweep(
-                  grid, np.zeros(6), u, p), (u3, p6), 15 * fb)
+        def sweep1(c):
+            f, p = psw.stress_div_beta_sweep(
+                grid, r6, c, 0.5, mu_x, lam_x, 1.0, 0.0)
+            return p + f[0, 0, 0, 0] * jnp.float32(1e-38)
+        bench("stress+div sweep kernel   (r14+w9)", sweep1, p6, 23 * fb)
+
+        def sweep2(c):
+            w, dot = psw.eps_from_u_dot_sweep(grid, np.zeros(6), u3, c)
+            return w + dot * jnp.float32(1e-38)
+        bench("eps+dot sweep kernel      (r9+w6)", sweep2, p6, 15 * fb)
 
     # 6. spectral chain (3-comp fft+G0+ifft; MXU-bound, listed for the
     #    step budget, not the bandwidth roofline)
     bench("G0 chain fft+apply+ifft   (r3+w3+MXU)",
-          lambda u: green.g0_staggered_fused(grid, 1.0, 0.0, u, -1.0),
-          (u3,), 6 * fb)
+          lambda c: green.g0_staggered_fused(grid, 1.0, 0.0, c, -1.0),
+          u3, 6 * fb)
 
     best_gbs = max(g for _, _, _, g in rows)
     print("\n| Access pattern | ms | min fields moved | GB/s | % of best"
