@@ -28,6 +28,10 @@ def _enable_persistent_compilation_cache():
     try:
         import jax
 
+        from .utils import cpu_only_platform
+
+        if cpu_only_platform(jax) and not path:
+            return  # CPU AOT cache reloads log SIGILL-risk errors
         if (jax.config.jax_compilation_cache_dir is None
                 and "JAX_COMPILATION_CACHE_DIR" not in os.environ):
             if not path:

@@ -522,6 +522,9 @@ class FG:
             return
         try:
             import jax
+            from .utils import cpu_only_platform
+            if cpu_only_platform(jax) and not path:
+                return  # CPU AOT cache reloads log SIGILL-risk errors
             if jax.config.jax_compilation_cache_dir:
                 return  # user/process already configured one
             if not path:

@@ -65,6 +65,46 @@ def div_staggered(grid, tau):
     return out
 
 
+def eps_staggered_comp(grid, u, c):
+    """Single Voigt component of ``eps_staggered(grid, 0, u)`` without
+    stacking.  The 512^3 low-memory CG step evaluates the gradient
+    component-by-component (sequenced with optimization_barrier) so the
+    (6, nx, ny, nz) stacked temp — 3 GB at 512^3 f32, the allocation that
+    pushed the fused step past HBM — never exists."""
+    hx, hy, hz = _hs(grid)
+    ux, uy, uz = u[0], u[1], u[2]
+    if c == 0:
+        return _dp(ux, 0, hx)
+    if c == 1:
+        return _dp(uy, 1, hy)
+    if c == 2:
+        return _dp(uz, 2, hz)
+    if c == 3:
+        return 0.5 * (_dm(uz, 1, hy) + _dm(uy, 2, hz))
+    if c == 4:
+        return 0.5 * (_dm(uz, 0, hx) + _dm(ux, 2, hz))
+    return 0.5 * (_dm(uy, 0, hx) + _dm(ux, 1, hy))
+
+
+def div_stress_diff_comp(grid, p, two_dmu, ltr, i):
+    """Row ``i`` of ``div_staggered((C(x) - C0) : p)`` for an
+    all-isotropic linear material, with the 6-component stress never
+    stacked (low-memory CG companion of :func:`eps_staggered_comp`).
+    ``two_dmu`` = 2(mu(x) - mu_0) per voxel, ``ltr`` = (lam(x) - lam_0)
+    * tr(p) per voxel (pass 0.0 when both lambdas vanish)."""
+    hx, hy, hz = _hs(grid)
+
+    def t(c):
+        s = two_dmu * p[c]
+        return s + ltr if c < 3 else s
+
+    if i == 0:
+        return _dm(t(0), 0, hx) + _dp(t(5), 1, hy) + _dp(t(4), 2, hz)
+    if i == 1:
+        return _dp(t(5), 0, hx) + _dm(t(1), 1, hy) + _dp(t(3), 2, hz)
+    return _dp(t(4), 0, hx) + _dp(t(3), 1, hy) + _dm(t(2), 2, hz)
+
+
 def eps_staggered_heat(grid, E, u):
     """Staggered gradient of a scalar potential + mean gradient E
     (fibergen.cpp:18697-18758).  u: (1,nx,ny,nz) or (3,...) with comp 0 used."""

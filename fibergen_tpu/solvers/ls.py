@@ -400,23 +400,67 @@ class LSSolver:
             XLA CSE from merging the two gradient evaluations back into
             one materialized field).  Extra cost: one more read of u and p
             per iteration; saving: dim*nxyz*4 bytes of peak (3.2 GB at
-            512^3).  Same trajectory as cg_step (identical math)."""
+            512^3).  Same trajectory as cg_step (identical math).
+
+            For all-isotropic linear materials the step additionally runs
+            COMPONENT-WISE (eps_staggered_comp / div_stress_diff_comp),
+            with each component's reduction chained through an
+            optimization_barrier so XLA schedules them sequentially: no
+            stacked 6-component temp ever exists.  The stacked variant's
+            compile at 512^3 f32 measured 17.13 GB peak (3 GB stacked
+            gradient + slice temps) vs 15.75 GB HBM on v5e."""
             from ..ops import green
             from ..ops import staggered as stag
-            zero = jnp.zeros(self.dim, dt)
+            iso = (mat._all_iso()
+                   if getattr(mat, "_iso_linear", False) else None)
             beta = gamma / gamma_prev
-            p = r + beta * p_prev
-            tau = stress_diff(p, mu0, lam0)
-            f = stag.div_staggered(grid, tau)
+            if iso is None or self.dim != 6:
+                zero = jnp.zeros(self.dim, dt)
+                p = r + beta * p_prev
+                tau = stress_diff(p, mu0, lam0)
+                f = stag.div_staggered(grid, tau)
+                u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+                w1 = stag.eps_staggered(grid, zero, u)
+                denom = fields.inner_l2_diff(p, p, w1) + tiny
+                alpha = gamma / denom
+                u2 = jax.lax.optimization_barrier(u)
+                w2 = stag.eps_staggered(grid, zero, u2)
+                eps2 = eps + alpha * p
+                r2 = r - alpha * (p - w2)
+                delta = fields.inner_l2(r2, r2) + tiny
+                return eps2, r2, p, delta, gamma, metric(eps2)
+
+            mu_x, lam_x = iso
+            two_dmu = 2.0 * (mu_x - mu0)
+            wv = voigt.weights(6)
+            # direction update in place on the donated p_prev buffer
+            p = p_prev
+            for c in range(6):
+                p = p.at[c].set(r[c] + beta * p_prev[c])
+            ltr = (lam_x - lam0) * (p[0] + p[1] + p[2])
+            f = jnp.zeros((3,) + grid.shape, dt)
+            for i in range(3):
+                f = f.at[i].set(
+                    stag.div_stress_diff_comp(grid, p, two_dmu, ltr, i))
             u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
-            w1 = stag.eps_staggered(grid, zero, u)
-            denom = fields.inner_l2_diff(p, p, w1) + tiny
+            s = jnp.zeros((), dt)
+            uc = u
+            for c in range(6):
+                w1c = stag.eps_staggered_comp(grid, uc, c)
+                s = s + float(wv[c]) * (p[c] * (p[c] - w1c)).sum()
+                s, uc = jax.lax.optimization_barrier((s, uc))
+            denom = s / nxyz + tiny
             alpha = gamma / denom
-            u2 = jax.lax.optimization_barrier(u)
-            w2 = stag.eps_staggered(grid, zero, u2)
-            eps2 = eps + alpha * p
-            r2 = r - alpha * (p - w2)
-            delta = fields.inner_l2(r2, r2) + tiny
+            eps2, r2 = eps, r
+            delta = jnp.zeros((), dt)
+            for c in range(6):
+                w2c = stag.eps_staggered_comp(grid, uc, c)
+                rc = r[c] - alpha * (p[c] - w2c)
+                eps2 = eps2.at[c].add(alpha * p[c])
+                r2 = r2.at[c].set(rc)
+                delta = delta + float(wv[c]) * (rc * rc).sum()
+                delta, uc = jax.lax.optimization_barrier((delta, uc))
+            delta = delta / nxyz + tiny
             return eps2, r2, p, delta, gamma, metric(eps2)
 
         # shard_map plumbing for the fused sharded hot path: the Pallas

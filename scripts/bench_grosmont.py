@@ -36,6 +36,9 @@ def main():
     t0 = time.time()
     rc = f.run()
     wall = time.time() - t0
+    if "--timings" in sys.argv:
+        from fibergen_tpu.utils.logging import TIMINGS
+        print(TIMINGS.report(), file=sys.stderr)
     C = np.array(f.get_effective_property())
     print(json.dumps({
         "backend": backend,

@@ -54,25 +54,28 @@ def main():
     N = 20
     rows = []
 
-    def bench(name, body, init, nbytes, reps=N):
-        """body(carry) -> carry; chained `reps` times inside one program.
+    def bench(name, body, init, nbytes, ops=(), reps=N):
+        """body(carry, *ops) -> carry; chained `reps` times in one program.
 
         The carry dependence forces every iteration to execute; float() on
         the reduced result is the only host sync (one per timing run).
+        Field-sized operands MUST ride in `ops` (jit arguments) — a closure
+        would bake them into the program as constants and ship hundreds of
+        MB through the remote-compile tunnel at ~20 MB/s.
         """
         @jax.jit
-        def loop(c0):
+        def loop(c0, *ops):
             def step(c, _):
-                return body(c), 0.0
+                return body(c, *ops), 0.0
             c, _ = lax.scan(step, c0, None, length=reps)
             leaves = jax.tree_util.tree_leaves(c)
             return sum(jnp.asarray(l).ravel()[0].astype(jnp.float32)
                        for l in leaves)
-        float(loop(init))                    # compile + warm
+        float(loop(init, *ops))              # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(loop(init))
+            float(loop(init, *ops))
             best = min(best, (time.perf_counter() - t0) / reps)
         gbs = nbytes / best / 1e9
         rows.append((name, best * 1e3, nbytes / fb, gbs))
@@ -86,35 +89,38 @@ def main():
     #    eps' = eps + a p ; r' = r - a (p - w) ; delta = <r', r'>
     wv = jnp.asarray(voigt.weights(6), jnp.float32).reshape(6, 1, 1, 1)
 
-    def tail(c):
+    def tail(c, p, w):
         e, r = c
         a = jnp.float32(0.37)
-        eps2 = e + a * p6
-        r2 = r - a * (p6 - w6)
+        eps2 = e + a * p
+        r2 = r - a * (p - w)
         delta = (r2 * wv * r2).sum()
         return eps2, r2 + delta * jnp.float32(1e-38)
 
-    bench("CG axpy tail + reduction  (r24+w12)", tail, (e6, r6), 36 * fb)
+    bench("CG axpy tail + reduction  (r24+w12)", tail, (e6, r6), 36 * fb,
+          ops=(p6, w6))
 
     # 3. reduction only: r6 (carry is the scalar; the 1e-38 perturbation
     #    defeats hoisting without touching the traffic)
     bench("weighted dot              (r6)",
-          lambda s: ((p6 + s * jnp.float32(1e-38)) * wv * p6).sum(),
-          jnp.float32(0.0), 6 * fb)
+          lambda s, p: ((p + s * jnp.float32(1e-38)) * wv * p).sum(),
+          jnp.float32(0.0), 6 * fb, ops=(p6,))
 
     # 4/5. the two sweep kernels (min traffic: every field once);
     #      chained on their natural 6-component outputs
     if psw.supported(grid, 6, jnp.float32):
-        def sweep1(c):
+        def sweep1(c, r, mu, lam):
             f, p = psw.stress_div_beta_sweep(
-                grid, r6, c, 0.5, mu_x, lam_x, 1.0, 0.0)
+                grid, r, c, 0.5, mu, lam, 1.0, 0.0)
             return p + f[0, 0, 0, 0] * jnp.float32(1e-38)
-        bench("stress+div sweep kernel   (r14+w9)", sweep1, p6, 23 * fb)
+        bench("stress+div sweep kernel   (r14+w9)", sweep1, p6, 23 * fb,
+              ops=(r6, mu_x, lam_x))
 
-        def sweep2(c):
-            w, dot = psw.eps_from_u_dot_sweep(grid, np.zeros(6), u3, c)
+        def sweep2(c, u):
+            w, dot = psw.eps_from_u_dot_sweep(grid, np.zeros(6), u, c)
             return w + dot * jnp.float32(1e-38)
-        bench("eps+dot sweep kernel      (r9+w6)", sweep2, p6, 15 * fb)
+        bench("eps+dot sweep kernel      (r9+w6)", sweep2, p6, 15 * fb,
+              ops=(u3,))
 
     # 6. spectral chain (3-comp fft+G0+ifft; MXU-bound, listed for the
     #    step budget, not the bandwidth roofline)

@@ -632,3 +632,22 @@ def test_compile_cache_wisdom(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
         fg.FG._compile_cache_ready = True
+
+
+def test_compile_cache_cpu_gate(monkeypatch):
+    """The DEFAULT cache path is skipped on a cpu-only platform (XLA:CPU
+    AOT reloads log E-level SIGILL-risk feature-mismatch errors); an
+    explicit FIBERGEN_TPU_COMPILE_CACHE still wins (prior test)."""
+    import jax
+    from fibergen_tpu.utils import cpu_only_platform
+    assert cpu_only_platform(jax)  # suite runs pinned to cpu
+    prev = jax.config.jax_compilation_cache_dir
+    monkeypatch.delenv("FIBERGEN_TPU_COMPILE_CACHE", raising=False)
+    monkeypatch.setattr(fg.FG, "_compile_cache_ready", False)
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        fg.FG._init_compile_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        fg.FG._compile_cache_ready = True

@@ -150,3 +150,41 @@ def test_low_mem_cg_matches_standard(check_every):
     n = min(len(runs["off"][0]), len(runs["on"][0]))
     assert np.allclose(runs["on"][0][:n], runs["off"][0][:n], rtol=1e-9)
     assert np.allclose(runs["on"][1], runs["off"][1], rtol=1e-9)
+
+
+def test_low_mem_cg_generic_material_fallback():
+    """A non-isotropic material (LinearGeneral phase) cannot ride the
+    component-wise low-mem path; the stacked fallback must walk the same
+    trajectory as standard CG."""
+    from fibergen_tpu.materials import laws
+    from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+    from test_solver import layered_phi
+
+    def iso_C(mu, lam):
+        # Voigt matrix reproducing LinearIsotropic under LinearGeneral.pk1's
+        # weighted contraction (shear rows: C_ii * w_i = 2 mu, w_i = 2)
+        C = np.zeros((6, 6))
+        C[:3, :3] = lam
+        C[np.arange(3), np.arange(3)] += 2.0 * mu
+        C[np.arange(3, 6), np.arange(3, 6)] = mu
+        return C
+
+    grid = Grid(16, 8, 8)
+    C1 = iso_C(**M1)
+    C2 = iso_C(**M2)
+    C2[0, 1] = C2[1, 0] = C2[0, 1] * 1.2   # break isotropy
+
+    runs = {}
+    for lm in ("off", "on"):
+        phi1, phi2 = layered_phi(grid, 0.5)
+        mat = VoigtMixed([
+            Phase("a", laws.LinearGeneral(C=C1, dim=6), phi1),
+            Phase("b", laws.LinearGeneral(C=C2, dim=6), phi2)], dim=6)
+        s = _solver(grid, mat, error_estimator="residual",
+                    check_every=4, low_mem=lm)
+        s.set_strain([1, 0, 0, 0, 0, 0])
+        assert not s.run()
+        runs[lm] = (list(s.residuals), s.calc_mean_stress())
+    n = min(len(runs["off"][0]), len(runs["on"][0]))
+    assert np.allclose(runs["on"][0][:n], runs["off"][0][:n], rtol=1e-9)
+    assert np.allclose(runs["on"][1], runs["off"][1], rtol=1e-9)
