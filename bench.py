@@ -70,13 +70,27 @@ def steady_state_ips(n):
 
     E = jnp.asarray(np.array([1.0, 0, 0, 0, 0, 0]), solver.dtype)
     mf = solver.mat.fields()
-    eps, r, p, gamma, gamma_prev, _ = solver._k_cg_init(
-        mf, E, None, mu0=mu0, lam0=lam0)
+    K = solver.opt.check_every
+    lm6 = getattr(solver, "_lm6_capable", False)
+    if lm6:
+        # tuple-state low-memory chunks (the run loop's actual 512^3 unit)
+        eps, r, p, gamma, gamma_prev, _, _, _, _ = \
+            solver._lm6_init_chunk_n(K)(mf, E, mu0=mu0, lam0=lam0)
+
+        def chunk(eps, r, p, gamma, gamma_prev):
+            return solver._lm6_multi_n(K)(
+                mf, eps, r, p, gamma, gamma_prev, mu0=mu0, lam0=lam0)
+    else:
+        eps, r, p, gamma, gamma_prev, _ = solver._k_cg_init(
+            mf, E, None, mu0=mu0, lam0=lam0)
+
+        def chunk(eps, r, p, gamma, gamma_prev):
+            return solver._k_cg_multi(
+                mf, eps, r, p, gamma, gamma_prev, None, mu0=mu0, lam0=lam0)
 
     # warmup (compile); K iterations fused per device chunk (check_every)
-    K = solver.opt.check_every
-    eps, r, p, gamma, gamma_prev, gammas, mets = solver._k_cg_multi(
-        mf, eps, r, p, gamma, gamma_prev, None, mu0=mu0, lam0=lam0)
+    eps, r, p, gamma, gamma_prev, gammas, mets = chunk(
+        eps, r, p, gamma, gamma_prev)
     jax.block_until_ready(eps)
 
     # pipelined like the real loop (_run_cg): the gamma carry stays a
@@ -86,8 +100,8 @@ def steady_state_ips(n):
     pending = None
     t0 = time.perf_counter()
     for _ in range(chunks):
-        eps, r, p, gamma, gamma_prev, gammas, mets = solver._k_cg_multi(
-            mf, eps, r, p, gamma, gamma_prev, None, mu0=mu0, lam0=lam0)
+        eps, r, p, gamma, gamma_prev, gammas, mets = chunk(
+            eps, r, p, gamma, gamma_prev)
         if pending is not None:
             np.asarray(pending[0]); np.asarray(pending[1])
         pending = (gammas, mets)

@@ -675,6 +675,123 @@ class LSSolver:
                         gamma0, met0)
             return cg_init_chunk
 
+        # ---- tuple-state low-memory CG (single-chip 512^3) -------------
+        # The stacked low-mem step still peaked 17.13 GB at 512^3 f32: the
+        # donated (6,nx,ny,nz) while-carries double-buffer through the .at
+        # update chains (the compiler materializes a fresh 3 GB stacked
+        # temp per update pass).  The lm6 path instead keeps eps/r/p as
+        # SIX separate (nx,ny,nz) leaves ACROSS chunk programs: every leaf
+        # aliases in place inside the while loop, the worst transient is
+        # one 0.5 GB component, and no (6,...) buffer exists anywhere.
+        # self.eps is restacked once after convergence.  Math is identical
+        # to cg_step (same trajectory); single chip, trivial BCs,
+        # elasticity/staggered, all-isotropic linear materials only.
+        wv6 = [float(w) for w in voigt.weights(6)]
+
+        def lm6_metric(eps_t):
+            if kind == "epsilon":
+                return jnp.sqrt(jnp.stack([(e * e).mean() for e in eps_t]))
+            if kind in ("sigma", "energy"):
+                mu_x, lam_x = mat._all_iso()
+                ltr = lam_x * (eps_t[0] + eps_t[1] + eps_t[2])
+                if kind == "sigma":
+                    return jnp.stack([
+                        (2.0 * mu_x * eps_t[c] + (ltr if c < 3 else 0.0)).mean()
+                        for c in range(6)])
+                s = jnp.zeros((), dt)
+                for c in range(6):
+                    sc = 2.0 * mu_x * eps_t[c] + (ltr if c < 3 else 0.0)
+                    s = s + 0.5 * wv6[c] * (sc * eps_t[c]).mean()
+                return s
+            return jnp.zeros((), dt)
+
+        def lm6_krylov_u(p_t, mu0, lam0):
+            """Displacement u = -G0 div((C-C0):p) for a 6-tuple direction;
+            the stress is never stacked (div_stress_diff_comp) and callers
+            read component gradients off u on the fly.  The three rows are
+            barrier-chained with ltr recomputed per row so no shear-stress
+            or trace temp stays live across rows (each is one read of p
+            and two of the moduli — cheaper than 0.5 GB of 512^3 peak)."""
+            from ..ops import green
+            from ..ops import staggered as stag
+            mu_x, lam_x = mat._all_iso()
+            two_dmu = 2.0 * (mu_x - mu0)
+            rows = []
+            pb = p_t
+            for i in range(3):
+                ltr = (lam_x - lam0) * (pb[0] + pb[1] + pb[2])
+                rows.append(
+                    stag.div_stress_diff_comp(grid, pb, two_dmu, ltr, i))
+                rows[-1], pb = jax.lax.optimization_barrier((rows[-1], pb))
+            f = jnp.stack(rows)
+            return green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+
+        def lm6_step(eps_t, r_t, p_prev_t, gamma, gamma_prev, mu0, lam0):
+            from ..ops import staggered as stag
+            beta = gamma / gamma_prev
+            p_t = tuple(r_t[c] + beta * p_prev_t[c] for c in range(6))
+            u = lm6_krylov_u(p_t, mu0, lam0)
+            s = jnp.zeros((), dt)
+            uc = u
+            for c in range(6):
+                w1c = stag.eps_staggered_comp(grid, uc, c)
+                s = s + wv6[c] * (p_t[c] * (p_t[c] - w1c)).sum()
+                s, uc = jax.lax.optimization_barrier((s, uc))
+            alpha = gamma / (s / nxyz + tiny)
+            eps2, r2 = [], []
+            delta = jnp.zeros((), dt)
+            for c in range(6):
+                w2c = stag.eps_staggered_comp(grid, uc, c)
+                rc = r_t[c] - alpha * (p_t[c] - w2c)
+                eps2.append(eps_t[c] + alpha * p_t[c])
+                r2.append(rc)
+                delta = delta + wv6[c] * (rc * rc).sum()
+                delta, uc = jax.lax.optimization_barrier((delta, uc))
+            delta = delta / nxyz + tiny
+            return (tuple(eps2), tuple(r2), p_t, delta, gamma,
+                    lm6_metric(tuple(eps2)))
+
+        def lm6_init(E, mu0, lam0):
+            """r0 = krylov(E) componentwise (eps0 == E so the E - eps term
+            vanishes; see cg_init)."""
+            from ..ops import staggered as stag
+            Ej = jnp.asarray(E, dt)
+            eps_t = tuple(jnp.full(grid.shape, Ej[c], dt) for c in range(6))
+            u = lm6_krylov_u(tuple(Ej[c] for c in range(6)), mu0, lam0)
+            r_t = []
+            gamma0 = jnp.zeros((), dt)
+            uc = u
+            for c in range(6):
+                rc = stag.eps_staggered_comp(grid, uc, c)
+                r_t.append(rc)
+                gamma0 = gamma0 + wv6[c] * (rc * rc).sum()
+                gamma0, uc = jax.lax.optimization_barrier((gamma0, uc))
+            gamma0 = gamma0 / nxyz + tiny
+            return eps_t, tuple(r_t), gamma0, lm6_metric(eps_t)
+
+        def make_lm6_multi(length):
+            def lm6_multi(eps_t, r_t, p_t, gamma, gamma_prev, mu0, lam0):
+                def body(carry, _):
+                    e, r, p, g, gp = carry
+                    e2, r2, p2, delta, g2, met = lm6_step(
+                        e, r, p, g, gp, mu0, lam0)
+                    return (e2, r2, p2, delta, g2), (g, met)
+
+                (eps_t, r_t, p_t, gamma, gamma_prev), (gammas, mets) = \
+                    jax.lax.scan(body, (eps_t, r_t, p_t, gamma, gamma_prev),
+                                 None, length=length)
+                return eps_t, r_t, p_t, gamma, gamma_prev, gammas, mets
+            return lm6_multi
+
+        def make_lm6_init_chunk(length):
+            def lm6_init_chunk(E, mu0, lam0):
+                eps_t, r_t, gamma0, met0 = lm6_init(E, mu0, lam0)
+                p0 = tuple(jnp.zeros(grid.shape, dt) for _ in range(6))
+                out = make_lm6_multi(length)(eps_t, r_t, p0, gamma0, gamma0,
+                                             mu0, lam0)
+                return (*out, gamma0, met0)
+            return lm6_init_chunk
+
         # ---- batched multi-RHS CG -------------------------------------
         # calc_effective_properties solves dim load cases against the SAME
         # operator; the reference runs them strictly sequentially
@@ -859,8 +976,36 @@ class LSSolver:
                 _chunk_cache[("init", length)] = fn
             return fn
 
+        def lm6_multi_n(length):
+            fn = _chunk_cache.get(("lm6", length))
+            if fn is None:
+                fn = mjit(make_lm6_multi(length),
+                          static_argnames=("mu0", "lam0"),
+                          donate_argnums=(1, 2, 3))
+                _chunk_cache[("lm6", length)] = fn
+            return fn
+
+        def lm6_init_chunk_n(length):
+            fn = _chunk_cache.get(("lm6i", length))
+            if fn is None:
+                fn = mjit(make_lm6_init_chunk(length),
+                          static_argnames=("mu0", "lam0"))
+                _chunk_cache[("lm6i", length)] = fn
+            return fn
+
         self._cg_multi_n = cg_multi_n
         self._cg_init_chunk_n = cg_init_chunk_n
+        self._lm6_multi_n = lm6_multi_n
+        self._lm6_init_chunk_n = lm6_init_chunk_n
+        self._k_stack6 = jax.jit(lambda t: jnp.stack(t))
+        # tuple-state low-mem qualification (per-solve bca/dim2 checked in
+        # _run_cg); laws checked for iso_moduli WITHOUT forcing an eager
+        # _all_iso mix (eager jnp on axon remote-compiles tiny programs)
+        self._lm6_capable = (
+            self._low_mem and self.dim == 6 and par is None
+            and getattr(mat, "_iso_linear", False)
+            and all(getattr(p.law, "iso_moduli", None) is not None
+                    for p in getattr(mat, "phases", ())))
         self._k_cg_multi = cg_multi_n(max(1, self.opt.check_every))
         self._k_cg_reinit = jit(cg_recompute_residual)
         self._k_means = mjit(mean_values)
@@ -1328,7 +1473,10 @@ class LSSolver:
 
         K = max(1, int(self.opt.check_every))
         if K > 1:
-            return self._run_cg_chunked(ee, Ej, bca, mu0, lam0, dim2, K)
+            lm6 = (getattr(self, "_lm6_capable", False)
+                   and bca is None and not dim2)
+            return self._run_cg_chunked(ee, Ej, bca, mu0, lam0, dim2, K,
+                                        lm6=lm6)
 
         eps, r, p, gamma, gamma_prev, met0 = self._k_cg_init(
             self.mat.fields(), Ej, bca, mu0=mu0, lam0=lam0, dim2=dim2)
@@ -1357,7 +1505,7 @@ class LSSolver:
             gamma_prev = float(gp) if not isinstance(gp, float) else gp
             gamma = float(delta)
 
-    def _run_cg_chunked(self, ee, Ej, bca, mu0, lam0, dim2, K):
+    def _run_cg_chunked(self, ee, Ej, bca, mu0, lam0, dim2, K, lm6=False):
         """check_every > 1 host loop for the linear CG.
 
         Two latency hiders on top of the fused K-iteration chunks:
@@ -1380,10 +1528,17 @@ class LSSolver:
         """
         from collections import deque
         mf = self.mat.fields()
-        eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
-            self._cg_init_chunk_n(K)(mf, Ej, bca,
-                                     mu0=mu0, lam0=lam0, dim2=dim2)
-        self.eps = eps
+        if lm6:
+            # tuple-state low-memory path: eps/r/p are 6-tuples of
+            # (nx,ny,nz) leaves across programs; self.eps is restacked
+            # once after convergence (bca is None here by qualification)
+            eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
+                self._lm6_init_chunk_n(K)(mf, Ej, mu0=mu0, lam0=lam0)
+        else:
+            eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
+                self._cg_init_chunk_n(K)(mf, Ej, bca,
+                                         mu0=mu0, lam0=lam0, dim2=dim2)
+            self.eps = eps
         pend = deque([(K, gammas, mets)])
         dispatched = K
         state = {"gamma0": None, "it": 0, "done": False}
@@ -1391,10 +1546,14 @@ class LSSolver:
 
         def dispatch(L):
             nonlocal eps, r, p, gamma, gamma_prev, dispatched
-            eps, r, p, gamma, gamma_prev, gs, ms = self._cg_multi_n(L)(
-                mf, eps, r, p, gamma, gamma_prev, bca,
-                mu0=mu0, lam0=lam0, dim2=dim2)
-            self.eps = eps
+            if lm6:
+                eps, r, p, gamma, gamma_prev, gs, ms = self._lm6_multi_n(L)(
+                    mf, eps, r, p, gamma, gamma_prev, mu0=mu0, lam0=lam0)
+            else:
+                eps, r, p, gamma, gamma_prev, gs, ms = self._cg_multi_n(L)(
+                    mf, eps, r, p, gamma, gamma_prev, bca,
+                    mu0=mu0, lam0=lam0, dim2=dim2)
+                self.eps = eps
             pend.append((L, gs, ms))
             dispatched += L
 
@@ -1429,6 +1588,11 @@ class LSSolver:
                         dispatch(L)
                         n -= L
             check_front()
+        if lm6:
+            # free r/p leaves BEFORE stacking so the (6,...) output buffer
+            # fits next to the eps leaves at 512^3
+            del r, p
+            self.eps = self._k_stack6(eps)
 
     def _predict_remaining(self, K, dispatched):
         """Geometric-decay extrapolation of the relative-error trajectory:

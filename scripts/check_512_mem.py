@@ -48,11 +48,21 @@ def main():
     import jax.tree_util as jtu
     mf_abs = jtu.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), mf)
-    f6 = jax.ShapeDtypeStruct((6, n, n, n), jnp.float32)
     sc = jax.ShapeDtypeStruct((), jnp.float32)
-    comp = s._cg_multi_n(K).lower(
-        mf_abs, f6, f6, f6, sc, sc, None,
-        mu0=s.mu_0, lam0=s.lambda_0).compile()
+    if low_mem == "on" and s._lm6_capable and "--stacked" not in sys.argv:
+        # the run loop's actual 512^3 unit: tuple-state leaves, no (6,...)
+        f1 = jax.ShapeDtypeStruct((n, n, n), jnp.float32)
+        t6 = (f1,) * 6
+        print("lowering: lm6 tuple-state chunk")
+        comp = s._lm6_multi_n(K).lower(
+            mf_abs, t6, t6, t6, sc, sc,
+            mu0=s.mu_0, lam0=s.lambda_0).compile()
+    else:
+        f6 = jax.ShapeDtypeStruct((6, n, n, n), jnp.float32)
+        print("lowering: stacked chunk")
+        comp = s._cg_multi_n(K).lower(
+            mf_abs, f6, f6, f6, sc, sc, None,
+            mu0=s.mu_0, lam0=s.lambda_0).compile()
     m = comp.memory_analysis()
     for k in ("argument_size_in_bytes", "output_size_in_bytes",
               "temp_size_in_bytes", "alias_size_in_bytes",

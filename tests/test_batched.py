@@ -152,6 +152,30 @@ def test_low_mem_cg_matches_standard(check_every):
     assert np.allclose(runs["on"][1], runs["off"][1], rtol=1e-9)
 
 
+@pytest.mark.parametrize("estimator", ["residual", "epsilon", "sigma",
+                                       "energy"])
+def test_lm6_tuple_path_matches_standard(estimator):
+    """The tuple-state low-mem chunked CG (lm6: per-component leaves across
+    programs, no stacked (6,...) buffer) must walk the standard trajectory
+    and produce identical metrics for every estimator kind."""
+    from test_solver import elastic_material
+
+    grid = Grid(16, 8, 8)
+    runs = {}
+    for lm in ("off", "on"):
+        mat = elastic_material(grid, M1, M2)
+        s = _solver(grid, mat, error_estimator=estimator,
+                    check_every=4, low_mem=lm)
+        if lm == "on":
+            assert s._lm6_capable  # the tuple path actually engages
+        s.set_strain([1, 0, 0, 0.3, 0, 0])
+        assert not s.run()
+        runs[lm] = (list(s.residuals), s.calc_mean_stress())
+    n = min(len(runs["off"][0]), len(runs["on"][0]))
+    assert np.allclose(runs["on"][0][:n], runs["off"][0][:n], rtol=1e-9)
+    assert np.allclose(runs["on"][1], runs["off"][1], rtol=1e-9)
+
+
 def test_low_mem_cg_generic_material_fallback():
     """A non-isotropic material (LinearGeneral phase) cannot ride the
     component-wise low-mem path; the stacked fallback must walk the same
