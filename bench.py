@@ -73,7 +73,11 @@ def steady_state_ips(n):
     K = solver.opt.check_every
     lm6 = getattr(solver, "_lm6_capable", False)
     if lm6:
-        # tuple-state low-memory chunks (the run loop's actual 512^3 unit)
+        # tuple-state low-memory chunks (the run loop's actual 512^3 unit).
+        # Free the (6,n,n,n) const field first: lm6 never reads it, and at
+        # 512^3 its 3 GiB sits next to the 14.1 GiB chunk program —
+        # runtime OOM even though the AOT estimate fits.
+        solver.eps = None
         eps, r, p, gamma, gamma_prev, _, _, _, _ = \
             solver._lm6_init_chunk_n(K)(mf, E, mu0=mu0, lam0=lam0)
 

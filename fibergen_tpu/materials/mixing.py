@@ -240,25 +240,18 @@ class MixedMaterial:
         e = jnp.linalg.eigvalsh(Cmat)
         return e.min(), e.max()
 
-    def _eig_range_nonlinear_chunked(self, F, zero_trace, chunk=65536):
-        """Voigt-rule tangent eigen bounds in flat voxel chunks (see
-        _eig_range_nonlinear).  Chunk padding repeats leading voxels, which
-        cannot move a min/max."""
+    def _eig_flat(self, Ff, pf, zero_trace, chunk=65536):
+        """Tangent eigen min/max over flat voxels: Ff (dim, n), pf
+        (n_phases, n); n must be a multiple of ``chunk`` (or smaller than
+        it).  Shared by the single-program chunked path and the host-split
+        large-grid path."""
         dim = self._dim
-        nvox = int(np.prod(F.shape[1:]))
-        ch = min(chunk, nvox)
-        Ff = F.reshape(dim, nvox)
-        phis = jnp.stack([
-            jnp.broadcast_to(p.phi, F.shape[1:]).reshape(nvox).astype(F.dtype)
-            for p in self.phases])
-        pad = (-nvox) % ch
-        if pad:
-            Ff = jnp.concatenate([Ff, Ff[:, :pad]], axis=1)
-            phis = jnp.concatenate([phis, phis[:, :pad]], axis=1)
-        nch = Ff.shape[1] // ch
+        n = Ff.shape[1]
+        ch = min(chunk, n)
+        nch = n // ch
         Fc = jnp.moveaxis(Ff.reshape(dim, nch, ch), 1, 0)          # (nch, dim, ch)
-        pc = jnp.moveaxis(phis.reshape(len(self.phases), nch, ch), 1, 0)
-        eye = jnp.eye(dim, dtype=F.dtype)
+        pc = jnp.moveaxis(pf.reshape(pf.shape[0], nch, ch), 1, 0)
+        eye = jnp.eye(dim, dtype=Ff.dtype)
 
         def one(args):
             Fk, pk = args
@@ -280,6 +273,83 @@ class MixedMaterial:
 
         mins, maxs = jax.lax.map(one, (Fc, pc))
         return mins.min(), maxs.max()
+
+    def _eig_range_nonlinear_chunked(self, F, zero_trace, chunk=65536):
+        """Voigt-rule tangent eigen bounds in flat voxel chunks (see
+        _eig_range_nonlinear).  Chunk padding repeats leading voxels, which
+        cannot move a min/max."""
+        dim = self._dim
+        nvox = int(np.prod(F.shape[1:]))
+        ch = min(chunk, nvox)
+        Ff = F.reshape(dim, nvox)
+        phis = jnp.stack([
+            jnp.broadcast_to(p.phi, F.shape[1:]).reshape(nvox).astype(F.dtype)
+            for p in self.phases])
+        pad = (-nvox) % ch
+        if pad:
+            Ff = jnp.concatenate([Ff, Ff[:, :pad]], axis=1)
+            phis = jnp.concatenate([phis, phis[:, :pad]], axis=1)
+        return self._eig_flat(Ff, phis, zero_trace, chunk=ch)
+
+    # Largest voxel count the single-program eigvalsh pass may handle: one
+    # 256^3 (16.7M voxel) lax.map-of-eigvalsh program crashed the TPU worker
+    # through the axon tunnel, while 128^3 (2.1M) is fine.
+    HOST_EIG_VOX = 1 << 21
+
+    def needs_host_eig(self, F) -> bool:
+        """True when eig_range(F) would run the chunked eigvalsh pass on a
+        grid too large for one device program (see HOST_EIG_VOX).  Callers
+        (LSSolver.calc_ref_material) then use eig_range_host instead."""
+        if self.rule != "voigt":
+            return False
+        if int(np.prod(F.shape[1:])) <= self.HOST_EIG_VOX:
+            return False
+        if self._all_iso() is not None:
+            return False
+        return any(p.law.eig_range_const() is None for p in self.phases)
+
+    def eig_range_host(self, F, zero_trace=False):
+        """Large-grid nonlinear eig_range split across several SHORT device
+        programs (getRefMaterial, fibergen.cpp:12153-12236, for the
+        hyperelastic case).  One compiled slice program is reused over
+        shifted windows (the window start is a traced scalar), chaining the
+        running (lmin, lmax) through device scalars so the host syncs once
+        at the end.  The tail window overlaps the previous one — repeated
+        voxels cannot move a min/max."""
+        dim = self._dim
+        nvox = int(np.prod(F.shape[1:]))
+        V = min(self.HOST_EIG_VOX, nvox)
+        cache = getattr(self, "_eig_host_cache", None)
+        if cache is None:
+            cache = self._eig_host_cache = {}
+        key = (bool(zero_trace), V)
+        if key not in cache:
+            def prep(F, phis):
+                Ff = F.reshape(dim, -1)
+                pf = jnp.stack([
+                    jnp.broadcast_to(ph, F.shape[1:]).reshape(-1).astype(F.dtype)
+                    for ph in phis])
+                # initial running bounds built on-device here (an eager
+                # jnp scalar would remote-compile its own tiny program
+                # through the axon tunnel)
+                return (Ff, pf, jnp.asarray(jnp.inf, F.dtype),
+                        jnp.asarray(-jnp.inf, F.dtype))
+
+            def slice_prog(Ff, pf, start, lmin, lmax):
+                Fk = jax.lax.dynamic_slice(Ff, (0, start), (dim, V))
+                pk = jax.lax.dynamic_slice(pf, (0, start), (pf.shape[0], V))
+                lo, hi = self._eig_flat(Fk, pk, zero_trace)
+                return jnp.minimum(lmin, lo), jnp.maximum(lmax, hi)
+
+            cache[key] = (jax.jit(prep), jax.jit(slice_prog))
+        prep, slice_prog = cache[key]
+        Ff, pf, lmin, lmax = prep(F, [p.phi for p in self.phases])
+        starts = list(range(0, nvox - V + 1, V))
+        if starts[-1] != nvox - V:
+            starts.append(nvox - V)
+        for s in starts:
+            lmin, lmax = slice_prog(Ff, pf, s, lmin, lmax)
+        return lmin, lmax
 
     def _all_iso(self):
         """If every phase law exposes iso_moduli, return per-voxel

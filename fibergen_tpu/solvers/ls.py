@@ -1067,7 +1067,15 @@ class LSSolver:
             lmin, lmax = self._eig_memo[1]
         else:
             with timer("calc ref material"):
-                lmin, lmax = self._k_eig(mf, self.eps)
+                if getattr(self.mat, "needs_host_eig", None) is not None \
+                        and self.mat.needs_host_eig(self.eps):
+                    # large nonlinear grids: one grid-sized eigvalsh
+                    # program crashed the TPU worker at 256^3; split the
+                    # pass across short reused slice programs instead
+                    lmin, lmax = self.mat.eig_range_host(
+                        self.eps, zero_trace=(self.mode == "viscosity"))
+                else:
+                    lmin, lmax = self._k_eig(mf, self.eps)
                 lmin, lmax = float(lmin), float(lmax)
             if key is not None:
                 self._eig_memo = (key, (lmin, lmax))
@@ -1531,7 +1539,13 @@ class LSSolver:
         if lm6:
             # tuple-state low-memory path: eps/r/p are 6-tuples of
             # (nx,ny,nz) leaves across programs; self.eps is restacked
-            # once after convergence (bca is None here by qualification)
+            # once after convergence (bca is None here by qualification).
+            # The (6,nx,ny,nz) const field _run_impl seeded is never an
+            # input here (lm6_init rebuilds eps_t from E on device) — at
+            # 512^3 it is 3 GiB that would otherwise sit in HBM next to
+            # the 14.1 GiB chunk program and tip it over the 15.75 GiB
+            # capacity at runtime (the AOT estimate can't see it).
+            self.eps = None
             eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
                 self._lm6_init_chunk_n(K)(mf, Ej, mu0=mu0, lam0=lam0)
         else:

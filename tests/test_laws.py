@@ -198,3 +198,38 @@ def test_hyper_eig_range_chunked_matches_full_grid():
     lo, hi = mat.eig_range(F)
     np.testing.assert_allclose(float(lo), lo_ref, rtol=1e-10)
     np.testing.assert_allclose(float(hi), hi_ref, rtol=1e-10)
+
+def test_hyper_eig_range_host_split_matches_single_program(monkeypatch):
+    """eig_range_host (large grids: the eigvalsh pass split across several
+    short device programs — one 256^3 program crashed the TPU worker) must
+    reproduce eig_range's single-program bounds, including a window count
+    that does not divide the voxel count (the tail window overlaps)."""
+    from fibergen_tpu.materials import mixing
+    from fibergen_tpu.materials.mixing import Phase, VoigtMixed
+
+    rng = np.random.default_rng(12)
+    shape = (7, 3, 3)  # 63 voxels
+    F = jnp.asarray(np.tile(np.array([1.0, 1, 1, 0, 0, 0, 0, 0, 0]),
+                            (*shape, 1)).transpose(3, 0, 1, 2)
+                    + 0.05 * rng.standard_normal((9, *shape)))
+    phi = jnp.asarray(rng.uniform(size=shape))
+    mat = VoigtMixed([
+        Phase("a", laws.SaintVenantKirchhoff(mu=10.0, lam=5.0), phi),
+        Phase("b", laws.NeoHooke(mu=1.0, lam=1.0), 1.0 - phi),
+    ], dim=9)
+
+    lo_ref, hi_ref = map(float, mat.eig_range(F))
+    assert not mat.needs_host_eig(F)  # 63 voxels: single program suffices
+
+    monkeypatch.setattr(mixing.MixedMaterial, "HOST_EIG_VOX", 16)
+    assert mat.needs_host_eig(F)  # 63 > 16: host split engages
+    for zt in (False,):
+        lo, hi = mat.eig_range_host(F, zero_trace=zt)
+        np.testing.assert_allclose(float(lo), lo_ref, rtol=1e-10)
+        np.testing.assert_allclose(float(hi), hi_ref, rtol=1e-10)
+
+    # zero_trace variant consistent with the single-program path too
+    lo_zt_ref, hi_zt_ref = map(float, mat.eig_range(F, zero_trace=True))
+    lo, hi = mat.eig_range_host(F, zero_trace=True)
+    np.testing.assert_allclose(float(lo), lo_zt_ref, rtol=1e-10)
+    np.testing.assert_allclose(float(hi), hi_zt_ref, rtol=1e-10)
