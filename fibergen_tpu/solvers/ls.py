@@ -1351,8 +1351,13 @@ class LSSolver:
 
             # snapshot the last-converged state so a diverged attempt can be
             # rolled back (jax arrays are immutable: holding the reference
-            # is a free checkpoint)
-            eps_entry = self.eps
+            # is a free checkpoint).  At the FIRST loadstep self.eps is
+            # still the constant seed _run_impl just created — snapshot the
+            # recipe (None), not the array: holding the (dim,n,n,n) buffer
+            # would pin 3 GiB of HBM next to the 512^3 low-memory CG
+            # chunks for the whole solve (runtime OOM the AOT estimate
+            # cannot see).
+            eps_entry = None if istep == first else self.eps
             history_entry = list(history)
 
             order = self.opt.loadstep_extrapolation_order
@@ -1381,7 +1386,12 @@ class LSSolver:
                     f"(split {splits + 1}/{self.opt.max_loadstep_splits})")
                 params.insert(istep, mid)
                 splits += 1
-                self.eps = eps_entry
+                if eps_entry is None:
+                    vec = (self._id if self.mode == "hyperelasticity"
+                           else np.zeros(self.dim))
+                    self.eps = fields.const_field(self.grid, vec, self.dtype)
+                else:
+                    self.eps = eps_entry
                 history = history_entry
                 self._canceled = False
                 self._diverged = False
@@ -1666,6 +1676,18 @@ class LSSolver:
         if self.eps is None:
             self.eps = fields.const_field(
                 self.grid, np.zeros(self.dim), self.dtype)
+        # precompute the mixed-moduli cache eagerly, exactly like _run_impl:
+        # traced programs (the eig pass, the batched chunks) read the cached
+        # moduli SLOTS when the cache is warm and re-mix phi fields inline
+        # when cold — i.e. the HLO depends on this ordering.  Keeping it
+        # deterministic is what makes the persistent compile cache hit on
+        # warm runs (a Grosmont warm run once paid a fresh 26 s eig compile
+        # purely because run_batched skipped this step).
+        if all(p.phi is not None for p in self.mat.phases):
+            try:
+                self.mat._all_iso()
+            except (AttributeError, NotImplementedError):
+                pass
         self._maybe_update_ref()
         mu0, lam0 = self.mu_0, self.lambda_0
         # "auto" defers to pallas_chain.middle_enabled's shape/VMEM policy
