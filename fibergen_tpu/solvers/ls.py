@@ -1057,6 +1057,11 @@ class LSSolver:
         values).  Repeat solves against the same material — every loadstep,
         every load case of calc_effective_properties, the timed second
         bench solve — skip the eig pass and its host sync."""
+        # evaluate the host-split gate BEFORE capturing the field slots:
+        # needs_host_eig may warm the mixed-moduli cache (_all_iso), which
+        # ADDS slots — a stale mf would then fail mat.bound()'s state check
+        host_eig = (getattr(self.mat, "needs_host_eig", None) is not None
+                    and self.mat.needs_host_eig(self.eps))
         mf = self.mat.fields()
         linear = getattr(self.mat, "_iso_linear", False) or (
             self.mode in ("elasticity", "heat", "porous", "viscosity"))
@@ -1067,8 +1072,7 @@ class LSSolver:
             lmin, lmax = self._eig_memo[1]
         else:
             with timer("calc ref material"):
-                if getattr(self.mat, "needs_host_eig", None) is not None \
-                        and self.mat.needs_host_eig(self.eps):
+                if host_eig:
                     # large nonlinear grids: one grid-sized eigvalsh
                     # program crashed the TPU worker at 256^3; split the
                     # pass across short reused slice programs instead

@@ -233,3 +233,28 @@ def test_hyper_eig_range_host_split_matches_single_program(monkeypatch):
     lo, hi = mat.eig_range_host(F, zero_trace=True)
     np.testing.assert_allclose(float(lo), lo_zt_ref, rtol=1e-10)
     np.testing.assert_allclose(float(hi), hi_zt_ref, rtol=1e-10)
+
+
+def test_calc_ref_material_gate_order_iso_linear(monkeypatch):
+    """Regression: needs_host_eig may warm the mixed-moduli cache, which
+    ADDS material field slots — calc_ref_material must evaluate the gate
+    BEFORE capturing mat.fields() or bound() fails with 'material field
+    state changed' on any large iso-linear grid (bench.py 256 hit this)."""
+    import fibergen_tpu as fg
+    from fibergen_tpu.materials import mixing
+
+    grid = fg.Grid(8, 4, 4)
+    phi = jnp.asarray(np.zeros(grid.shape, np.float64))
+    phi = phi.at[:4].set(1.0)
+    mat = fg.VoigtMixed([
+        fg.Phase("a", fg.LinearIsotropic(mu=10.0, lam=5.0), phi),
+        fg.Phase("b", fg.LinearIsotropic(mu=1.0, lam=1.0), 1.0 - phi),
+    ], dim=6)
+    s = fg.LSSolver(grid, mat, fg.SolverOptions(mode="elasticity"))
+    s.set_strain([1.0, 0, 0, 0, 0, 0])
+    from fibergen_tpu.core import fields as fmod
+    s.eps = fmod.const_field(grid, np.zeros(6), s.dtype)
+    # force the size gate open so needs_host_eig runs its _all_iso probe
+    monkeypatch.setattr(mixing.MixedMaterial, "HOST_EIG_VOX", 1)
+    s.calc_ref_material()   # must not raise
+    assert np.isfinite(s.mu_0) and s.mu_0 > 0
