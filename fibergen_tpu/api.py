@@ -236,8 +236,14 @@ class FG:
             sharding_fallback=sol.value("sharding_fallback", "error", str),
             batch_load_cases=sol.value("batch_load_cases", "auto", str),
             low_mem=sol.value("low_mem", "auto", str),
+            refine=sol.value("refine", "auto", str),
+            refine_max_sweeps=sol.value("refine_max_sweeps", 10, int),
+            refine_inner_tol=sol.value("refine_inner_tol", 1e-5),
             dtype=self._dtype_str(),
         )
+        if opt.refine not in ("auto", "on", "off"):
+            raise FGError(f"Unknown refine '{opt.refine}'"
+                          " (expected auto, on or off)")
         if opt.batch_load_cases not in ("auto", "off"):
             raise FGError(f"Unknown batch_load_cases '{opt.batch_load_cases}'"
                           " (expected auto or off)")
@@ -861,11 +867,18 @@ class FG:
         lss = self.solver
         Es = np.asarray(Es, dtype=np.float64)
         B = Es.shape[0]
+        import jax.numpy as _jnp
+        deep_tol = (lss.opt.refine != "off"
+                    and lss.dtype == _jnp.float32
+                    and (lss.opt.refine == "on" or lss.opt.tol < 3e-7))
         batch_ok = (lss.opt.batch_load_cases != "off"
                     and lss.opt.method == "cg"
                     and lss.mode != "hyperelasticity"
                     and lss.sharding is None
-                    and int(lss.opt.loadsteps) <= 1)
+                    and int(lss.opt.loadsteps) <= 1
+                    # deep tolerances need the mixed-precision refinement
+                    # sweeps, which ride the sequential driver
+                    and not deep_tol)
         if batch_ok:
             # live-set gate: ~4 B-batched fields (eps, r, p + Krylov
             # transient); beyond ~8 GB fall back to sequential solves

@@ -120,6 +120,18 @@ class SolverOptions:
     # different <fft_backend> settings cannot silently override each
     # other's traces (the global is re-applied when THIS solver runs).
     fft_backend: "str | None" = None
+    # mixed-precision iterative refinement (solvers/refine.py): deep
+    # tolerances (the reference's double-precision demo tols down to
+    # 1e-10, fibergen.cpp:26550-26565) on f32 hardware.  "auto" engages
+    # after the f32 CG when tol < ~3e-7 and the solve qualifies (linear
+    # mode, trivial BCs, single chip); "on" forces it for any tol; "off"
+    # disables.  The f32 phase then runs to max(tol, 1e-6) and f64-residual
+    # sweeps (device f32 correction solves) finish the job.
+    refine: str = "auto"
+    refine_max_sweeps: int = 10
+    # inner correction-solve tolerance on sqrt(gamma/gamma0); each sweep
+    # multiplies the error by about this factor
+    refine_inner_tol: float = 1e-5
     # staggered G0 applicator: "fft" or "multigrid" (G0_solver setting)
     g0_solver: str = "fft"
     # even-grid Nyquist symmetrization of the collocated Gamma
@@ -190,6 +202,10 @@ class LSSolver:
         self.lambda_0 = self.opt.ref_lambda if self.opt.ref_lambda is not None else 0.0
 
         self.eps: Optional[jnp.ndarray] = None
+        # f64 host solution after mixed-precision refinement (refine.py);
+        # calc_mean_* read it when present so deep-tolerance digits survive
+        self.eps64 = None
+        self._refiner = None
         self.residuals: List[float] = []
         self.convergence_callback: Optional[Callable[[], bool]] = None
         self.loadstep_callback: Optional[Callable[[], bool]] = None
@@ -390,7 +406,8 @@ class LSSolver:
             self.opt.low_mem == "on"
             or (self.opt.low_mem == "auto"
                 and self.sharding is None
-                and mode == "elasticity" and scheme == "staggered"
+                and mode in ("elasticity", "viscosity")
+                and scheme == "staggered"
                 and self.opt.g0_solver == "fft"
                 and 4 * self.dim * nxyz_i * jnp.dtype(dt).itemsize > 11e9))
 
@@ -580,7 +597,11 @@ class LSSolver:
 
         def cg_step(eps, r, p_prev, gamma, gamma_prev, bca, mu0, lam0,
                     dim2=False):
-            if self._low_mem and bca is None and not dim2:
+            # the stacked low-mem step only implements the elasticity
+            # Gamma; viscosity/mixed-BC low-memory solves ride the lm6
+            # tuple-state family instead (lm6_step_gen)
+            if (self._low_mem and bca is None and not dim2
+                    and mode == "elasticity"):
                 return cg_step_lowmem(eps, r, p_prev, gamma, gamma_prev,
                                       mu0, lam0)
             beta = gamma / gamma_prev
@@ -688,6 +709,19 @@ class LSSolver:
         # elasticity/staggered, all-isotropic linear materials only.
         wv6 = [float(w) for w in voigt.weights(6)]
 
+        def lm6_means(eps_t):
+            """(mean strain, mean stress) from the tuple state — what
+            bc_error needs mid-solve when self.eps does not exist (mixed-BC
+            lm6 solves).  The iso mean stress matches mean_pk1's fast
+            path (2 mu_x e + lam_x tr(e) on the diagonal)."""
+            mu_x, lam_x = mat._all_iso()
+            ltr = lam_x * (eps_t[0] + eps_t[1] + eps_t[2])
+            Em = jnp.stack([e.mean() for e in eps_t])
+            Sm = jnp.stack([
+                (2.0 * mu_x * eps_t[c] + (ltr if c < 3 else 0.0)).mean()
+                for c in range(6)])
+            return Em, Sm
+
         def lm6_metric(eps_t):
             if kind == "epsilon":
                 return jnp.sqrt(jnp.stack([(e * e).mean() for e in eps_t]))
@@ -705,64 +739,137 @@ class LSSolver:
                 return s
             return jnp.zeros((), dt)
 
-        def lm6_krylov_u(p_t, mu0, lam0):
-            """Displacement u = -G0 div((C-C0):p) for a 6-tuple direction;
-            the stress is never stacked (div_stress_diff_comp) and callers
-            read component gradients off u on the fly.  The three rows are
+        # static law-level lambda test: when every phase law has lambda == 0
+        # (the viscosity fluidity case) AND lam0 == 0, the trace term is
+        # identically zero and all ltr passes drop out of the traced program
+        def _law_lam_zero(p):
+            f = getattr(p.law, "iso_moduli", None)
+            if f is None:
+                return False
+            lam = f()[1]
+            return isinstance(lam, (int, float)) and float(lam) == 0.0
+
+        lm6_lam_zero = all(_law_lam_zero(p)
+                           for p in getattr(mat, "phases", ()))
+
+        def lm6_apply(p_t, mu0, lam0, visc, need_mean):
+            """Displacement u = -G0' div((C-C0):p) for a 6-tuple direction,
+            plus (optionally) the mean of the polarization tau.  The stress
+            is never stacked (div_stress_diff_comp) and callers read
+            component gradients off u on the fly; the three rows are
             barrier-chained with ltr recomputed per row so no shear-stress
-            or trace temp stays live across rows (each is one read of p
-            and two of the moduli — cheaper than 0.5 GB of 512^3 peak)."""
+            or trace temp stays live across rows.  visc switches the G0 to
+            the dual Delta constants (mu_0' = -mu0, lambda' -> inf —
+            exactly what delta_operator passes, fibergen.cpp:20446-20458).
+            The tau mean costs one extra read of p and the moduli; its
+            trace part is folded in as a scalar (mean is linear)."""
             from ..ops import green
             from ..ops import staggered as stag
             mu_x, lam_x = mat._all_iso()
             two_dmu = 2.0 * (mu_x - mu0)
+            no_ltr = lm6_lam_zero and lam0 == 0.0
             rows = []
             pb = p_t
             for i in range(3):
-                ltr = (lam_x - lam0) * (pb[0] + pb[1] + pb[2])
+                ltr = (0.0 if no_ltr
+                       else (lam_x - lam0) * (pb[0] + pb[1] + pb[2]))
                 rows.append(
                     stag.div_stress_diff_comp(grid, pb, two_dmu, ltr, i))
                 rows[-1], pb = jax.lax.optimization_barrier((rows[-1], pb))
             f = jnp.stack(rows)
-            return green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+            if visc:
+                u = green.g0_staggered_fused(grid, -mu0, float("inf"), f,
+                                             -1.0)
+            else:
+                u = green.g0_staggered_fused(grid, mu0, lam0, f, -1.0)
+            tmean = None
+            if need_mean:
+                mean_ltr = (0.0 if no_ltr else
+                            ((lam_x - lam0)
+                             * (pb[0] + pb[1] + pb[2])).mean())
+                tmean = jnp.stack(
+                    [(two_dmu * pb[c]).mean() + (mean_ltr if c < 3 else 0.0)
+                     for c in range(6)])
+            return u, tmean, pb
 
-        def lm6_step(eps_t, r_t, p_prev_t, gamma, gamma_prev, mu0, lam0):
+        def lm6_adj_tau(pb, tmean, bca, mu0, lam0, visc):
+            """Constant mean adjustment adj (per component) and the tau
+            recompute pieces (taufac, two_dmu, ltr field) for the w
+            passes: w_c = eps_c(u) + adj[c] + taufac * tau_c.  Mirrors
+            delta_operator's staggered branch (ops/gamma.py) and the
+            mixed-BC mean correction (alpha = -1 krylov)."""
+            mu_x, lam_x = mat._all_iso()
+            no_ltr = lm6_lam_zero and lam0 == 0.0
+            adj = None
+            taufac = 0.0
+            two_dmu = None
+            ltrf = 0.0
+            if visc:
+                taufac = -1.0 / (2.0 * mu0)   # 2*alpha*mu0v, alpha = -1
+                adj = -taufac * tmean         # E = 0 in the krylov apply
+                two_dmu = 2.0 * (mu_x - mu0)
+                if not no_ltr:
+                    ltrf = (lam_x - lam0) * (pb[0] + pb[1] + pb[2])
+            if bca is not None:
+                R = bcmod.bc_correction(bca, tmean)
+                adj = (-1.0) * R if adj is None else adj - R
+            return adj, taufac, two_dmu, ltrf
+
+        def lm6_w_comp(uc, c, pb, adj, taufac, two_dmu, ltrf, visc):
             from ..ops import staggered as stag
+            w = stag.eps_staggered_comp(grid, uc, c)
+            if adj is not None:
+                w = w + adj[c]
+            if visc:
+                tc = two_dmu * pb[c] + (ltrf if c < 3 else 0.0)
+                w = w + taufac * tc
+            return w
+
+        def lm6_step(eps_t, r_t, p_prev_t, gamma, gamma_prev, bca, mu0,
+                     lam0, visc=False):
             beta = gamma / gamma_prev
             p_t = tuple(r_t[c] + beta * p_prev_t[c] for c in range(6))
-            u = lm6_krylov_u(p_t, mu0, lam0)
+            need_mean = visc or bca is not None
+            u, tmean, pb = lm6_apply(p_t, mu0, lam0, visc, need_mean)
+            adj, taufac, two_dmu, ltrf = lm6_adj_tau(
+                pb, tmean, bca, mu0, lam0, visc)
             s = jnp.zeros((), dt)
             uc = u
             for c in range(6):
-                w1c = stag.eps_staggered_comp(grid, uc, c)
-                s = s + wv6[c] * (p_t[c] * (p_t[c] - w1c)).sum()
+                w1c = lm6_w_comp(uc, c, pb, adj, taufac, two_dmu, ltrf,
+                                 visc)
+                s = s + wv6[c] * (pb[c] * (pb[c] - w1c)).sum()
                 s, uc = jax.lax.optimization_barrier((s, uc))
             alpha = gamma / (s / nxyz + tiny)
             eps2, r2 = [], []
             delta = jnp.zeros((), dt)
             for c in range(6):
-                w2c = stag.eps_staggered_comp(grid, uc, c)
-                rc = r_t[c] - alpha * (p_t[c] - w2c)
-                eps2.append(eps_t[c] + alpha * p_t[c])
+                w2c = lm6_w_comp(uc, c, pb, adj, taufac, two_dmu, ltrf,
+                                 visc)
+                rc = r_t[c] - alpha * (pb[c] - w2c)
+                eps2.append(eps_t[c] + alpha * pb[c])
                 r2.append(rc)
                 delta = delta + wv6[c] * (rc * rc).sum()
                 delta, uc = jax.lax.optimization_barrier((delta, uc))
             delta = delta / nxyz + tiny
-            return (tuple(eps2), tuple(r2), p_t, delta, gamma,
+            return (tuple(eps2), tuple(r2), tuple(pb), delta, gamma,
                     lm6_metric(tuple(eps2)))
 
-        def lm6_init(E, mu0, lam0):
+        def lm6_init(E, bca, mu0, lam0, visc=False):
             """r0 = krylov(E) componentwise (eps0 == E so the E - eps term
             vanishes; see cg_init)."""
-            from ..ops import staggered as stag
             Ej = jnp.asarray(E, dt)
             eps_t = tuple(jnp.full(grid.shape, Ej[c], dt) for c in range(6))
-            u = lm6_krylov_u(tuple(Ej[c] for c in range(6)), mu0, lam0)
+            need_mean = visc or bca is not None
+            u, tmean, pb = lm6_apply(tuple(Ej[c] for c in range(6)),
+                                     mu0, lam0, visc, need_mean)
+            adj, taufac, two_dmu, ltrf = lm6_adj_tau(
+                pb, tmean, bca, mu0, lam0, visc)
             r_t = []
             gamma0 = jnp.zeros((), dt)
             uc = u
             for c in range(6):
-                rc = stag.eps_staggered_comp(grid, uc, c)
+                rc = lm6_w_comp(uc, c, pb, adj, taufac, two_dmu, ltrf, visc)
                 r_t.append(rc)
                 gamma0 = gamma0 + wv6[c] * (rc * rc).sum()
                 gamma0, uc = jax.lax.optimization_barrier((gamma0, uc))
@@ -770,11 +877,12 @@ class LSSolver:
             return eps_t, tuple(r_t), gamma0, lm6_metric(eps_t)
 
         def make_lm6_multi(length):
-            def lm6_multi(eps_t, r_t, p_t, gamma, gamma_prev, mu0, lam0):
+            def lm6_multi(eps_t, r_t, p_t, gamma, gamma_prev, bca=None,
+                          mu0=None, lam0=None, visc=False):
                 def body(carry, _):
                     e, r, p, g, gp = carry
                     e2, r2, p2, delta, g2, met = lm6_step(
-                        e, r, p, g, gp, mu0, lam0)
+                        e, r, p, g, gp, bca, mu0, lam0, visc)
                     return (e2, r2, p2, delta, g2), (g, met)
 
                 (eps_t, r_t, p_t, gamma, gamma_prev), (gammas, mets) = \
@@ -784,11 +892,13 @@ class LSSolver:
             return lm6_multi
 
         def make_lm6_init_chunk(length):
-            def lm6_init_chunk(E, mu0, lam0):
-                eps_t, r_t, gamma0, met0 = lm6_init(E, mu0, lam0)
+            def lm6_init_chunk(E, bca=None, mu0=None, lam0=None,
+                               visc=False):
+                eps_t, r_t, gamma0, met0 = lm6_init(E, bca, mu0, lam0, visc)
                 p0 = tuple(jnp.zeros(grid.shape, dt) for _ in range(6))
                 out = make_lm6_multi(length)(eps_t, r_t, p0, gamma0, gamma0,
-                                             mu0, lam0)
+                                             bca, mu0=mu0, lam0=lam0,
+                                             visc=visc)
                 return (*out, gamma0, met0)
             return lm6_init_chunk
 
@@ -980,7 +1090,7 @@ class LSSolver:
             fn = _chunk_cache.get(("lm6", length))
             if fn is None:
                 fn = mjit(make_lm6_multi(length),
-                          static_argnames=("mu0", "lam0"),
+                          static_argnames=("mu0", "lam0", "visc"),
                           donate_argnums=(1, 2, 3))
                 _chunk_cache[("lm6", length)] = fn
             return fn
@@ -989,14 +1099,21 @@ class LSSolver:
             fn = _chunk_cache.get(("lm6i", length))
             if fn is None:
                 fn = mjit(make_lm6_init_chunk(length),
-                          static_argnames=("mu0", "lam0"))
+                          static_argnames=("mu0", "lam0", "visc"))
                 _chunk_cache[("lm6i", length)] = fn
             return fn
 
         self._cg_multi_n = cg_multi_n
         self._cg_init_chunk_n = cg_init_chunk_n
+        # correction-solve init pieces (mixed-precision refinement): two
+        # separate executions so the donated d/p buffers are distinct
+        self._k_zeros_field = jax.jit(
+            lambda: jnp.zeros((self.dim,) + grid.shape, dt))
+        self._k_rhs_gamma = jax.jit(lambda rhs: fields.inner_l2(rhs, rhs)
+                                    + tiny)
         self._lm6_multi_n = lm6_multi_n
         self._lm6_init_chunk_n = lm6_init_chunk_n
+        self._k_lm6_means = mjit(lm6_means)
         self._k_stack6 = jax.jit(lambda t: jnp.stack(t))
         # tuple-state low-mem qualification (per-solve bca/dim2 checked in
         # _run_cg); laws checked for iso_moduli WITHOUT forcing an eager
@@ -1132,6 +1249,8 @@ class LSSolver:
         self.residuals = []
         self._canceled = False
         self._diverged = False
+        self.eps64 = None
+        self._refiner = None
 
         LOG.info(f"RVE: dims={self.grid.dx}x{self.grid.dy}x{self.grid.dz} "
                  f"voxels={self.grid.nx}x{self.grid.ny}x{self.grid.nz}")
@@ -1423,6 +1542,7 @@ class LSSolver:
     def run_solver(self, E, S):
         """Method dispatch (runSolver, fibergen.cpp:21401-21433)."""
         self._reset_stall()
+        self._tol_active = self.opt.tol
         self._current_E = np.asarray(E)
         self._current_S = np.asarray(S)
         m = self.opt.method
@@ -1493,12 +1613,24 @@ class LSSolver:
         self._dim2_last = dim2
         Ej = jnp.asarray(E, self.dtype)
 
+        # mixed-precision refinement: when it will engage, the f32 phase
+        # only needs to reach the refinement entry tolerance (the sweeps
+        # finish the job) — this also avoids the 50-iteration stagnation
+        # stall a deep tolerance would otherwise pay at the f32 floor
+        refine = self._refine_ok(bca, E)
+        if refine:
+            self._tol_active = max(self.opt.tol, 1e-6)
+
         K = max(1, int(self.opt.check_every))
         if K > 1:
-            lm6 = (getattr(self, "_lm6_capable", False)
-                   and bca is None and not dim2)
-            return self._run_cg_chunked(ee, Ej, bca, mu0, lam0, dim2, K,
-                                        lm6=lm6)
+            # the lm6 tuple-state family covers trivial-BC elasticity,
+            # the viscosity Delta staggered path, and mixed-BC (bca)
+            # elasticity/viscosity solves (lm6_step with bca/visc)
+            lm6 = getattr(self, "_lm6_capable", False) and not dim2
+            self._run_cg_chunked(ee, Ej, bca, mu0, lam0, dim2, K, lm6=lm6)
+            if refine and not (self._canceled or self._diverged):
+                self._refine(E, bca, mu0, lam0)
+            return
 
         eps, r, p, gamma, gamma_prev, met0 = self._k_cg_init(
             self.mat.fields(), Ej, bca, mu0=mu0, lam0=lam0, dim2=dim2)
@@ -1526,6 +1658,8 @@ class LSSolver:
                     dim2=dim2)
             gamma_prev = float(gp) if not isinstance(gp, float) else gp
             gamma = float(delta)
+        if refine and not (self._canceled or self._diverged):
+            self._refine(E, bca, mu0, lam0)
 
     def _run_cg_chunked(self, ee, Ej, bca, mu0, lam0, dim2, K, lm6=False):
         """check_every > 1 host loop for the linear CG.
@@ -1550,18 +1684,23 @@ class LSSolver:
         """
         from collections import deque
         mf = self.mat.fields()
+        visc = self.mode == "viscosity"
         if lm6:
             # tuple-state low-memory path: eps/r/p are 6-tuples of
             # (nx,ny,nz) leaves across programs; self.eps is restacked
-            # once after convergence (bca is None here by qualification).
+            # once after convergence.  bca/visc select the mixed-BC mean
+            # correction and the Delta-scheme tau term inside lm6_step.
             # The (6,nx,ny,nz) const field _run_impl seeded is never an
             # input here (lm6_init rebuilds eps_t from E on device) — at
             # 512^3 it is 3 GiB that would otherwise sit in HBM next to
             # the 14.1 GiB chunk program and tip it over the 15.75 GiB
             # capacity at runtime (the AOT estimate can't see it).
             self.eps = None
+            self._lm6_eps_t = None
             eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
-                self._lm6_init_chunk_n(K)(mf, Ej, mu0=mu0, lam0=lam0)
+                self._lm6_init_chunk_n(K)(mf, Ej, bca=bca, mu0=mu0,
+                                          lam0=lam0, visc=visc)
+            self._lm6_eps_t = eps
         else:
             eps, r, p, gamma, gamma_prev, gammas, mets, g0dev, met0 = \
                 self._cg_init_chunk_n(K)(mf, Ej, bca,
@@ -1570,13 +1709,14 @@ class LSSolver:
         pend = deque([(K, gammas, mets)])
         dispatched = K
         state = {"gamma0": None, "it": 0, "done": False}
-        tol = self.opt.tol
 
         def dispatch(L):
             nonlocal eps, r, p, gamma, gamma_prev, dispatched
             if lm6:
                 eps, r, p, gamma, gamma_prev, gs, ms = self._lm6_multi_n(L)(
-                    mf, eps, r, p, gamma, gamma_prev, mu0=mu0, lam0=lam0)
+                    mf, eps, r, p, gamma, gamma_prev, bca=bca,
+                    mu0=mu0, lam0=lam0, visc=visc)
+                self._lm6_eps_t = eps
             else:
                 eps, r, p, gamma, gamma_prev, gs, ms = self._cg_multi_n(L)(
                     mf, eps, r, p, gamma, gamma_prev, bca,
@@ -1620,7 +1760,125 @@ class LSSolver:
             # free r/p leaves BEFORE stacking so the (6,...) output buffer
             # fits next to the eps leaves at 512^3
             del r, p
+            self._lm6_eps_t = None
             self.eps = self._k_stack6(eps)
+
+    def _refine_ok(self, bca, E) -> bool:
+        """Per-solve qualification of mixed-precision iterative refinement
+        (solvers/refine.py).  Logs the reason when a deep tolerance is
+        requested but refinement cannot engage."""
+        o = self.opt
+        if o.refine == "off" or o.method != "cg":
+            return False
+        want = o.refine == "on" or o.tol < 3e-7
+        if not want:
+            return False
+        if self.dtype != jnp.float32:
+            return False  # f64 fields reach deep tolerances natively
+        why = None
+        if self.mode == "hyperelasticity":
+            why = "hyperelastic Newton is out of refinement scope"
+        elif bca is not None:
+            why = "mixed BCs are out of refinement scope"
+        elif voigt.norm_2(self._current_S) != 0.0:
+            why = "prescribed stress is out of refinement scope"
+        elif self.sharding is not None:
+            why = "sharded solves are out of refinement scope"
+        elif getattr(self, "_lm6_capable", False) or self._low_mem:
+            why = "the low-memory CG path has no correction-solve driver"
+        if why is not None:
+            LOG.warn(f"tolerance {o.tol:g} is below the f32 floor but "
+                     f"mixed-precision refinement cannot engage: {why}; "
+                     "the stagnation guard will stop at the floor")
+            return False
+        return True
+
+    def _refine(self, E, bca, mu0, lam0):
+        """Mixed-precision refinement sweeps: f64 host residual (CPU
+        backend, same operator code) + f32 device correction solves.  See
+        solvers/refine.py for the method; matches the reference's
+        double-precision deep-tolerance capability
+        (fibergen.cpp:26550-26565) on f32 hardware."""
+        import time as _time
+        from .refine import HostRefiner
+        t0 = _time.perf_counter()
+        hr = HostRefiner(self)
+        self._refiner = hr
+        eps64 = hr.to_host64(self.eps)
+        tol = self.opt.tol
+        LOG.info(f"# Mixed-precision refinement to tol {tol:g} "
+                 "(f32 device corrections, f64 host residuals)")
+        prev_rel = None
+        converged = False
+        for sweep in range(1, self.opt.refine_max_sweeps + 1):
+            r64, rnorm = hr.residual(eps64, E)
+            rhs = jax.device_put(np.asarray(r64).astype(self.dtype))
+            d, inner_it = self._solve_correction(rhs, mu0, lam0)
+            eps64, dn, en = hr.accumulate(eps64, d)
+            del d
+            rel = dn / (en + float(np.finfo(np.float64).tiny))
+            self.residuals.append(rel)
+            LOG.info(f"# Refinement sweep {sweep}: correction rel. = "
+                     f"{rel:g} f64 residual = {rnorm:g} "
+                     f"({inner_it} inner iterations)")
+            if rel <= tol:
+                converged = True
+                LOG.info("Converged.")
+                break
+            if prev_rel is not None and rel > 0.5 * prev_rel:
+                LOG.warn(f"refinement stalled at rel. error {rel:g} "
+                         f"(tolerance {tol:g}): stopping at the "
+                         "mixed-precision floor.")
+                break
+            prev_rel = rel
+        if not converged and prev_rel is not None and rel <= prev_rel:
+            LOG.warn(f"refinement stopped after "
+                     f"{self.opt.refine_max_sweeps} sweeps at rel. error "
+                     f"{rel:g} (tolerance {tol:g})")
+        self.eps64 = eps64
+        self.eps = hr.to_device32(eps64, self.dtype)
+        LOG.info(f"refinement wall time {_time.perf_counter() - t0:.3f} s")
+
+    def _solve_correction(self, rhs, mu0, lam0, maxiter=1000):
+        """Solve A d = rhs (A = I + Gamma (C - C0)) in f32 with a FIELD
+        right-hand side: the same fused CG chunk kernels as the main solve,
+        initialized at d = 0, r = rhs, p = r.  Convergence on the CG
+        recurrence sqrt(gamma/gamma0) <= refine_inner_tol, with a
+        3-chunk stagnation guard at the f32 floor."""
+        # material leaves must match the solve dtype or the scan carry
+        # types diverge (f64 phi fields with an f32 solver are legal on the
+        # CPU backend; the TPU flow always has f32 materials)
+        dt = self.dtype
+        mf = jax.tree_util.tree_map(
+            lambda x: (jnp.asarray(x, dt)
+                       if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                       else x),
+            self.mat.fields())
+        gamma = self._k_rhs_gamma(rhs)
+        g0 = float(gamma)
+        d = self._k_zeros_field()
+        p = self._k_zeros_field()
+        K = max(1, int(self.opt.check_every))
+        it = 0
+        best = float("inf")
+        stall = 0
+        gamma_prev = gamma
+        while True:
+            d, r, p, gamma, gamma_prev, gammas, mets = self._cg_multi_n(K)(
+                mf, d, rhs if it == 0 else r, p, gamma, gamma_prev, None,
+                mu0=mu0, lam0=lam0, dim2=False)
+            it += K
+            rel = math.sqrt(max(0.0, float(gamma)) / g0)
+            if rel <= self.opt.refine_inner_tol or it >= maxiter:
+                break
+            if rel < best * (1.0 - 1e-3):
+                best = rel
+                stall = 0
+            else:
+                stall += 1
+                if stall >= 3:
+                    break
+        return d, it
 
     def _predict_remaining(self, K, dispatched):
         """Geometric-decay extrapolation of the relative-error trajectory:
@@ -1635,7 +1893,7 @@ class LSSolver:
         r_last, r_first = rels[-1], rels[-1 - L]
         if not (0.0 < r_last < r_first):
             return None
-        tol = self.opt.tol
+        tol = getattr(self, "_tol_active", self.opt.tol)
         if r_last <= tol:
             rem_checked = 0.0
         else:
@@ -1674,7 +1932,10 @@ class LSSolver:
         self.residuals = []
         self._canceled = False
         self._diverged = False
+        self.eps64 = None
+        self._refiner = None
         self._reset_stall()
+        self._tol_active = self.opt.tol
         self._current_E = Es[-1]
         self._current_S = np.zeros(self.dim)
         if self.eps is None:
@@ -1887,6 +2148,7 @@ class LSSolver:
             LOG.error("NaN detected in solution. Aborting.")
             return it, True
         self.residuals.append(rel_err)
+        tol = getattr(self, "_tol_active", self.opt.tol)
         if rel_err < self._best_rel * (1.0 - self.opt.tol_red):
             self._best_rel = rel_err
             self._stall = 0
@@ -1895,7 +2157,7 @@ class LSSolver:
             if self._stall >= patience:
                 LOG.warn(
                     f"No progress for {self._stall} iterations at rel. "
-                    f"error {rel_err:g} (tolerance {self.opt.tol:g}): "
+                    f"error {rel_err:g} (tolerance {tol:g}): "
                     "stopping at the precision floor.")
                 return it, True
         if self.opt.step_mode:
@@ -1911,7 +2173,7 @@ class LSSolver:
         if it >= self.opt.maxiter:
             LOG.info("Maximum number of iterations reached.")
             return it, True
-        if rel_err <= self.opt.tol or abs_err <= self.opt.abs_tol:
+        if rel_err <= tol or abs_err <= self.opt.abs_tol:
             bc_err = 0.0
             if check_bc:
                 bc_err = self.bc_error()
@@ -1937,7 +2199,12 @@ class LSSolver:
         if ((self._bc is None or self._bc.is_trivial)
                 and voigt.norm_2(self._current_S) == 0.0):
             return 0.0
-        Emean, Smean = self._k_means(self.mat.fields(), self.eps)
+        if self.eps is None and getattr(self, "_lm6_eps_t", None) is not None:
+            # mid-solve tuple state (mixed-BC lm6 path)
+            Emean, Smean = self._k_lm6_means(self.mat.fields(),
+                                             self._lm6_eps_t)
+        else:
+            Emean, Smean = self._k_means(self.mat.fields(), self.eps)
         Emean = np.asarray(Emean, dtype=np.float64)
         Smean = np.asarray(Smean, dtype=np.float64)
         Q = voigt.id4(self.dim) - self.P
@@ -1975,6 +2242,8 @@ class LSSolver:
                 f"checkpoint mode '{d['mode']}' != solver mode '{self.mode}'")
         if d["eps"].size:
             self.eps = jnp_.asarray(d["eps"], self.dtype)
+            self.eps64 = None
+            self._refiner = None
         self.E = d["E"]
         self.S = d["S"]
         self.P = d["P"]
@@ -1987,15 +2256,23 @@ class LSSolver:
 
     # --------------------------------------------------------------- stats
     def calc_mean_strain(self):
+        if self.eps64 is not None:
+            return self._refiner.mean_strain(self.eps64)
         return np.asarray(fields.mean(self.eps))
 
     def calc_mean_stress(self):
+        if self.eps64 is not None:
+            # refined solves report f64 means — the f32 device reduction
+            # would throw away the digits the refinement bought
+            return self._refiner.mean_stress(self.eps64)
         return np.asarray(self.mat.mean_pk1(self.eps))
 
     def calc_mean_cauchy(self):
         return np.asarray(self.mat.mean_cauchy(self.eps))
 
     def calc_mean_energy(self):
+        if self.eps64 is not None:
+            return self._refiner.mean_energy(self.eps64)
         return float(self.mat.mean_w(self.eps))
 
     def calc_min_det_f(self):

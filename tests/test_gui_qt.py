@@ -6,7 +6,11 @@ help, run, result tabs with contrast/bounds controls, preferences, VTK
 export, help browser — run in CI through gui/qt_compat's stub binding."""
 import os
 
-os.environ["FIBERGEN_TPU_FORCE_QT_STUB"] = "1"
+# Default: force the deterministic headless stub.  test_gui_qt_real.py
+# re-runs this exact module under real PyQt5 (offscreen) wherever that
+# binding exists by setting FIBERGEN_TPU_GUI_REAL=1 in a subprocess.
+if not os.environ.get("FIBERGEN_TPU_GUI_REAL"):
+    os.environ["FIBERGEN_TPU_FORCE_QT_STUB"] = "1"
 
 import matplotlib
 matplotlib.use("Agg")
@@ -20,8 +24,9 @@ from fibergen_tpu.utils.logging import LOG
 
 LOG.enabled = False
 
-pytestmark = pytest.mark.skipif(
-    qt_compat.HAS_QT, reason="real PyQt5 present; stub tests not applicable")
+if os.environ.get("FIBERGEN_TPU_GUI_REAL") and not qt_compat.HAS_QT:
+    pytestmark = pytest.mark.skip(
+        reason="FIBERGEN_TPU_GUI_REAL set but PyQt5 is not importable")
 
 XML = """
 <settings>
@@ -53,7 +58,8 @@ def win():
     from fibergen_tpu.gui.app import MainWindow
     app = QtWidgets.QApplication([])
     app.settings = QtCore.QSettings("fibergen_tpu", "test")
-    QtCore.QSettings._stores.clear()
+    if hasattr(QtCore.QSettings, "_stores"):  # stub-only state reset
+        QtCore.QSettings._stores.clear()
     w = MainWindow()
     app.window = w
     return w
