@@ -209,6 +209,7 @@ class FG:
             update_ref=sol.value("update_ref", "loadstep", str),
             ref_scale=sol.value("ref_scale", 1.0),
             newton_relax=sol.value("newton_relax", 1.0),
+            newton_tangent=sol.value("newton_tangent", "exact", str),
             basic_relax=sol.value("basic_relax", 1.0),
             bc_relax=sol.value("bc_relax", 1.0),
             cg_inner_product=sol.value("cg_inner_product", "l2", str),
@@ -874,7 +875,10 @@ class FG:
         batch_ok = (lss.opt.batch_load_cases != "off"
                     and lss.opt.method == "cg"
                     and lss.mode != "hyperelasticity"
-                    and lss.sharding is None
+                    # on a mesh the batched CG needs the slab-FFT layout
+                    # (vmapped shard_map transforms; run_batched docstring)
+                    and (lss.sharding is None
+                         or getattr(lss, "par", None) is not None)
                     and int(lss.opt.loadsteps) <= 1
                     # deep tolerances need the mixed-precision refinement
                     # sweeps, which ride the sequential driver
@@ -901,6 +905,23 @@ class FG:
                         os.path.join(outdir, f"results_{i+1}.vtk"))
                 lss.eps = eps_b[-1]
             return Sb
+        # 512^3-class sequential streaming: the lm6 chunk program leaves no
+        # HBM headroom for the per-phase indicator fields (0.5 GB each at
+        # 512^3 f32), and the solve path reads only the cached mixed
+        # moduli — free phi for the whole 6-case stream.  Compiled chunk
+        # programs are reused across cases (same shapes/statics), so cases
+        # 2..B pay no compile.  Phase statistics / phi output become
+        # unavailable afterwards (logged).
+        if (getattr(lss, "_lm6_capable", False) and not outdir
+                and all(p.phi is not None for p in lss.mat.phases)):
+            try:
+                lss.mat._all_iso()
+                lss.mat.drop_phi()
+                LOG.warn("huge-grid load-case stream: dropped phase "
+                         "indicator fields (phi) to fit the low-memory CG; "
+                         "later actions needing phi will fail")
+            except (AttributeError, NotImplementedError, ValueError):
+                pass
         Sb = np.zeros((B, lss.dim))
         for i in range(B):
             lss.set_bc_projector(voigtmod.id4(lss.dim))

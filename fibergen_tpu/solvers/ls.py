@@ -63,6 +63,11 @@ class SolverOptions:
     bc_relax: float = 1.0
     cg_inner_product: str = "l2"
     cg_reinit: int = 0
+    # hyper Newton inner-CG tangent: "exact" (jvp of the autodiff PK1,
+    # quadratic Newton) or "frozen_iso" (per-voxel isotropic-form tangent
+    # refreshed per outer iteration — modified Newton, cheaper inner
+    # iterations; see solvers/newton.py _frozen_abc)
+    newton_tangent: str = "exact"
     nl_cg_beta_scheme: str = "polak_ribiere"
     nl_cg_c: float = 0.5
     nl_cg_tau: float = 0.5
@@ -915,13 +920,18 @@ class LSSolver:
             fused single-RHS Pallas path is not used here; the XLA chain
             (matmul-DFT) batches cleanly over B x ncomp.  pallas_mid
             optionally keeps the Pallas spectral middle (its BlockSpec
-            kernels do carry a batching rule)."""
+            kernels do carry a batching rule).
+
+            On a mesh the slab FFT (self.par) rides along: shard_map has a
+            vmap batching rule, so each RHS's transform still runs the
+            explicit all-to-all slab transpose per device — no GSPMD
+            all-gather (asserted in tests/test_sharded_pallas.py)."""
             zero = jnp.zeros(self.dim, dt)
             tau = stress_diff(eps, mu0, lam0)
             return gammamod.gamma_operator(
                 grid, mode, scheme, None, zero, mu0, lam0, tau, -1.0, 0.0,
                 g0_solver=self.opt.g0_solver, freq_hack=self.opt.freq_hack,
-                par=None, pallas_mid=pallas_mid)
+                par=self.par, pallas_mid=pallas_mid and self.par is None)
 
         def cg_b_step(eps, r, p_prev, gamma, gamma_prev, mu0, lam0,
                       pallas_mid):
@@ -1810,10 +1820,15 @@ class LSSolver:
                  "(f32 device corrections, f64 host residuals)")
         prev_rel = None
         converged = False
+        rel = float("inf")
+        self.refine_sweeps = 0
+        self.refine_inner_iters = 0
         for sweep in range(1, self.opt.refine_max_sweeps + 1):
+            self.refine_sweeps = sweep
             r64, rnorm = hr.residual(eps64, E)
             rhs = jax.device_put(np.asarray(r64).astype(self.dtype))
             d, inner_it = self._solve_correction(rhs, mu0, lam0)
+            self.refine_inner_iters += inner_it
             eps64, dn, en = hr.accumulate(eps64, d)
             del d
             rel = dn / (en + float(np.finfo(np.float64).tiny))
@@ -1914,7 +1929,11 @@ class LSSolver:
         Requirements (callers fall back to sequential run() otherwise):
         linear CG (method='cg', mode != hyperelasticity), trivial BCs
         (P == Id, S == 0 — the caller prescribes pure strain columns),
-        single loadstep, no mesh sharding.
+        single loadstep.  On a device mesh the solver must qualify for the
+        slab FFT (self.par): shard_map carries a vmap batching rule, so
+        the batched chunks run each RHS's transforms through the explicit
+        all-to-all slab transpose — without it GSPMD would all-gather the
+        full field per device, so that combination is refused.
 
         On success self.eps_batch holds (B, dim, nx, ny, nz), self.eps the
         last case (the sequential driver's end state), and
@@ -1925,8 +1944,10 @@ class LSSolver:
         import time as _time
         if self.opt.method != "cg" or self.mode == "hyperelasticity":
             raise SolverError("run_batched requires the linear CG")
-        if self.sharding is not None:
-            raise SolverError("run_batched is a single-device path")
+        if self.sharding is not None and self.par is None:
+            raise SolverError(
+                "run_batched on a mesh requires the slab-FFT layout "
+                "(x-slab NamedSharding with mesh-divisible nx, ny)")
         t0 = _time.perf_counter()
         Es = np.asarray(Es, dtype=np.float64)
         self.residuals = []

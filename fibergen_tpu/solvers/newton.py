@@ -50,9 +50,32 @@ def _kernels(solver):
             W = W.at[0:3].add(-tr)
         return W
 
+    # transpose index map for the 9-component Voigt layout: component c of
+    # Q^T (core/voigt order [xx,yy,zz,yz,xz,xy,zy,zx,yx])
+    _T9 = [0, 1, 2, 6, 7, 8, 3, 4, 5]
+
+    def stress_deriv_frozen(Q, abc, mu0, lam0):
+        """Modified-Newton tangent: per-voxel frozen isotropic-form map
+        (a Q + b tr(Q) I + c Q^T) - C0 : Q.  abc = (a(x), b(x), c(x))
+        voxel fields from the per-phase least-squares projection of the
+        exact tangent at the mean deformation (see frozen_abc); the exact
+        jvp tangent apply is the dominant inner-CG cost (~105 ms
+        standalone at 256^3, PARITY round-4), this form reads 3 moduli
+        planes instead."""
+        a, b, c = abc
+        tr = Q[0] + Q[1] + Q[2]
+        W = (a - 2.0 * mu0) * Q + c * jnp.stack([Q[i] for i in _T9])
+        W = W.at[0:3].add((b - lam0) * tr)
+        return W
+
     def apply_op(F, Q, mu0, lam0, bca):
         """-Gamma0 (dP/dF(F) - C0) : Q (ApplyOperator, fibergen.cpp:23132)."""
         W = stress_deriv(F, Q, mu0, lam0)
+        zero = jnp.zeros(dim, dt)
+        return gamma_op(zero, W, mu0, lam0, bca)
+
+    def apply_op_frozen(Q, abc, mu0, lam0, bca):
+        W = stress_deriv_frozen(Q, abc, mu0, lam0)
         zero = jnp.zeros(dim, dt)
         return gamma_op(zero, W, mu0, lam0, bca)
 
@@ -65,8 +88,10 @@ def _kernels(solver):
         gamma = fields.inner_l2(R, R) + tiny
         return X, R, gamma
 
-    def newton_cg_step(F, X, R, Q, gamma, newton_relax, mu0, lam0, bca):
-        W = apply_op(F, Q, mu0, lam0, bca)
+    def newton_cg_step(F, X, R, Q, gamma, newton_relax, mu0, lam0, bca,
+                       abc=None):
+        W = (apply_op(F, Q, mu0, lam0, bca) if abc is None
+             else apply_op_frozen(Q, abc, mu0, lam0, bca))
         denom = fields.inner_l2_diff(Q, Q, W) + tiny
         alpha = gamma / denom
         X2 = X + alpha * Q
@@ -77,15 +102,18 @@ def _kernels(solver):
         Q2 = R2 + beta * Q
         return X2, eps2, R2, Q2, delta, denom
 
-    def newton_cg_multi(F, X, R, Q, gamma, newton_relax, mu0, lam0, bca):
+    def newton_cg_multi(F, X, R, Q, gamma, newton_relax, mu0, lam0, bca,
+                        abc=None):
         """check_every inner CG iterations fused into one device program
         (mirrors LSSolver._k_cg_multi): returns per-iteration
         (gamma, denom, metric) stacks; convergence and the
-        indefinite-operator guard are acted on one chunk behind."""
+        indefinite-operator guard are acted on one chunk behind.  abc
+        switches the tangent apply to the frozen isotropic-form map
+        (modified Newton)."""
         def body(carry, _):
             X, R, Q, gamma = carry
             X2, eps2, R2, Q2, delta, denom = newton_cg_step(
-                F, X, R, Q, gamma, newton_relax, mu0, lam0, bca)
+                F, X, R, Q, gamma, newton_relax, mu0, lam0, bca, abc)
             return (X2, R2, Q2, delta), (gamma, denom, metric(eps2))
 
         (X, R, Q, gamma), (gammas, denoms, mets) = jax.lax.scan(
@@ -136,8 +164,75 @@ def _kernels(solver):
     return ks
 
 
+_T9 = [0, 1, 2, 6, 7, 8, 3, 4, 5]
+
+
+def _iso_project(T):
+    """Least-squares projection of a 9x9 tangent matrix onto the frozen
+    isotropic form a*I + b*(tr outer) + c*(transpose map); returns
+    (a, b, c).  Exact for isotropic laws at F = Id (where dP/dF =
+    lam tr I + mu (Q + Q^T) + ... collapses to this span)."""
+    I9 = np.eye(9)
+    Ptr = np.zeros((9, 9))
+    Ptr[:3, :3] = 1.0
+    PT = np.zeros((9, 9))
+    for i, j in enumerate(_T9):
+        PT[i, j] = 1.0
+    G = np.stack([I9.ravel(), Ptr.ravel(), PT.ravel()], axis=1)
+    coef, *_ = np.linalg.lstsq(G, np.asarray(T, np.float64).ravel(),
+                               rcond=None)
+    return tuple(float(x) for x in coef)
+
+
+def _frozen_abc(solver):
+    """Per-voxel (a, b, c) fields for the modified-Newton tangent: each
+    phase law's exact 9x9 tangent at the MEAN deformation, projected to
+    the isotropic form, phi-mixed (consistent with VoigtMixed's
+    dP/dF = sum phi_p dP_p/dF).  One tiny jit per law (cached across
+    outer iterations) + one mixing jit."""
+    mat, dt = solver.mat, solver.dtype
+    Fbar = np.asarray(fields.mean(solver.eps), dtype=np.float64)
+
+    coefs = []
+    for p in mat.phases:
+        law = p.law
+        fn = getattr(law, "_tangent9_fn", None)
+        if fn is None:
+            def make(law=law):
+                def tangent9(F0):
+                    eye = jnp.eye(9, dtype=F0.dtype)
+                    cols = [law.dpk1(F0, eye[j].reshape(9, 1, 1, 1))
+                            for j in range(9)]
+                    return jnp.stack(
+                        [c.reshape(9) for c in cols], axis=1)
+                return jax.jit(tangent9)
+            fn = law._tangent9_fn = make()
+        T = np.asarray(fn(jnp.asarray(Fbar, dt).reshape(9, 1, 1, 1)))
+        coefs.append(_iso_project(T))
+
+    phis = [p.phi for p in mat.phases]
+
+    @jax.jit
+    def mix(phis, cs):
+        a = sum(ph * c[0] for ph, c in zip(phis, cs))
+        b = sum(ph * c[1] for ph, c in zip(phis, cs))
+        c_ = sum(ph * c[2] for ph, c in zip(phis, cs))
+        return a, b, c_
+
+    cs = tuple(tuple(jnp.asarray(x, dt) for x in c) for c in coefs)
+    return mix(phis, cs)
+
+
 def run_newton_cg(solver, E0, S0):
-    """Newton-Krylov for finite strain (runCGHyper, fibergen.cpp:22699-23131)."""
+    """Newton-Krylov for finite strain (runCGHyper, fibergen.cpp:22699-23131).
+
+    With SolverOptions.newton_tangent == "frozen_iso" the inner CG uses a
+    per-voxel frozen isotropic-form tangent refreshed at each outer
+    iteration (modified Newton): the exact jvp tangent apply — the
+    dominant inner cost at 256^3 — is replaced by a 3-moduli-plane
+    elementwise map; convergence drops from quadratic to linear, so this
+    wins only when the per-iteration saving beats the extra outer
+    iterations (measured in scripts/bench_hyper_newton.py)."""
     ks = _kernels(solver)
     opt = solver.opt
 
@@ -159,6 +254,8 @@ def run_newton_cg(solver, E0, S0):
         bca = bcmod.to_arrays(solver._bc, solver.dtype)
 
         F = solver.eps
+        abc = (None if opt.newton_tangent != "frozen_iso"
+               else _frozen_abc(solver))
         X0 = voigt.dyad4_mv(solver._bc.M, np.asarray(S0))
         X, R, gamma = ks["init"](solver.mat.fields(), F, X0,
                                  mu0=mu0, lam0=lam0, bca=bca)
@@ -181,7 +278,7 @@ def run_newton_cg(solver, E0, S0):
             while True:
                 X, R, Q, gamma, eps2, gammas, denoms, mets = ks["cg_multi"](
                     solver.mat.fields(), F, X, R, Q, gamma, opt.newton_relax,
-                    mu0=mu0, lam0=lam0, bca=bca)
+                    mu0=mu0, lam0=lam0, bca=bca, abc=abc)
                 done = False
                 if pending is not None:
                     pg, pden, pm, eps_prev = pending
@@ -217,7 +314,7 @@ def run_newton_cg(solver, E0, S0):
             while True:
                 X, eps2, R, Q, delta, denom = ks["cg_step"](
                     solver.mat.fields(), F, X, R, Q, gamma, opt.newton_relax,
-                    mu0=mu0, lam0=lam0, bca=bca)
+                    mu0=mu0, lam0=lam0, bca=bca, abc=abc)
                 if float(denom) <= 0:
                     solver._canceled = True
                     solver._diverged = True

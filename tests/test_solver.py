@@ -575,3 +575,26 @@ def test_loadstep_split_gives_up_at_cap():
     must stop after max_loadstep_splits, not loop forever."""
     s = _svk_compression_solver(0.35, splits=2, maxiter=150)
     assert s.run()           # still fails, but terminates
+
+
+def test_newton_frozen_tangent_matches_exact():
+    """Modified Newton (newton_tangent=frozen_iso) must converge to the
+    same finite-strain solution as exact Newton-Krylov — only the
+    iteration path differs (solvers/newton.py _frozen_abc)."""
+    grid = Grid(8, 8, 8)
+    E = [1.02, 1, 1, 0, 0, 0, 0, 0, 0]
+    res = {}
+    for tangent in ("exact", "frozen_iso"):
+        phi1, phi2 = layered_phi(grid, 0.5)
+        mat = VoigtMixed([
+            Phase("a", laws.SaintVenantKirchhoff(mu=1.0, lam=1.0), phi1),
+            Phase("b", laws.SaintVenantKirchhoff(mu=5.0, lam=2.0), phi2),
+        ], dim=9)
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="hyperelasticity", method="cg", gamma_scheme="staggered",
+            tol=1e-8, maxiter=600, newton_tangent=tangent))
+        s.set_strain(E)
+        assert not s.run()
+        res[tangent] = np.asarray(s.calc_mean_stress())
+    np.testing.assert_allclose(res["frozen_iso"], res["exact"],
+                               rtol=1e-6, atol=1e-9)
