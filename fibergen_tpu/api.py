@@ -240,10 +240,14 @@ class FG:
             refine=sol.value("refine", "auto", str),
             refine_max_sweeps=sol.value("refine_max_sweeps", 10, int),
             refine_inner_tol=sol.value("refine_inner_tol", 1e-5),
+            adaptive_drain=sol.value("adaptive_drain", "auto", str),
             dtype=self._dtype_str(),
         )
         if opt.refine not in ("auto", "on", "off"):
             raise FGError(f"Unknown refine '{opt.refine}'"
+                          " (expected auto, on or off)")
+        if opt.adaptive_drain not in ("auto", "on", "off"):
+            raise FGError(f"Unknown adaptive_drain '{opt.adaptive_drain}'"
                           " (expected auto, on or off)")
         if opt.batch_load_cases not in ("auto", "off"):
             raise FGError(f"Unknown batch_load_cases '{opt.batch_load_cases}'"
@@ -1475,7 +1479,7 @@ class FG:
             raise FGError("No solution available")
         mode = lss.mode
         eps = np.asarray(lss.eps)
-        sig = np.asarray(lss.mat.pk1(lss.eps))
+        sig = np.asarray(self._sigma_field())
 
         fields = {}
         for p in lss.mat.phases:
@@ -1495,7 +1499,8 @@ class FG:
             tensor("P", sig)
             fields["u"] = np.asarray(self._displacement_field("u"))
             from .materials import laws as lawsmod
-            fields["detF"] = np.asarray(lawsmod.det3_comp(lss.eps))[None]
+            detf = self._cached_jit("detF", lambda e: lawsmod.det3_comp(e))
+            fields["detF"] = np.asarray(detf(lss.eps))[None]
         elif mode == "viscosity":
             # dual scheme: the stored field holds stresses; calcStress maps
             # through the fluidity (fibergen.cpp:23405-23414)
@@ -1607,7 +1612,7 @@ class FG:
         if name == "epsilon":
             return np.asarray(lss.eps)
         if name == "sigma":
-            return np.asarray(lss.mat.pk1(lss.eps))
+            return np.asarray(self._sigma_field())
         if name == "phi":
             return np.stack([np.asarray(p.phi) for p in lss.mat.phases])
         if name in self._material_index:
@@ -1621,6 +1626,30 @@ class FG:
             arr = np.asarray(f)
             return arr if arr.ndim == 4 else arr[None]
         raise FGError(f"Unknown field '{name}'")
+
+    def _cached_jit(self, key, fn):
+        """Jit `fn` once per solver (cache on the solver instance): on the
+        axon backend every EAGER jnp op remote-compiles its own program, so
+        any setup/IO-path array code must run as one jitted program."""
+        import jax
+        lss = self.solver
+        cache = getattr(lss, "_api_jit_cache", None)
+        if cache is None:
+            cache = lss._api_jit_cache = {}
+        f = cache.get(key)
+        if f is None:
+            f = cache[key] = jax.jit(fn)
+        return f
+
+    def _sigma_field(self):
+        """<sigma> field P(eps) as one jitted program (see _cached_jit)."""
+        lss = self.solver
+
+        def fn(mf, eps):
+            with lss.mat.bound(mf):
+                return lss.mat.pk1(eps)
+
+        return self._cached_jit("sigma", fn)(lss.mat.fields(), lss.eps)
 
     def _recovery_jit(self, kind, mu0, lam0):
         """Cached jitted field-recovery kernels: eager FFT ops are

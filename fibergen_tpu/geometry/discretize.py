@@ -130,31 +130,37 @@ def _capsule_dn(x, y, z, c, a, hl, R, flat):
     return d, n
 
 
-def phi_field(grid: Grid, fibers: List[Fiber], supersample: int = 1,
-              dtype=jnp.float32):
-    """Volume-fraction field of a set of same-material fibers.
+# x-slab processing engages when the supersampled evaluation grid exceeds
+# this many voxels (2^27 f32 = 512 MiB per temp array): a 512^3 grid at the
+# default supersample=2 would otherwise need several 1024^3 temporaries at
+# once (> HBM on one chip)
+PHI_SLAB_VOXELS = 2 ** 27
 
-    Contributions of individual fibers are summed and clamped like
-    integratePhiVoxel (fibergen.cpp:16681-16704)."""
-    global DIST_EVALS
-    ss = max(1, int(supersample))
-    DIST_EVALS += len(fibers) * int(np.prod(grid.shape)) * ss ** 3
-    x, y, z = _coords(grid, ss, dtype)
-    h = (grid.dx / (grid.nx * ss), grid.dy / (grid.ny * ss),
-         grid.dz / (grid.nz * ss))
 
-    phi = jnp.zeros((grid.nx * ss, grid.ny * ss, grid.nz * ss), dtype)
+def _pool_ss(phi, ss):
+    """Average-pool by ss per axis via strided slices.  A
+    reshape(nx, ss, ny, ss, nz, ss) would put size-ss dims minormost, and
+    the TPU (8,128) tiled layout pads the minormost two dims — at ss=2
+    that materializes a 64x-padded temporary (observed: a 256 GiB
+    allocation for a 512^3 grid).  Strided slices keep full-size trailing
+    dims."""
+    acc = None
+    for a in range(ss):
+        for b in range(ss):
+            for c in range(ss):
+                s = phi[a::ss, b::ss, c::ss]
+                acc = s if acc is None else acc + s
+    return acc / float(ss ** 3)
 
-    packed = pack_fibers(fibers)
-    if packed is not None:
-        params = (
-            jnp.asarray(packed.centers, dtype),
-            jnp.asarray(packed.axes, dtype),
-            jnp.asarray(packed.half_lengths, dtype),
-            jnp.asarray(packed.radii, dtype),
-            jnp.asarray(packed.flat),
-        )
 
+def _phi_body(x, y, z, h, grid, fibers, params, dtype, ss):
+    """phi on the (slab of the) supersampled grid spanned by broadcast
+    coordinates x, y, z; pooled back to the output resolution.  Pure
+    function of the coordinate arrays — jitted once and reused across
+    x-slabs (the slab's x coordinates are the only changing argument)."""
+    phi = jnp.zeros((x.shape[0], y.shape[0], z.shape[0]), dtype)
+
+    if params is not None:
         def body(phi, p):
             c, a, hl, R, flat = p
             d, n = _capsule_dn(x, y, z, c, a, hl, R, flat)
@@ -178,9 +184,52 @@ def phi_field(grid: Grid, fibers: List[Fiber], supersample: int = 1,
 
     phi = jnp.clip(phi, 0.0, 1.0)
     if ss > 1:
-        phi = phi.reshape(grid.nx, ss, grid.ny, ss, grid.nz, ss).mean(
-            axis=(1, 3, 5))
+        phi = _pool_ss(phi, ss)
     return phi
+
+
+def phi_field(grid: Grid, fibers: List[Fiber], supersample: int = 1,
+              dtype=jnp.float32):
+    """Volume-fraction field of a set of same-material fibers.
+
+    Contributions of individual fibers are summed and clamped like
+    integratePhiVoxel (fibergen.cpp:16681-16704).  Large supersampled
+    grids are evaluated in x-slabs through one reused jit program so the
+    working set stays bounded (PHI_SLAB_VOXELS)."""
+    global DIST_EVALS
+    ss = max(1, int(supersample))
+    DIST_EVALS += len(fibers) * int(np.prod(grid.shape)) * ss ** 3
+    x, y, z = _coords(grid, ss, dtype)
+    h = (grid.dx / (grid.nx * ss), grid.dy / (grid.ny * ss),
+         grid.dz / (grid.nz * ss))
+
+    packed = pack_fibers(fibers)
+    params = None
+    if packed is not None:
+        params = (
+            jnp.asarray(packed.centers, dtype),
+            jnp.asarray(packed.axes, dtype),
+            jnp.asarray(packed.half_lengths, dtype),
+            jnp.asarray(packed.radii, dtype),
+            jnp.asarray(packed.flat),
+        )
+
+    fn = jax.jit(lambda xs, p: _phi_body(xs, y, z, h, grid, fibers, p,
+                                         dtype, ss))
+
+    nvox_ss = int(np.prod(grid.shape)) * ss ** 3
+    if nvox_ss <= PHI_SLAB_VOXELS:
+        return fn(x, params)
+
+    # x-slab sweep: largest divisor of nx whose slab fits the budget
+    per_row = ss ** 3 * grid.ny * grid.nz
+    max_rows = max(1, PHI_SLAB_VOXELS // per_row)
+    sx = max(d for d in range(1, max_rows + 1) if grid.nx % d == 0)
+    LOG.info(f"phi voxelization in {grid.nx // sx} x-slabs of {sx} rows "
+             f"(supersampled grid {nvox_ss} voxels)")
+    outs = [fn(x[i * ss:(i + sx) * ss], params)
+            for i in range(0, grid.nx, sx)]
+    return jnp.concatenate(outs, axis=0)
 
 
 def voxelize(grid: Grid, fibers: List[Fiber], n_materials: int,
@@ -236,7 +285,17 @@ def geometry_fields(grid: Grid, fibers: List[Fiber], dtype=jnp.float32):
     """Distance / normals / orientation / fiber_id / material_id /
     fiber_translation fields of the closest fiber per voxel (get_raw_field
     derived fields, fibergen.cpp:15396-15695; fiber_translation is the
-    periodic-clone offset of the closest fiber, :6865-6884)."""
+    periodic-clone offset of the closest fiber, :6865-6884).
+
+    One jitted program: the body is a long chain of full/zeros/where/scan
+    ops, and on the axon backend every EAGER op remote-compiles its own
+    tiny program (~5-30 s each through the tunnel — the round-5 demo sweep
+    measured the trivial normals demo at 533 s, nearly all of it these
+    compiles)."""
+    return jax.jit(lambda: _geometry_fields_impl(grid, fibers, dtype))()
+
+
+def _geometry_fields_impl(grid: Grid, fibers: List[Fiber], dtype):
     global DIST_EVALS
     x, y, z = _coords(grid, 1, dtype)
     big = jnp.asarray(np.finfo(np.dtype(dtype)).max / 4, dtype)

@@ -56,9 +56,15 @@ def _restrict_fast(y, shift):
         out = jnp.roll(out, s1, axis=-2)
     if s2:
         out = jnp.roll(out, s2, axis=-1)
-    *lead, nx, ny, nz = out.shape
-    out = out.reshape(*lead, nx // 2, 2, ny // 2, 2, nz // 2, 2)
-    return out.mean(axis=(-5, -3, -1))
+    # strided slices, not reshape(..., 2, ..., 2): minormost size-2 dims
+    # get 64x tile padding on TPU (see geometry/discretize._pool_ss)
+    acc = None
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                s = out[..., a::2, b::2, c::2]
+                acc = s if acc is None else acc + s
+    return acc / 8.0
 
 
 def prolong(F):

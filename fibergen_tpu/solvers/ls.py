@@ -30,6 +30,16 @@ from ..utils.logging import LOG, timer
 from . import bc as bcmod
 from .estimators import make_estimator
 
+# The adaptive drain (_run_cg_chunked) dispatches power-of-two chunk
+# lengths, each a separately compiled program.  Through the remote-compile
+# tunnel every extra program variant costs 20-60 s once per HLO — far more
+# than the <= K-1 overshoot iterations it avoids unless iterations are
+# expensive.  Below this voxel count the drain stays off and the solve
+# uses exactly two programs (fused init chunk + one K-chunk); the round-5
+# demo sweep measured small planar demos (e.g. 111x64x1 laminate-mixing
+# SFRP) blowing a 900 s budget on drain-program compiles alone.
+ADAPTIVE_DRAIN_MIN_VOXELS = 1 << 22
+
 MODE_DIM = {
     "elasticity": 6,
     "hyperelasticity": 9,
@@ -134,6 +144,12 @@ class SolverOptions:
     # sweeps (device f32 correction solves) finish the job.
     refine: str = "auto"
     refine_max_sweeps: int = 10
+    # adaptive chunk drain of the pipelined CG: "auto" engages only on
+    # grids >= ADAPTIVE_DRAIN_MIN_VOXELS (each power-of-two drain chunk
+    # length is a separately compiled program — 20-60 s once per HLO
+    # through the remote-compile tunnel, which dwarfs the <= K-1 saved
+    # iterations on small grids); "on"/"off" force it
+    adaptive_drain: str = "auto"
     # inner correction-solve tolerance on sqrt(gamma/gamma0); each sweep
     # multiplies the error by about this factor
     refine_inner_tol: float = 1e-5
@@ -1752,9 +1768,13 @@ class LSSolver:
                 if state["done"]:
                     return
 
+        adapt = (self.opt.adaptive_drain == "on"
+                 or (self.opt.adaptive_drain == "auto"
+                     and int(np.prod(self.grid.shape))
+                     >= ADAPTIVE_DRAIN_MIN_VOXELS))
         while not state["done"]:
             if len(pend) <= 1:
-                rem = self._predict_remaining(K, dispatched)
+                rem = self._predict_remaining(K, dispatched) if adapt else None
                 if rem is None or rem > K:
                     dispatch(K)
                 else:
@@ -2024,9 +2044,13 @@ class LSSolver:
                 if st["done"]:
                     return
 
+        adapt = (self.opt.adaptive_drain == "on"
+                 or (self.opt.adaptive_drain == "auto"
+                     and int(np.prod(self.grid.shape))
+                     >= ADAPTIVE_DRAIN_MIN_VOXELS))
         while not st["done"]:
             if len(pend) <= 1:
-                rem = self._predict_remaining(K, dispatched)
+                rem = self._predict_remaining(K, dispatched) if adapt else None
                 if rem is None or rem > K:
                     dispatch(K)
                 else:

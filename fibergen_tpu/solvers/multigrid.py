@@ -63,9 +63,18 @@ def _smooth_rb(u, b, hx2, hy2, hz2, masks, relax):
 
 
 def _restrict(r):
-    """Full-weighting restriction to the half grid (trilinear average)."""
-    n0, n1, n2 = r.shape
-    return r.reshape(n0 // 2, 2, n1 // 2, 2, n2 // 2, 2).mean(axis=(1, 3, 5))
+    """Full-weighting restriction to the half grid (trilinear average).
+
+    Strided slices instead of reshape(n0//2, 2, ...): the TPU (8,128)
+    tiled layout pads minormost size-2 dims 64x (see
+    geometry/discretize._pool_ss)."""
+    acc = None
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                s = r[a::2, b::2, c::2]
+                acc = s if acc is None else acc + s
+    return acc / 8.0
 
 
 def _prolong(e):

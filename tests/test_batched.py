@@ -92,8 +92,11 @@ def test_run_batched_viscosity_matches_sequential():
 def _cg_run(check_every):
     grid = Grid(8, 8, 8)
     mat = elastic_material(grid, M1, M2)
+    # adaptive_drain="on": the drain is gated off below
+    # ADAPTIVE_DRAIN_MIN_VOXELS by default (compile-count economy), but
+    # its trajectory equivalence must stay covered on test-sized grids
     s = _solver(grid, mat, error_estimator="residual",
-                check_every=check_every)
+                check_every=check_every, adaptive_drain="on")
     s.set_strain([1, 0, 0, 0, 0, 0])
     assert not s.run()
     return list(s.residuals), s.calc_mean_stress()
