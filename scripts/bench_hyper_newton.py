@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def run(n, tol=1e-5, stretch=0.02, tangent="exact"):
+def run(n, tol=1e-5, stretch=0.02, tangent="exact", repeats=1):
     import jax.numpy as jnp
 
     import fibergen_tpu as fg
@@ -36,24 +36,40 @@ def run(n, tol=1e-5, stretch=0.02, tangent="exact"):
         newton_tangent=tangent, maxiter=2000))
     # uniaxial stretch: F11 = 1 + stretch, F22 = F33 = 1
     E = np.array([1.0 + stretch, 1, 1, 0, 0, 0, 0, 0, 0])
-    s.set_strain(E)
-    LOG.enabled = False
-    t0 = time.perf_counter()
-    ret = s.run()
-    wall = time.perf_counter() - t0
-    assert not ret, "hyper solve failed"
-    it = len(s.residuals)
-    sig = np.asarray(s.calc_mean_stress())
-    detf = s.calc_min_det_f()
-    print(f"hyper {n}^3 SVK Newton-CG[{tangent}] tol={tol:g} stretch={stretch}: "
-          f"wall-to-tol {wall:.1f} s, {it} total inner iterations "
-          f"({it/wall:.2f} it/s incl. setup), min detF {detf:.4f}, "
-          f"P11 {sig[0]:.5f}", flush=True)
+    # repeats > 1: re-solve from scratch in the same process so the last
+    # wall is warm (all programs cached) — the compile-free number the
+    # reference's persistent-process usage pattern sees.
+    for rep in range(repeats):
+        s.set_strain(E)
+        LOG.enabled = False
+        t0 = time.perf_counter()
+        ret = s.run()
+        wall = time.perf_counter() - t0
+        assert not ret, "hyper solve failed"
+        it = len(s.residuals)
+        sig = np.asarray(s.calc_mean_stress())
+        detf = s.calc_min_det_f()
+        tag = "warm" if rep else "cold"
+        print(f"hyper {n}^3 SVK Newton-CG[{tangent}] tol={tol:g} "
+              f"stretch={stretch} [{tag}]: "
+              f"wall-to-tol {wall:.1f} s, {it} total inner iterations "
+              f"({it/wall:.2f} it/s), min detF {detf:.4f}, "
+              f"P11 {sig[0]:.6f}", flush=True)
     return wall, it
 
 
 if __name__ == "__main__":
-    ns = [int(a) for a in sys.argv[1:]] or [128, 256]
-    for n in ns:
-        run(n, tangent="exact")
-        run(n, tangent="frozen_iso")
+    if sys.argv[1:2] == ["warm"]:
+        # warm walls + accuracy-matched frozen comparison at one size
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+        run(n, tangent="exact", repeats=2)
+        run(n, tangent="frozen_iso", repeats=2)
+        # frozen at tighter tol: linear outer convergence stops the
+        # eps-change estimator early in true-error terms (P11 was 0.8%
+        # off exact at tol 1e-5); measure the tol that recovers the digit
+        run(n, tol=1e-7, tangent="frozen_iso", repeats=2)
+    else:
+        ns = [int(a) for a in sys.argv[1:]] or [128, 256]
+        for n in ns:
+            run(n, tangent="exact")
+            run(n, tangent="frozen_iso")

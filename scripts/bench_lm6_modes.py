@@ -84,15 +84,16 @@ def run_bca(n):
     if n >= 512:
         mat._all_iso()
         mat.drop_phi()
-    t0 = time.perf_counter()
-    ret = s.run()
-    wall = time.perf_counter() - t0
-    assert not ret
-    it = len(s.residuals)
-    print(f"mixed-BC {n}^3 elasticity CG (lm6={s._lm6_capable}): "
-          f"wall-to-1e-6 {wall:.2f} s / {it} iters "
-          f"({it/wall:.2f} iter/s incl. setup), final_rel "
-          f"{s.residuals[-1]:g}, bc_error {s.bc_error():g}", flush=True)
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        ret = s.run()
+        wall = time.perf_counter() - t0
+        assert not ret
+        it = len(s.residuals)
+        print(f"mixed-BC {n}^3 elasticity CG (lm6={s._lm6_capable}) "
+              f"[{tag}]: wall-to-1e-6 {wall:.2f} s / {it} iters "
+              f"({it/wall:.2f} iter/s), final_rel "
+              f"{s.residuals[-1]:g}, bc_error {s.bc_error():g}", flush=True)
     Sm = s.calc_mean_stress()
     print(f"  mean stress: {np.round(np.asarray(Sm), 5).tolist()}",
           flush=True)

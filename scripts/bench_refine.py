@@ -63,18 +63,19 @@ def part_b(n=256, tol=1e-9):
 
     grid, mat, solver = make_problem(n, tol=tol)
     LOG.enabled = False
-    t0 = time.perf_counter()
-    ret = solver.run()
-    wall = time.perf_counter() - t0
-    assert not ret
-    print(f"{n}^3 tol={tol:g}: wall={wall:.2f}s "
-          f"sweeps={getattr(solver, 'refine_sweeps', 0)} "
-          f"inner_iters={getattr(solver, 'refine_inner_iters', 0)} "
-          f"total_res={len(solver.residuals)} "
-          f"final_rel={solver.residuals[-1]:g} "
-          f"refined={solver.eps64 is not None}", flush=True)
-    assert solver.eps64 is not None
-    assert solver.residuals[-1] <= tol
+    for tag in ("cold", "warm"):
+        t0 = time.perf_counter()
+        ret = solver.run()
+        wall = time.perf_counter() - t0
+        assert not ret
+        print(f"{n}^3 tol={tol:g} [{tag}]: wall={wall:.2f}s "
+              f"sweeps={getattr(solver, 'refine_sweeps', 0)} "
+              f"inner_iters={getattr(solver, 'refine_inner_iters', 0)} "
+              f"total_res={len(solver.residuals)} "
+              f"final_rel={solver.residuals[-1]:g} "
+              f"refined={solver.eps64 is not None}", flush=True)
+        assert solver.eps64 is not None
+        assert solver.residuals[-1] <= tol
 
 
 if __name__ == "__main__":

@@ -13,7 +13,7 @@ for proj in $(find demo -name project.xml | grep -v '/empty/' | sort); do
     d=$(dirname "$proj")
     name=$(echo "$d" | tr / _)
     start=$(date +%s)
-    (cd "$d" && timeout 900 python -m fibergen_tpu.cli project.xml) \
+    (cd "$d" && timeout "${DEMO_TIMEOUT:-900}" python -m fibergen_tpu.cli project.xml) \
         > "$OUT/$name.log" 2>&1
     rc=$?
     end=$(date +%s)
