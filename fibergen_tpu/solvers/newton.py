@@ -79,12 +79,21 @@ def _kernels(solver):
         zero = jnp.zeros(dim, dt)
         return gamma_op(zero, W, mu0, lam0, bca)
 
-    def newton_init(eps, X0, mu0, lam0, bca):
-        """X = -Gamma0 P(F) with mean X0; R = Q = ApplyOp(F, X); gamma."""
+    def newton_init(eps, X0, mu0, lam0, bca, abc=None):
+        """X = -Gamma0 P(F) with mean X0; R = Q = ApplyOp(F, X); gamma.
+
+        The inner CG solves A dX = X from the initial iterate dX0 = X, so
+        its initial residual is R = X - A X = ApplyOp(X) — and A must be
+        the SAME operator the CG steps apply.  With the frozen tangent the
+        init therefore uses apply_op_frozen too: mixing an exact-operator
+        R with frozen-operator steps solves an inconsistent system whose
+        outer fixed point is NOT the true solution (measured 0.8% P11
+        shift on a two-phase SVK sphere before this was caught)."""
         F = eps
         PF = mat.pk1(F)
         X = gamma_op(jnp.asarray(X0, dt), PF, mu0, lam0, bca, alpha=-1.0)
-        R = apply_op(F, X, mu0, lam0, bca)
+        R = (apply_op(F, X, mu0, lam0, bca) if abc is None
+             else apply_op_frozen(X, abc, mu0, lam0, bca))
         gamma = fields.inner_l2(R, R) + tiny
         return X, R, gamma
 
@@ -122,15 +131,26 @@ def _kernels(solver):
         eps2 = F + newton_relax * X
         return X, R, Q, gamma, eps2, gammas, denoms, mets
 
-    def metric(eps):
-        kind = solver._estimator_kind
-        if kind == "epsilon":
-            return fields.component_norm(eps)
-        if kind == "sigma":
-            return mat.mean_pk1(eps)
-        if kind == "energy":
-            return mat.mean_w(eps)
-        return jnp.zeros((), dt)
+    def metric_for(kind):
+        """Estimator metric for a GIVEN kind.  The inner and outer error
+        estimators can differ (e.g. residual inner / epsilon outer); keying
+        the metric on the inner kind only silently fed the outer estimator
+        a constant (zero) metric, making it converge after ONE outer
+        iteration — invisible with the default epsilon/epsilon pair but
+        fatal for modified Newton, which needs many outers."""
+        def metric(eps):
+            if kind == "epsilon":
+                return fields.component_norm(eps)
+            if kind == "sigma":
+                return mat.mean_pk1(eps)
+            if kind == "energy":
+                return mat.mean_w(eps)
+            return jnp.zeros((), dt)
+        return metric
+
+    metric = metric_for(solver._estimator_kind)
+    from .estimators import make_estimator as _mk
+    metric_outer = metric_for(_mk(solver.opt.outer_error_estimator).metric_kind)
 
     def grad_step(eps, Emean, mu0, lam0, bca):
         """Steepest-descent direction dX = -Gamma0 P(eps), mean = Emean
@@ -156,6 +176,7 @@ def _kernels(solver):
         "cg_step": jit(newton_cg_step),
         "cg_multi": jit(newton_cg_multi),
         "metric": mjit(metric),
+        "metric_outer": mjit(metric_outer),
         "grad": jit(grad_step),
         "inner": jax.jit(fields.inner_l2),
         "inner_diff": jax.jit(fields.inner_l2_diff),
@@ -241,7 +262,8 @@ def run_newton_cg(solver, E0, S0):
     solver.eps = solver.eps + jnp.asarray(dE, solver.dtype).reshape(-1, 1, 1, 1)
 
     ee_outer = make_estimator(opt.outer_error_estimator)
-    ee_outer.start(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
+    ee_outer.start(np.asarray(ks["metric_outer"](solver.mat.fields(),
+                                                  solver.eps)))
     iter_outer = 0
     gamma0 = -1.0
     best_outer = float("inf")
@@ -258,7 +280,7 @@ def run_newton_cg(solver, E0, S0):
                else _frozen_abc(solver))
         X0 = voigt.dyad4_mv(solver._bc.M, np.asarray(S0))
         X, R, gamma = ks["init"](solver.mat.fields(), F, X0,
-                                 mu0=mu0, lam0=lam0, bca=bca)
+                                 mu0=mu0, lam0=lam0, bca=bca, abc=abc)
         gamma = float(gamma)
         if gamma0 < 0:
             gamma0 = gamma
@@ -335,7 +357,8 @@ def run_newton_cg(solver, E0, S0):
         if solver._canceled:
             return
 
-        ee_outer.update(np.asarray(ks["metric"](solver.mat.fields(), solver.eps)))
+        ee_outer.update(np.asarray(ks["metric_outer"](solver.mat.fields(),
+                                                      solver.eps)))
         # track outer stagnation separately from the inner CG (each outer
         # iteration costs a full inner solve, so the patience is short)
         outer_rel = ee_outer.rel_error()

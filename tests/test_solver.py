@@ -598,3 +598,38 @@ def test_newton_frozen_tangent_matches_exact():
         res[tangent] = np.asarray(s.calc_mean_stress())
     np.testing.assert_allclose(res["frozen_iso"], res["exact"],
                                rtol=1e-6, atol=1e-9)
+
+
+def test_newton_outer_estimator_distinct_from_inner():
+    """Mismatched inner/outer estimator kinds (residual inner, epsilon
+    outer) must still drive the OUTER Newton loop with the epsilon metric:
+    a regression for the bug where the outer estimator was fed the INNER
+    kind's metric (constant zero for residual), converging after one outer
+    iteration — exact Newton then reported the first linearization's
+    answer (0.8% off on this geometry) and modified Newton never iterated.
+    Both tangents must agree with the default-estimator solve."""
+    grid = Grid(12, 12, 12)
+    ax = [(np.arange(s) + 0.5) / s - 0.5 for s in grid.shape]
+    X, Y, Z = np.meshgrid(*ax, indexing="ij")
+    phi1 = jnp.asarray(((X * X + Y * Y + Z * Z) < 0.09).astype(np.float64))
+
+    def solve(tangent, **est):
+        mat = VoigtMixed([
+            Phase("a", laws.SaintVenantKirchhoff(mu=10.0, lam=5.0), phi1),
+            Phase("b", laws.SaintVenantKirchhoff(mu=1.0, lam=1.0),
+                  1.0 - phi1)], dim=9)
+        s = LSSolver(grid, mat, SolverOptions(
+            mode="hyperelasticity", method="cg", gamma_scheme="staggered",
+            tol=1e-8, maxiter=3000, check_every=8,
+            newton_tangent=tangent, **est))
+        s.set_strain([1.02, 1, 1, 0, 0, 0, 0, 0, 0])
+        assert not s.run()
+        return np.asarray(s.calc_mean_stress())
+
+    ref = solve("exact")   # default epsilon/epsilon estimators
+    mixed = dict(error_estimator="residual",
+                 outer_error_estimator="epsilon")
+    S_exact = solve("exact", **mixed)
+    S_frozen = solve("frozen_iso", **mixed)
+    np.testing.assert_allclose(S_exact, ref, rtol=2e-6, atol=5e-9)
+    np.testing.assert_allclose(S_frozen, ref, rtol=2e-6, atol=5e-9)
