@@ -80,7 +80,16 @@ class HostRefiner:
         self._freq_hack = lss.opt.freq_hack
         with jax.enable_x64():
             self.mf64 = self._remix64(_cast64(self.mat.fields(), self.cpu))
-        self._fns = {}
+        # compiled-program cache lives on the SOLVER so repeated solves in
+        # one process (warm re-runs, the 6-case effective-properties
+        # stream) reuse the XLA:CPU f64 programs instead of re-tracing a
+        # fresh HostRefiner's: each trace is a full 3D-f64-FFT-chain CPU
+        # compile (~100 s at 256^3 when the CPU AOT cache cannot load,
+        # e.g. machine-feature mismatch).  Keyed by (name, mu_0, lambda_0)
+        # because the builders bake those floats in as constants.
+        self._fns = getattr(lss, "_hostrefiner_fns", None)
+        if self._fns is None:
+            self._fns = lss._hostrefiner_fns = {}
         w = voigt.weights(self.dim).astype(np.float64)
         self._w = w.reshape(-1, 1, 1, 1)
 
@@ -123,9 +132,10 @@ class HostRefiner:
 
     # ------------------------------------------------------------ programs
     def _jit(self, name, builder):
-        fn = self._fns.get(name)
+        key = (name, self.mu_0, self.lambda_0)
+        fn = self._fns.get(key)
         if fn is None:
-            fn = self._fns[name] = jax.jit(builder())
+            fn = self._fns[key] = jax.jit(builder())
         return fn
 
     def _call(self, name, builder, *args):
