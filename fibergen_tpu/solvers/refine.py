@@ -78,8 +78,14 @@ class HostRefiner:
         self.cpu = jax.devices("cpu")[0]
         self._g0_solver = lss.opt.g0_solver
         self._freq_hack = lss.opt.freq_hack
-        with jax.enable_x64():
-            self.mf64 = self._remix64(_cast64(self.mat.fields(), self.cpu))
+        # f64 material fields: cast + remix once per solver (10.7 s at
+        # 256^3), reused by every refined solve in the process
+        mf64 = getattr(lss, "_hostrefiner_mf64", None)
+        if mf64 is None:
+            with jax.enable_x64():
+                mf64 = self._remix64(_cast64(self.mat.fields(), self.cpu))
+            lss._hostrefiner_mf64 = mf64
+        self.mf64 = mf64
         # compiled-program cache lives on the SOLVER so repeated solves in
         # one process (warm re-runs, the 6-case effective-properties
         # stream) reuse the XLA:CPU f64 programs instead of re-tracing a
