@@ -923,6 +923,28 @@ class LSSolver:
                 return (*out, gamma0, met0)
             return lm6_init_chunk
 
+        def make_lm6_rhs_chunk(length):
+            def lm6_rhs_chunk(r_t, bca=None, mu0=None, lam0=None,
+                              visc=False):
+                """Correction-solve init for the refinement driver: solve
+                A d = rhs (FIELD right-hand side, pre-split into 6 leaves
+                so the donated buffers alias the r outputs) from d = 0,
+                r = rhs, fused with the first chunk — the lm6 twin of
+                _solve_correction's plain-layout init (d=0/r=rhs/p=0 with
+                gamma_prev = gamma makes the first step's direction r,
+                matching CG from zero)."""
+                eps_t = tuple(jnp.zeros(grid.shape, dt) for _ in range(6))
+                gamma0 = jnp.zeros((), dt)
+                for c in range(6):
+                    gamma0 = gamma0 + wv6[c] * (r_t[c] * r_t[c]).sum()
+                gamma0 = gamma0 / nxyz + tiny
+                p0 = tuple(jnp.zeros(grid.shape, dt) for _ in range(6))
+                out = make_lm6_multi(length)(eps_t, r_t, p0, gamma0, gamma0,
+                                             bca, mu0=mu0, lam0=lam0,
+                                             visc=visc)
+                return (*out, gamma0)
+            return lm6_rhs_chunk
+
         # ---- batched multi-RHS CG -------------------------------------
         # calc_effective_properties solves dim load cases against the SAME
         # operator; the reference runs them strictly sequentially
@@ -1129,6 +1151,15 @@ class LSSolver:
                 _chunk_cache[("lm6i", length)] = fn
             return fn
 
+        def lm6_rhs_chunk_n(length):
+            fn = _chunk_cache.get(("lm6r", length))
+            if fn is None:
+                fn = mjit(make_lm6_rhs_chunk(length),
+                          static_argnames=("mu0", "lam0", "visc"),
+                          donate_argnums=(1,))
+                _chunk_cache[("lm6r", length)] = fn
+            return fn
+
         self._cg_multi_n = cg_multi_n
         self._cg_init_chunk_n = cg_init_chunk_n
         # correction-solve init pieces (mixed-precision refinement): two
@@ -1139,6 +1170,8 @@ class LSSolver:
                                     + tiny)
         self._lm6_multi_n = lm6_multi_n
         self._lm6_init_chunk_n = lm6_init_chunk_n
+        self._lm6_rhs_chunk_n = lm6_rhs_chunk_n
+        self._k_split6 = jax.jit(lambda x: tuple(x[c] for c in range(6)))
         self._k_lm6_means = mjit(lm6_means)
         self._k_stack6 = jax.jit(lambda t: jnp.stack(t))
         # tuple-state low-mem qualification (per-solve bca/dim2 checked in
@@ -1711,6 +1744,7 @@ class LSSolver:
         from collections import deque
         mf = self.mat.fields()
         visc = self.mode == "viscosity"
+        self._lm6_last = lm6     # refinement picks the matching correction driver
         if lm6:
             # tuple-state low-memory path: eps/r/p are 6-tuples of
             # (nx,ny,nz) leaves across programs; self.eps is restacked
@@ -1814,8 +1848,6 @@ class LSSolver:
             why = "prescribed stress is out of refinement scope"
         elif self.sharding is not None:
             why = "sharded solves are out of refinement scope"
-        elif getattr(self, "_lm6_capable", False) or self._low_mem:
-            why = "the low-memory CG path has no correction-solve driver"
         if why is not None:
             LOG.warn(f"tolerance {o.tol:g} is below the f32 floor but "
                      f"mixed-precision refinement cannot engage: {why}; "
@@ -1835,6 +1867,10 @@ class LSSolver:
         hr = HostRefiner(self)
         self._refiner = hr
         eps64 = hr.to_host64(self.eps)
+        # the f32 solution now lives in eps64; free the device copy for
+        # the duration of the sweeps — the lm6 correction solve at 512^3
+        # needs its HBM headroom (d/r/p tuples peak like the main solve)
+        self.eps = None
         tol = self.opt.tol
         LOG.info(f"# Mixed-precision refinement to tol {tol:g} "
                  "(f32 device corrections, f64 host residuals)")
@@ -1846,8 +1882,10 @@ class LSSolver:
         for sweep in range(1, self.opt.refine_max_sweeps + 1):
             self.refine_sweeps = sweep
             r64, rnorm = hr.residual(eps64, E)
-            rhs = jax.device_put(np.asarray(r64).astype(self.dtype))
-            d, inner_it = self._solve_correction(rhs, mu0, lam0)
+            # box the rhs so the callee owns the only reference: it frees
+            # the stacked array right after splitting (512^3 headroom)
+            box = [jax.device_put(np.asarray(r64).astype(self.dtype))]
+            d, inner_it = self._solve_correction(box.pop(), mu0, lam0)
             self.refine_inner_iters += inner_it
             eps64, dn, en = hr.accumulate(eps64, d)
             del d
@@ -1880,6 +1918,8 @@ class LSSolver:
         initialized at d = 0, r = rhs, p = r.  Convergence on the CG
         recurrence sqrt(gamma/gamma0) <= refine_inner_tol, with a
         3-chunk stagnation guard at the f32 floor."""
+        if getattr(self, "_lm6_last", False):
+            return self._solve_correction_lm6(rhs, mu0, lam0, maxiter)
         # material leaves must match the solve dtype or the scan carry
         # types diverge (f64 phi fields with an f32 solver are legal on the
         # CPU backend; the TPU flow always has f32 materials)
@@ -1914,6 +1954,44 @@ class LSSolver:
                 if stall >= 3:
                     break
         return d, it
+
+    def _solve_correction_lm6(self, rhs, mu0, lam0, maxiter=1000):
+        """Tuple-state twin of _solve_correction for solves that ran the
+        lm6 low-memory CG (512^3 on one chip): same arbitrary-FIELD rhs,
+        d/r/p live as 6-tuples of (n,n,n) leaves, rhs is donated to the
+        fused init+first-chunk program so the device never holds both."""
+        mf = self.mat.fields()
+        visc = self.mode == "viscosity"
+        K = max(1, int(self.opt.check_every))
+        r_t = self._k_split6(rhs)
+        del rhs    # the split leaves are the only live copy now
+        d, r, p, gamma, gamma_prev, gammas, mets, g0dev = \
+            self._lm6_rhs_chunk_n(K)(mf, r_t, bca=None, mu0=mu0,
+                                     lam0=lam0, visc=visc)
+        del r_t
+        g0 = float(g0dev)
+        it = K
+        best = float("inf")
+        stall = 0
+        while True:
+            rel = math.sqrt(max(0.0, float(gamma)) / g0)
+            if rel <= self.opt.refine_inner_tol or it >= maxiter:
+                break
+            if rel < best * (1.0 - 1e-3):
+                best = rel
+                stall = 0
+            else:
+                stall += 1
+                if stall >= 3:
+                    break
+            d, r, p, gamma, gamma_prev, gammas, mets = self._lm6_multi_n(K)(
+                mf, d, r, p, gamma, gamma_prev, bca=None,
+                mu0=mu0, lam0=lam0, visc=visc)
+            it += K
+        # free the r/p leaves before stacking d (512^3 headroom, mirrors
+        # _run_cg_chunked's lm6 epilogue)
+        del r, p
+        return self._k_stack6(d), it
 
     def _predict_remaining(self, K, dispatched):
         """Geometric-decay extrapolation of the relative-error trajectory:

@@ -132,3 +132,43 @@ def test_refined_collocated_scheme():
     assert s32.eps64 is not None
     np.testing.assert_allclose(s32.calc_mean_stress(),
                                s64.calc_mean_stress(), rtol=2e-9, atol=2e-9)
+
+
+@pytest.mark.parametrize("mode", ["elasticity", "viscosity"])
+def test_refined_lm6_matches_plain(mode):
+    """Refinement over the lm6 tuple-state CG (low_mem='on'): the 512^3
+    single-chip path must reach deep tolerances too (the lm6 correction
+    solve is _solve_correction_lm6).  Pinned against the plain-layout
+    refined solve."""
+    grid = Grid(16, 8, 4)
+    E = ([1.0, 1.0, 1.0, 0.0, 0.0, 0.0] if mode == "elasticity"
+         else [0.0, 0.0, 0.0, 1.0, 0.0, 0.0])
+
+    def run(low_mem):
+        if mode == "viscosity":
+            phi1, phi2 = _sphere_phi(grid, "float32")
+            mat = VoigtMixed([
+                Phase("incl", laws.ScalarLinearIsotropic(mu=0.5 * 5.0,
+                                                         dim=6), phi1),
+                Phase("matrix", laws.ScalarLinearIsotropic(mu=0.5 * 1.0,
+                                                           dim=6), phi2),
+            ], dim=6)
+        else:
+            mat = _material(mode, grid, "float32")
+        s = LSSolver(grid, mat, SolverOptions(
+            mode=mode, method="cg", gamma_scheme="staggered", tol=1e-10,
+            maxiter=3000, dtype="float32", check_every=4,
+            error_estimator="residual", low_mem=low_mem))
+        s.set_strain(E)
+        assert not s.run()
+        return s
+
+    s_plain = run("off")
+    s_lm6 = run("on")
+    assert s_plain.eps64 is not None and s_lm6.eps64 is not None
+    assert getattr(s_lm6, "_lm6_last", False), "lm6 path did not engage"
+    assert not getattr(s_plain, "_lm6_last", True)
+    assert s_lm6.residuals[-1] <= 1e-10
+    np.testing.assert_allclose(
+        np.asarray(s_lm6.calc_mean_stress()),
+        np.asarray(s_plain.calc_mean_stress()), rtol=5e-9, atol=5e-9)
