@@ -923,27 +923,16 @@ class LSSolver:
                 return (*out, gamma0, met0)
             return lm6_init_chunk
 
-        def make_lm6_rhs_chunk(length):
-            def lm6_rhs_chunk(r_t, bca=None, mu0=None, lam0=None,
-                              visc=False):
-                """Correction-solve init for the refinement driver: solve
-                A d = rhs (FIELD right-hand side, pre-split into 6 leaves
-                so the donated buffers alias the r outputs) from d = 0,
-                r = rhs, fused with the first chunk — the lm6 twin of
-                _solve_correction's plain-layout init (d=0/r=rhs/p=0 with
-                gamma_prev = gamma makes the first step's direction r,
-                matching CG from zero)."""
-                eps_t = tuple(jnp.zeros(grid.shape, dt) for _ in range(6))
-                gamma0 = jnp.zeros((), dt)
-                for c in range(6):
-                    gamma0 = gamma0 + wv6[c] * (r_t[c] * r_t[c]).sum()
-                gamma0 = gamma0 / nxyz + tiny
-                p0 = tuple(jnp.zeros(grid.shape, dt) for _ in range(6))
-                out = make_lm6_multi(length)(eps_t, r_t, p0, gamma0, gamma0,
-                                             bca, mu0=mu0, lam0=lam0,
-                                             visc=visc)
-                return (*out, gamma0)
-            return lm6_rhs_chunk
+        def lm6_rhs_gamma(r_t):
+            """Voigt-weighted mean <r,r> of a 6-leaf tuple (the lm6 gamma
+            convention) — the correction-solve init piece."""
+            gamma0 = jnp.zeros((), dt)
+            for c in range(6):
+                gamma0 = gamma0 + wv6[c] * (r_t[c] * r_t[c]).sum()
+            return gamma0 / nxyz + tiny
+
+        def lm6_zeros():
+            return tuple(jnp.zeros(grid.shape, dt) for _ in range(6))
 
         # ---- batched multi-RHS CG -------------------------------------
         # calc_effective_properties solves dim load cases against the SAME
@@ -1151,14 +1140,6 @@ class LSSolver:
                 _chunk_cache[("lm6i", length)] = fn
             return fn
 
-        def lm6_rhs_chunk_n(length):
-            fn = _chunk_cache.get(("lm6r", length))
-            if fn is None:
-                fn = mjit(make_lm6_rhs_chunk(length),
-                          static_argnames=("mu0", "lam0", "visc"),
-                          donate_argnums=(1,))
-                _chunk_cache[("lm6r", length)] = fn
-            return fn
 
         self._cg_multi_n = cg_multi_n
         self._cg_init_chunk_n = cg_init_chunk_n
@@ -1170,7 +1151,8 @@ class LSSolver:
                                     + tiny)
         self._lm6_multi_n = lm6_multi_n
         self._lm6_init_chunk_n = lm6_init_chunk_n
-        self._lm6_rhs_chunk_n = lm6_rhs_chunk_n
+        self._k_lm6_rhs_gamma = jax.jit(lm6_rhs_gamma)
+        self._k_lm6_zeros = jax.jit(lm6_zeros)
         self._k_split6 = jax.jit(lambda x: tuple(x[c] for c in range(6)))
         self._k_lm6_means = mjit(lm6_means)
         self._k_stack6 = jax.jit(lambda t: jnp.stack(t))
@@ -1963,17 +1945,24 @@ class LSSolver:
         mf = self.mat.fields()
         visc = self.mode == "viscosity"
         K = max(1, int(self.opt.check_every))
-        r_t = self._k_split6(rhs)
+        r = self._k_split6(rhs)
         del rhs    # the split leaves are the only live copy now
-        d, r, p, gamma, gamma_prev, gammas, mets, g0dev = \
-            self._lm6_rhs_chunk_n(K)(mf, r_t, bca=None, mu0=mu0,
-                                     lam0=lam0, visc=visc)
-        del r_t
-        g0 = float(g0dev)
-        it = K
+        gamma = self._k_lm6_rhs_gamma(r)
+        g0 = float(gamma)
+        # d and p as two separate program executions -> distinct buffers;
+        # gamma_prev = gamma makes the first step's direction r (CG from
+        # zero), exactly like the plain-layout driver
+        d = self._k_lm6_zeros()
+        p = self._k_lm6_zeros()
+        gamma_prev = gamma
+        it = 0
         best = float("inf")
         stall = 0
         while True:
+            d, r, p, gamma, gamma_prev, gammas, mets = self._lm6_multi_n(K)(
+                mf, d, r, p, gamma, gamma_prev, bca=None,
+                mu0=mu0, lam0=lam0, visc=visc)
+            it += K
             rel = math.sqrt(max(0.0, float(gamma)) / g0)
             if rel <= self.opt.refine_inner_tol or it >= maxiter:
                 break
@@ -1984,10 +1973,6 @@ class LSSolver:
                 stall += 1
                 if stall >= 3:
                     break
-            d, r, p, gamma, gamma_prev, gammas, mets = self._lm6_multi_n(K)(
-                mf, d, r, p, gamma, gamma_prev, bca=None,
-                mu0=mu0, lam0=lam0, visc=visc)
-            it += K
         # free the r/p leaves before stacking d (512^3 headroom, mirrors
         # _run_cg_chunked's lm6 epilogue)
         del r, p
