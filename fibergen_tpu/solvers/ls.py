@@ -1153,7 +1153,6 @@ class LSSolver:
         self._lm6_init_chunk_n = lm6_init_chunk_n
         self._k_lm6_rhs_gamma = jax.jit(lm6_rhs_gamma)
         self._k_lm6_zeros = jax.jit(lm6_zeros)
-        self._k_split6 = jax.jit(lambda x: tuple(x[c] for c in range(6)))
         self._k_lm6_means = mjit(lm6_means)
         self._k_stack6 = jax.jit(lambda t: jnp.stack(t))
         # tuple-state low-mem qualification (per-solve bca/dim2 checked in
@@ -1864,10 +1863,13 @@ class LSSolver:
         for sweep in range(1, self.opt.refine_max_sweeps + 1):
             self.refine_sweeps = sweep
             r64, rnorm = hr.residual(eps64, E)
-            # box the rhs so the callee owns the only reference: it frees
-            # the stacked array right after splitting (512^3 headroom)
-            box = [jax.device_put(np.asarray(r64).astype(self.dtype))]
-            d, inner_it = self._solve_correction(box.pop(), mu0, lam0)
+            # hand the rhs down as a HOST array: each correction driver
+            # moves it to the device in its own layout (the lm6 driver
+            # pushes per-component leaves so no stacked transient exists)
+            rnp = np.asarray(r64).astype(
+                np.float32 if self.dtype == jnp.float32 else np.float64)
+            d, inner_it = self._solve_correction(rnp, mu0, lam0)
+            del rnp
             self.refine_inner_iters += inner_it
             eps64, dn, en = hr.accumulate(eps64, d)
             del d
@@ -1902,6 +1904,7 @@ class LSSolver:
         3-chunk stagnation guard at the f32 floor."""
         if getattr(self, "_lm6_last", False):
             return self._solve_correction_lm6(rhs, mu0, lam0, maxiter)
+        rhs = jax.device_put(np.asarray(rhs))
         # material leaves must match the solve dtype or the scan carry
         # types diverge (f64 phi fields with an f32 solver are legal on the
         # CPU backend; the TPU flow always has f32 materials)
@@ -1939,14 +1942,17 @@ class LSSolver:
 
     def _solve_correction_lm6(self, rhs, mu0, lam0, maxiter=1000):
         """Tuple-state twin of _solve_correction for solves that ran the
-        lm6 low-memory CG (512^3 on one chip): same arbitrary-FIELD rhs,
-        d/r/p live as 6-tuples of (n,n,n) leaves, rhs is donated to the
-        fused init+first-chunk program so the device never holds both."""
+        lm6 low-memory CG (512^3 on one chip): rhs arrives as a HOST
+        array and is pushed per-component, so the device never holds a
+        stacked (6,n,n,n) transient next to the d/r/p leaves."""
         mf = self.mat.fields()
         visc = self.mode == "viscosity"
         K = max(1, int(self.opt.check_every))
-        r = self._k_split6(rhs)
-        del rhs    # the split leaves are the only live copy now
+        rnp = np.asarray(rhs)
+        del rhs
+        r = tuple(jax.device_put(np.ascontiguousarray(rnp[c]))
+                  for c in range(6))
+        del rnp
         gamma = self._k_lm6_rhs_gamma(r)
         g0 = float(gamma)
         # d and p as two separate program executions -> distinct buffers;
